@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark: Jasper-10x5 training throughput on the available chip(s).
+
+Prints ONE JSON line:
+  {"metric": "jasper10x5_train_utt_per_sec_per_chip", "value": N,
+   "unit": "utt/s/chip", "vs_baseline": N / 32.0}
+
+Baseline: NVIDIA publishes Jasper throughput only as scaling plots
+(BASELINE.md notes); public NVIDIA DeepLearningExamples numbers put
+Jasper-10x5 AMP training at ~32 utterances/sec per V100 (DGX-1 8xV100
+~260 seq/s). vs_baseline therefore is utt/sec/chip vs one V100; the
+north-star target is >= 1.5.
+
+Setup mirrors the reference recipe (`example_configs/speech2text/
+jasper10x5_LibriSpeech_nvgrad_masks.py`): bs 32/chip, 64 logfbank
+features, bf16 ("mixed"), NovoGrad + LARC. Input: synthetic ~10s
+utterances (T=1000 frames @10ms) — pure step time, no host IO.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+V100_BASELINE_UTT_PER_SEC = 32.0
+
+
+def main():
+    import jax
+    from openseq2seq_tpu.data.synthetic import SyntheticSpeechDataLayer
+    from openseq2seq_tpu.models import Speech2Text
+    from openseq2seq_tpu.parallel.mesh import (make_mesh,
+                                               replicated_sharding,
+                                               shard_batch)
+    from openseq2seq_tpu.zoo import jasper_model_params
+
+    n_chips = len(jax.devices())
+    batch_per_chip = 32
+    time_steps = 1000
+
+    mesh = make_mesh(num_data=n_chips, num_model=1)
+    params = jasper_model_params(
+        data_layer=SyntheticSpeechDataLayer,
+        data_layer_params={
+            "num_audio_features": 64,
+            "tgt_vocab_size": 29,
+            "time_steps": time_steps,
+            "label_length": 160,
+            "num_batches": 8,
+        },
+        num_blocks=10, block_repeat=5,
+        batch_size_per_gpu=batch_per_chip,
+        dtype="mixed",
+        max_steps=1000000,
+    )
+    model = Speech2Text(params=params, mode="train", mesh=mesh)
+    dl = model.get_data_layer()
+    batch = next(iter(dl.iterate_one_epoch()))
+    state = model.init_state(batch)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    device_batch = shard_batch(batch, mesh)
+    step_fn = jax.jit(model.train_step, donate_argnums=(0,))
+    rng = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    for _ in range(3):
+        state, metrics = step_fn(state, device_batch, rng)
+    jax.block_until_ready(state.params)
+
+    n_steps = 20
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, metrics = step_fn(state, device_batch, rng)
+    jax.block_until_ready(state.params)
+    wall = time.time() - t0
+
+    utt_per_sec = n_steps * batch_per_chip * n_chips / wall
+    utt_per_sec_per_chip = utt_per_sec / n_chips
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss)
+
+    print(json.dumps({
+        "metric": "jasper10x5_train_utt_per_sec_per_chip",
+        "value": round(utt_per_sec_per_chip, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(utt_per_sec_per_chip /
+                             V100_BASELINE_UTT_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,284 @@
+"""Speech-to-text data layer.
+
+Host pipeline with the contract of the reference's
+``Speech2TextDataLayer`` (`open_seq2seq/data/speech2text/speech2text.py:
+25-485`): LibriSpeech-style CSVs (``wav_filename,wav_filesize,
+transcript``), char vocab (CTC blank implied as the last class) or BPE,
+duration filters, deterministic contiguous eval/infer split across
+workers, infer-order restoration via source ids.
+
+TPU-shaped differences from the reference's tf.data/py_func pipeline:
+  * batches are fixed-size numpy dicts with time/label dims padded to
+    multiples of ``pad_to`` — every distinct padded shape is one XLA
+    compilation, so padding granularity is a first-class knob;
+  * the final partial batch is padded by repeating the last example and
+    carries ``batch_valid`` so eval clips it exactly (reference's
+    clip_last_batch, `utils/utils.py:85-92`);
+  * featurization runs on a prefetch thread (see DataLayer.prefetch).
+"""
+from __future__ import annotations
+
+import io
+import math
+import os
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..data_layer import DataLayer
+from ...ops.features import get_speech_features_from_file, mel_filterbank
+
+
+def load_pre_existing_vocabulary(path: str, min_idx: int = 0,
+                                 read_chars: bool = False) -> Dict[str, int]:
+    """Load a token->id vocabulary from a file with one token per line
+    (optionally tab-separated from a count), ids assigned by line order
+    starting at ``min_idx`` (reference `utils/utils.py` equivalent)."""
+    vocab: Dict[str, int] = {}
+    with io.open(path, newline="", encoding="utf-8") as f:
+        for idx, line in enumerate(f):
+            if read_chars:
+                token = line[:-1] if line.endswith("\n") else line
+            else:
+                token = line.strip().split("\t")[0]
+            vocab[token] = idx + min_idx
+    return vocab
+
+
+class Speech2TextDataLayer(DataLayer):
+    """CSV-driven ASR data layer producing (features, length, labels,
+    label_length) batches."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(DataLayer.get_required_params(), **{
+            "num_audio_features": int,
+            "input_type": ["spectrogram", "mfcc", "logfbank"],
+            "vocab_file": str,
+            "dataset_files": list,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(DataLayer.get_optional_params(), **{
+            "backend": ["psf", "librosa"],
+            "augmentation": dict,
+            "pad_to": int,
+            "max_duration": float,
+            "min_duration": float,
+            "bpe": bool,
+            "autoregressive": bool,
+            "syn_enable": bool,
+            "syn_subdirs": list,
+            "window_size": float,
+            "window_stride": float,
+            "dither": float,
+            "norm_per_feature": bool,
+            "window": ["hanning", "hamming", "none"],
+            "num_fft": int,
+            "precompute_mel_basis": bool,
+            "sample_freq": int,
+            "gain": float,
+            "features_mean": np.ndarray,
+            "features_std_dev": np.ndarray,
+            "max_batch_pad_time": int,
+            "sort_by_duration": bool,
+        })
+
+    def __init__(self, params, model, num_workers=1, worker_id=0):
+        super().__init__(params, model, num_workers, worker_id)
+        p = self._params
+        p.setdefault("autoregressive", False)
+        p.setdefault("bpe", False)
+        self.autoregressive = p["autoregressive"]
+
+        if p["bpe"]:
+            try:
+                import sentencepiece as spm  # optional dependency
+            except ImportError as e:
+                raise ImportError(
+                    "bpe=True requires the sentencepiece package") from e
+            self.sp = spm.SentencePieceProcessor()
+            self.sp.Load(p["vocab_file"])
+            p["tgt_vocab_size"] = len(self.sp) + 1
+        else:
+            self.sp = None
+            p["char2idx"] = load_pre_existing_vocabulary(
+                p["vocab_file"], read_chars=True)
+            if not self.autoregressive:
+                # +1 for the implied CTC blank (last class)
+                p["tgt_vocab_size"] = len(p["char2idx"]) + 1
+            else:
+                n = len(p["char2idx"])
+                p["tgt_vocab_size"] = n + 2
+                self.start_index, self.end_index = n, n + 1
+                p["char2idx"]["<S>"] = self.start_index
+                p["char2idx"]["</S>"] = self.end_index
+            p["idx2char"] = {i: w for w, i in p["char2idx"].items()}
+        self.target_pad_value = 0
+
+        p.setdefault("min_duration", -1.0)
+        p.setdefault("max_duration", -1.0)
+        p.setdefault("window_size", 20e-3)
+        p.setdefault("window_stride", 10e-3)
+        p.setdefault("sample_freq", 16000)
+        p.setdefault("pad_to", 8)
+        p.setdefault("batch_size", 1)
+
+        mel_basis = None
+        if p.get("precompute_mel_basis", False) and p["input_type"] == "logfbank":
+            num_fft = (p.get("num_fft", None) or
+                       2 ** math.ceil(math.log2(
+                           p["window_size"] * p["sample_freq"])))
+            mel_basis = mel_filterbank(p["sample_freq"], num_fft,
+                                       n_mels=p["num_audio_features"],
+                                       fmin=0, fmax=int(p["sample_freq"] / 2))
+        p["mel_basis"] = mel_basis
+
+        aug = p.get("augmentation", {}) or {}
+        if "n_freq_mask" in aug:
+            if aug.get("width_freq_mask", 10) > p["num_audio_features"]:
+                raise ValueError("'width_freq_mask' should be smaller than "
+                                 "'num_audio_features'")
+
+        if p.get("interactive", False):
+            self.all_files = []
+            self._files = []
+            return
+
+        frames = [pd.read_csv(csv, encoding="utf-8")
+                  for csv in p["dataset_files"]]
+        table = pd.concat(frames, ignore_index=True)
+        if p["mode"] != "infer":
+            self.all_files = table.loc[:, ["wav_filename", "transcript"]].values
+        else:
+            self.all_files = table.loc[:, ["wav_filename"]].values
+        self._files = self._split_data(self.all_files)
+
+    def _split_data(self, data):
+        """Deterministic contiguous split across workers for eval/infer
+        (training shards by striding batches instead)."""
+        if self.params["mode"] != "train" and self._num_workers > 1:
+            size = len(data)
+            start = size // self._num_workers * self._worker_id
+            end = (size if self._worker_id == self._num_workers - 1
+                   else size // self._num_workers * (self._worker_id + 1))
+            return data[start:end]
+        return data
+
+    def get_size_in_samples(self) -> int:
+        return len(self._files)
+
+    # ------------------------------------------------------------------
+    def _featurize(self, wav_path: str):
+        return get_speech_features_from_file(wav_path, self.params,
+                                             rng=self._rng)
+
+    def _encode_transcript(self, text: str) -> np.ndarray:
+        if self.sp is not None:
+            ids = self.sp.EncodeAsIds(text)
+        else:
+            c2i = self.params["char2idx"]
+            ids = [c2i[c] for c in text if c in c2i]
+        if self.autoregressive:
+            ids = [self.start_index] + ids + [self.end_index]
+        return np.asarray(ids, dtype=np.int32)
+
+    def iterate_one_epoch(self) -> Iterator[Dict[str, Any]]:
+        p = self.params
+        batch_size = p["batch_size"]
+        order = np.arange(len(self._files))
+        if p["shuffle"]:
+            self._rng.shuffle(order)
+
+        examples: List[Dict[str, Any]] = []
+        for global_idx in order:
+            row = self._files[global_idx]
+            wav_path = row[0]
+            try:
+                features, duration = self._featurize(wav_path)
+            except (OSError, ValueError) as e:
+                if p["mode"] == "train":
+                    continue  # skip unreadable/mismatched files in training
+                raise
+            if p["mode"] == "train":
+                if 0 < p["max_duration"] < duration:
+                    continue
+                if duration < p["min_duration"]:
+                    continue
+            ex = {"x": features, "idx": int(global_idx)}
+            if p["mode"] != "infer":
+                ex["y"] = self._encode_transcript(str(row[1]))
+            examples.append(ex)
+            if len(examples) == batch_size:
+                yield self._collate(examples)
+                examples = []
+        if examples:
+            yield self._collate(examples, pad_batch_to=batch_size)
+
+    def _collate(self, examples: List[Dict[str, Any]],
+                 pad_batch_to: Optional[int] = None) -> Dict[str, Any]:
+        p = self.params
+        valid = len(examples)
+        if pad_batch_to is not None:
+            examples = examples + [examples[-1]] * (pad_batch_to - valid)
+        pad_to = max(p["pad_to"], 1)
+        T = self.pad_to_multiple(max(e["x"].shape[0] for e in examples), pad_to)
+        F = examples[0]["x"].shape[1]
+        B = len(examples)
+        x = np.zeros((B, T, F), dtype=np.float32)
+        x_len = np.zeros((B,), dtype=np.int32)
+        ids = np.zeros((B,), dtype=np.int32)
+        for i, e in enumerate(examples):
+            t = e["x"].shape[0]
+            x[i, :t] = e["x"]
+            x_len[i] = t
+            ids[i] = e["idx"]
+        batch = {
+            "source_tensors": [x, x_len],
+            "source_ids": ids,
+            "batch_valid": np.int32(valid),
+        }
+        if "y" in examples[0]:
+            L = self.pad_to_multiple(
+                max(max(len(e["y"]) for e in examples), 1), 8)
+            y = np.full((B, L), self.target_pad_value, dtype=np.int32)
+            y_len = np.zeros((B,), dtype=np.int32)
+            for i, e in enumerate(examples):
+                y[i, :len(e["y"])] = e["y"]
+                y_len[i] = len(e["y"])
+            batch["target_tensors"] = [y, y_len]
+        return batch
+
+    # ------------------------------------------------------------------
+    def create_interactive_batch(self, model_in):
+        """Featurize a raw (signal, sample_rate) pair or a wav path into a
+        batch-of-one (streaming ASR contract, reference
+        `speech2text.py:326-380`)."""
+        if isinstance(model_in, str):
+            features, _ = self._featurize(model_in)
+        else:
+            signal, sample_freq = model_in
+            from ...ops.features import get_speech_features
+            params = dict(self.params)
+            params["sample_freq"] = sample_freq
+            features, _ = get_speech_features(
+                np.asarray(signal), sample_freq, params, rng=self._rng)
+        pad_to = max(self.params["pad_to"], 1)
+        T = self.pad_to_multiple(features.shape[0], pad_to)
+        x = np.zeros((1, T, features.shape[1]), dtype=np.float32)
+        x[0, :features.shape[0]] = features
+        return {
+            "source_tensors": [x, np.asarray([features.shape[0]], np.int32)],
+            "source_ids": np.zeros((1,), np.int32),
+            "batch_valid": np.int32(1),
+        }
+
+    def decode_ids(self, ids) -> str:
+        """Map decoded id sequence (possibly -1-padded) back to text."""
+        ids = [int(i) for i in np.asarray(ids).tolist() if int(i) >= 0]
+        if self.sp is not None:
+            return self.sp.DecodeIds(ids)
+        idx2char = self.params["idx2char"]
+        return "".join(idx2char.get(i, "") for i in ids)

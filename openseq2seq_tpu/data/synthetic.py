@@ -1,0 +1,71 @@
+"""Synthetic fixed-shape data layers for benchmarking and dry runs.
+
+The reference's ``--benchmark`` mode still reads real data
+(`utils/utils.py:846-864`); on TPU a fixed-shape synthetic source is the
+cleaner way to measure pure step throughput (one compilation, no host
+IO in the loop).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator
+
+import numpy as np
+
+from .data_layer import DataLayer
+
+
+class SyntheticSpeechDataLayer(DataLayer):
+    """Random (features, labels) batches with constant shapes."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(DataLayer.get_required_params(), **{
+            "num_audio_features": int,
+            "tgt_vocab_size": int,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(DataLayer.get_optional_params(), **{
+            "time_steps": int,
+            "label_length": int,
+            "num_batches": int,
+            "vocab_file": str,      # parity keys, unused
+            "dataset_files": list,
+            "input_type": str,
+        })
+
+    def __init__(self, params, model, num_workers=1, worker_id=0):
+        super().__init__(params, model, num_workers, worker_id)
+        p = self._params
+        p.setdefault("time_steps", 1000)
+        p.setdefault("label_length", 128)
+        p.setdefault("num_batches", 100)
+        p.setdefault("batch_size", 8)
+        # decode support for eval paths
+        p["idx2char"] = {i: chr(ord("a") + i % 26)
+                         for i in range(p["tgt_vocab_size"] - 1)}
+
+    def get_size_in_samples(self) -> int:
+        return self._params["num_batches"] * self._params["batch_size"]
+
+    def iterate_one_epoch(self) -> Iterator[Dict[str, Any]]:
+        p = self._params
+        B, T, F = p["batch_size"], p["time_steps"], p["num_audio_features"]
+        L, V = p["label_length"], p["tgt_vocab_size"]
+        rng = np.random.RandomState(self._params.get("mode") == "train" and 1 or 2)
+        x = rng.randn(B, T, F).astype(np.float32)
+        x_len = np.full((B,), T, np.int32)
+        y = rng.randint(0, V - 1, size=(B, L)).astype(np.int32)
+        y_len = np.full((B,), L, np.int32)
+        batch = {"source_tensors": [x, x_len],
+                 "target_tensors": [y, y_len],
+                 "source_ids": np.arange(B, dtype=np.int32),
+                 "batch_valid": np.int32(B)}
+        for _ in range(p["num_batches"]):
+            yield batch
+
+    def decode_ids(self, ids):
+        idx2char = self._params["idx2char"]
+        return "".join(idx2char.get(int(i), "")
+                       for i in np.asarray(ids).tolist() if int(i) >= 0)

@@ -1,0 +1,146 @@
+"""Fully-connected decoders (reference
+`open_seq2seq/decoders/fc_decoders.py:19-311`).
+
+  * :class:`FullyConnectedDecoder` — one dense layer for classification.
+  * :class:`FullyConnectedTimeDecoder` — per-timestep dense projection to
+    vocab logits (the reference emits time-major logits for tf's CTC ops;
+    on TPU batch-major (B, T, V) is the natural layout and our CTC ops
+    take it directly).
+  * :class:`FullyConnectedCTCDecoder` — adds on-device greedy CTC
+    decoding; beam-search-with-LM decoding is a host-side post-processor
+    (see ``openseq2seq_tpu.ops.ctc_beam`` / native decoder, reference
+    `fc_decoders.py:218-245`'s custom CUDA op).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .decoder import Decoder
+from ..ops.ctc import ctc_greedy_decode
+
+
+class FullyConnectedDecoder(Decoder):
+
+    @staticmethod
+    def get_required_params():
+        return dict(Decoder.get_required_params(), **{
+            "output_dim": int,
+        })
+
+    def make_module(self):
+        output_dim = self._params["output_dim"]
+        dtype = jnp.float32 if self._model is None \
+            else self._model.mp_policy.compute_dtype
+
+        class FCDecoderModule(nn.Module):
+            @nn.compact
+            def __call__(self, input_dict: Dict[str, Any], train: bool):
+                x = input_dict["encoder_output"]["outputs"]
+                if x.ndim > 2:
+                    x = x.reshape((x.shape[0], -1))
+                logits = nn.Dense(output_dim, dtype=dtype,
+                                  param_dtype=jnp.float32,
+                                  name="fully_connected")(x)
+                return {"logits": logits,
+                        "outputs": [jnp.argmax(logits, axis=-1)]}
+
+        return FCDecoderModule()
+
+
+class FullyConnectedTimeDecoder(Decoder):
+
+    @staticmethod
+    def get_required_params():
+        return dict(Decoder.get_required_params(), **{
+            "tgt_vocab_size": int,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(Decoder.get_optional_params(), **{
+            "logits_to_outputs_func": None,
+            "infer_logits_to_pickle": bool,
+        })
+
+    def make_module(self):
+        vocab = self._params["tgt_vocab_size"]
+        dtype = jnp.float32 if self._model is None \
+            else self._model.mp_policy.compute_dtype
+        to_outputs = self._params.get("logits_to_outputs_func", None)
+
+        class FCTimeDecoderModule(nn.Module):
+            @nn.compact
+            def __call__(self, input_dict: Dict[str, Any], train: bool):
+                x = input_dict["encoder_output"]["outputs"]
+                src_length = input_dict["encoder_output"]["src_length"]
+                logits = nn.Dense(vocab, dtype=dtype,
+                                  param_dtype=jnp.float32,
+                                  name="fully_connected")(x)
+                # logits feed fp32 losses/decoders
+                logits = logits.astype(jnp.float32)
+                out = {"logits": logits, "src_length": src_length}
+                if to_outputs is not None:
+                    out["outputs"] = to_outputs(logits, src_length)
+                return out
+
+        return FCTimeDecoderModule()
+
+
+class FullyConnectedCTCDecoder(FullyConnectedTimeDecoder):
+    """FC time decoder + greedy CTC decode on device. LM beam-search
+    parameters are accepted for config parity; the beam decode itself is
+    host-side (logits are fetched and handed to the beam decoder) —
+    matching the reference's two-path design."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(FullyConnectedTimeDecoder.get_required_params(), **{
+            "use_language_model": bool,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(FullyConnectedTimeDecoder.get_optional_params(), **{
+            "decoder_library_path": str,
+            "beam_width": int,
+            "alpha": float,
+            "beta": float,
+            "trie_weight": float,
+            "lm_path": str,
+            "trie_path": str,
+            "alphabet_config_path": str,
+        })
+
+    def __init__(self, params, model, name="fully_connected_ctc_decoder",
+                 mode="train"):
+        super().__init__(params, model, name, mode)
+        if self._params["use_language_model"]:
+            # host-side beam+LM decoding consumes dumped logits; the
+            # in-graph decode stays greedy
+            self._params.setdefault("infer_logits_to_pickle", False)
+
+    def make_module(self):
+        vocab = self._params["tgt_vocab_size"]
+        dtype = jnp.float32 if self._model is None \
+            else self._model.mp_policy.compute_dtype
+
+        class FCCTCDecoderModule(nn.Module):
+            @nn.compact
+            def __call__(self, input_dict: Dict[str, Any], train: bool):
+                x = input_dict["encoder_output"]["outputs"]
+                src_length = input_dict["encoder_output"]["src_length"]
+                logits = nn.Dense(vocab, dtype=dtype,
+                                  param_dtype=jnp.float32,
+                                  name="fully_connected")(x)
+                logits = logits.astype(jnp.float32)
+                out: Dict[str, Any] = {"logits": logits,
+                                       "src_length": src_length}
+                if not train:
+                    ids, lengths = ctc_greedy_decode(logits, src_length)
+                    out["outputs"] = [ids, lengths]
+                return out
+
+        return FCCTCDecoderModule()

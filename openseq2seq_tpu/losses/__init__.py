@@ -1,0 +1,5 @@
+from .loss import Loss
+from .ctc_loss import CTCLoss
+from .sequence_loss import (BasicSequenceLoss, CrossEntropyWithSmoothing,
+                            PaddedCrossEntropyLossWithSmoothing)
+from .cross_entropy_loss import CrossEntropyLoss

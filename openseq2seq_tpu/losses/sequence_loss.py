@@ -1,0 +1,146 @@
+"""Sequence losses for NMT/LM (reference
+`open_seq2seq/losses/sequence_loss.py:10,117,233`):
+
+  * :class:`BasicSequenceLoss` — token- or sample-averaged CE over valid
+    positions (offset_target_by_one for autoregressive decoders).
+  * :class:`CrossEntropyWithSmoothing` — label-smoothed CE, same
+    averaging options.
+  * :class:`PaddedCrossEntropyLossWithSmoothing` — transformer-style
+    smoothing with the exact normalizing constant, averaged over
+    non-pad tokens (pad id 0).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .loss import Loss
+
+
+def _valid_mask(labels_shape, lengths):
+    T = labels_shape[1]
+    return (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+
+class BasicSequenceLoss(Loss):
+
+    @staticmethod
+    def get_required_params():
+        return dict(Loss.get_required_params(), **{
+            "tgt_vocab_size": int,
+            "batch_size": int,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(Loss.get_optional_params(), **{
+            "offset_target_by_one": bool,
+            "average_across_timestep": bool,
+            "do_mask": bool,
+        })
+
+    def __init__(self, params, model, name="basic_sequence_loss"):
+        super().__init__(params, model, name)
+        self._offset = self._params.get("offset_target_by_one", True)
+        self._avg_time = self._params.get("average_across_timestep", False)
+        self._do_mask = self._params.get("do_mask", True)
+
+    def compute_loss(self, input_dict):
+        logits = input_dict["decoder_output"]["logits"].astype(jnp.float32)
+        labels, lengths = input_dict["target_tensors"]
+        if self._offset:
+            # predict y[t+1] from position t: drop first label, last logit
+            labels = labels[:, 1:]
+            lengths = lengths - 1
+        logits = logits[:, :labels.shape[1], :]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        mask = _valid_mask(labels.shape, lengths) if self._do_mask \
+            else jnp.ones_like(nll)
+        total = jnp.sum(nll * mask)
+        if self._avg_time:
+            return total / jnp.maximum(jnp.sum(mask), 1.0)
+        return total / self._params["batch_size"]
+
+
+class CrossEntropyWithSmoothing(Loss):
+
+    @staticmethod
+    def get_required_params():
+        return dict(Loss.get_required_params(), **{
+            "tgt_vocab_size": int,
+            "batch_size": int,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(Loss.get_optional_params(), **{
+            "offset_target_by_one": bool,
+            "average_across_timestep": bool,
+            "do_mask": bool,
+            "label_smoothing": float,
+        })
+
+    def __init__(self, params, model, name="cross_entropy_with_smoothing"):
+        super().__init__(params, model, name)
+        self._offset = self._params.get("offset_target_by_one", True)
+        self._avg_time = self._params.get("average_across_timestep", False)
+        self._do_mask = self._params.get("do_mask", True)
+        self._smoothing = self._params.get("label_smoothing", 0.0)
+
+    def compute_loss(self, input_dict):
+        logits = input_dict["decoder_output"]["logits"].astype(jnp.float32)
+        labels, lengths = input_dict["target_tensors"]
+        if self._offset:
+            labels = labels[:, 1:]
+            lengths = lengths - 1
+        logits = logits[:, :labels.shape[1], :]
+        V = self._params["tgt_vocab_size"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(labels, V, dtype=jnp.float32)
+        smoothed = onehot * (1.0 - self._smoothing) + self._smoothing / V
+        nll = -jnp.sum(smoothed * logp, axis=-1)
+        mask = _valid_mask(labels.shape, lengths) if self._do_mask \
+            else jnp.ones_like(nll)
+        total = jnp.sum(nll * mask)
+        if self._avg_time:
+            return total / jnp.maximum(jnp.sum(mask), 1.0)
+        return total / self._params["batch_size"]
+
+
+class PaddedCrossEntropyLossWithSmoothing(Loss):
+    """Transformer-style smoothing: confidence on the gold class, uniform
+    mass over the other V-1 classes, minimum-possible-loss constant
+    subtracted, averaged over non-pad (id != 0) positions (reference
+    `losses/sequence_loss.py:233-311`)."""
+
+    @staticmethod
+    def get_optional_params():
+        return dict(Loss.get_optional_params(), **{
+            "batch_size": int,
+            "tgt_vocab_size": int,
+            "label_smoothing": float,
+            "pad_embeddings_2_eight": bool,
+        })
+
+    def __init__(self, params, model, name="padded_cross_entropy"):
+        super().__init__(params, model, name)
+        self._smoothing = self._params.get("label_smoothing", 0.0)
+
+    def compute_loss(self, input_dict):
+        logits = input_dict["decoder_output"]["logits"].astype(jnp.float32)
+        labels = input_dict["target_tensors"][0]
+        logits = logits[:, :labels.shape[1], :]
+        V = logits.shape[-1]
+        confidence = 1.0 - self._smoothing
+        low_confidence = self._smoothing / (V - 1) if V > 1 else 0.0
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(labels, V, dtype=jnp.float32)
+        soft = onehot * confidence + (1.0 - onehot) * low_confidence
+        xent = -jnp.sum(soft * logp, axis=-1)
+        if self._smoothing > 0 and V > 1:
+            normalizing = -(confidence * jnp.log(confidence) + (V - 1) *
+                            low_confidence * jnp.log(low_confidence + 1e-20))
+            xent = xent - normalizing
+        mask = (labels != 0).astype(jnp.float32)
+        return jnp.sum(xent * mask) / jnp.maximum(jnp.sum(mask), 1.0)

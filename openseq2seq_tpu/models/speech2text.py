@@ -1,0 +1,99 @@
+"""Speech-to-text task model: WER metrics, infer CSV output
+(reference `open_seq2seq/models/speech2text.py:98-360`)."""
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import numpy as np
+
+from .encoder_decoder import EncoderDecoderModel
+from ..utils.logging import deco_print
+from ..utils.metrics import levenshtein
+
+
+class Speech2Text(EncoderDecoderModel):
+
+    def _create_decoder(self):
+        # vocab size flows from the data layer (reference
+        # `models/speech2text.py:102-106`)
+        self._params.setdefault("decoder_params", {})
+        self._params["decoder_params"]["tgt_vocab_size"] = \
+            self.get_data_layer().params["tgt_vocab_size"]
+        return super()._create_decoder()
+
+    def _create_loss(self):
+        loss_cls = self._params.get("loss")
+        if loss_cls is not None:
+            accepts = {**loss_cls.get_required_params(),
+                       **loss_cls.get_optional_params()}
+            if "tgt_vocab_size" in accepts:
+                self._params.setdefault("loss_params", {})
+                self._params["loss_params"].setdefault(
+                    "tgt_vocab_size",
+                    self.get_data_layer().params["tgt_vocab_size"])
+        return super()._create_loss()
+
+    def _decode_batch(self, output_values) -> List[str]:
+        """Decoded ids (B, T) + lengths -> list of transcripts."""
+        ids, lengths = output_values
+        texts = []
+        for row, n in zip(np.asarray(ids), np.asarray(lengths)):
+            texts.append(self.get_data_layer().decode_ids(row[:int(n)]))
+        return texts
+
+    def evaluate(self, input_values: Dict[str, Any],
+                 output_values: Dict[str, Any]):
+        """Per-batch eval: accumulate (edit_distance, ref_words) over the
+        valid slice of the batch (reference WER accounting,
+        `models/speech2text.py:51-97`)."""
+        valid = int(input_values.get("batch_valid",
+                                     input_values["source_tensors"][0].shape[0]))
+        decoded = self._decode_batch(
+            output_values["outputs"]["decoder_output"]["outputs"])[:valid]
+        labels, label_lens = input_values["target_tensors"]
+        total_dist, total_words = 0, 0
+        for i in range(valid):
+            ref = self.get_data_layer().decode_ids(
+                labels[i][:int(label_lens[i])])
+            hyp = decoded[i]
+            total_dist += levenshtein(ref.split(), hyp.split())
+            total_words += len(ref.split())
+        return (total_dist, total_words,
+                float(output_values.get("loss", 0.0)) * valid, valid)
+
+    def finalize_evaluation(self, results_per_batch, training_step=None):
+        total_dist = sum(r[0] for r in results_per_batch)
+        total_words = sum(r[1] for r in results_per_batch)
+        total_loss = sum(r[2] for r in results_per_batch)
+        total_count = sum(r[3] for r in results_per_batch)
+        wer = total_dist / max(total_words, 1)
+        eval_loss = total_loss / max(total_count, 1)
+        deco_print("Validation WER: {:.4f}".format(wer), offset=4)
+        return {"Eval WER": wer, "eval_loss": eval_loss}
+
+    def infer(self, input_values, output_values):
+        decoded = self._decode_batch(
+            output_values["outputs"]["decoder_output"]["outputs"])
+        valid = int(input_values.get("batch_valid", len(decoded)))
+        ids = np.asarray(input_values["source_ids"])[:valid]
+        return list(zip(ids.tolist(), decoded[:valid]))
+
+    def finalize_inference(self, results_per_batch, output_file):
+        rows = [item for batch in results_per_batch for item in batch]
+        rows.sort(key=lambda kv: kv[0])
+        import csv
+        with open(output_file, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["wav_filename", "predicted_transcript"])
+            files = self.get_data_layer().all_files
+            for idx, text in rows:
+                wav = files[idx][0] if idx < len(files) else str(idx)
+                writer.writerow([wav, text])
+        deco_print("Predictions saved to {}".format(output_file))
+
+    def maybe_print_logs(self, metrics, step):
+        super().maybe_print_logs(metrics, step)
+
+    def _get_num_objects_per_step(self, batch):
+        # audio frames processed (reference `models/speech2text.py:356-360`)
+        return int(np.sum(np.asarray(batch["source_tensors"][1])))

@@ -1,0 +1,87 @@
+"""Device mesh and sharding utilities — the SPMD replacement for the
+reference's two distribution modes (in-graph multi-tower replication,
+`open_seq2seq/models/model.py:386-427`, and Horovod ring allreduce,
+`optimizers/optimizers.py:77-102`).
+
+One jitted train step runs over a `jax.sharding.Mesh` with axes
+``("data", "model")``. Data parallelism shards the batch dimension over
+``data``; gradients are reduced by the ``psum`` XLA derives from the
+shardings (riding ICI within a slice, DCN across slices). The ``model``
+axis is plumbed from day one so tensor parallelism can be enabled per
+config without API changes (the reference has no TP at all — SURVEY §2.2).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(num_data: Optional[int] = None,
+              num_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a ``(data, model)`` mesh over the available devices.
+
+    ``num_data`` defaults to ``len(devices) // num_model``. The mesh is
+    laid out with ``model`` as the minor (fastest-varying) axis so that
+    model-parallel collectives ride the tightest ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if num_model < 1:
+        raise ValueError("num_model must be >= 1")
+    if num_data is None:
+        num_data = len(devices) // num_model
+    need = num_data * num_model
+    if need > len(devices):
+        raise ValueError("Mesh {}x{} needs {} devices, have {}".format(
+            num_data, num_model, need, len(devices)))
+    grid = np.array(devices[:need]).reshape(num_data, num_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def mesh_from_config(config: Dict[str, Any]) -> Mesh:
+    """Build the mesh a model config asks for (``num_model_partitions``
+    optional key; data axis gets the rest of the devices)."""
+    num_model = int(config.get("num_model_partitions", 1))
+    num_data = config.get("num_data_partitions", None)
+    return make_mesh(num_data=num_data, num_model=num_model)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch (pytree of numpy arrays) with the batch
+    dim sharded over the data axis."""
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated_sharding(mesh))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def eval_shard_bounds(total: int, num_workers: int, worker_id: int):
+    """Deterministic contiguous eval/infer split across workers with the
+    last worker taking the remainder (reference
+    `data/speech2text/speech2text.py:200-210`)."""
+    per = total // num_workers
+    start = per * worker_id
+    end = per * (worker_id + 1) if worker_id < num_workers - 1 else total
+    return start, end

@@ -1,0 +1,182 @@
+"""Train / evaluate / infer loops.
+
+The functional replacement for the reference's MonitoredTrainingSession
+machinery (`open_seq2seq/utils/funcs.py:22-260`, `utils/hooks.py`,
+`utils/utils.py:95-263`): one jitted train step over the mesh, host-side
+"hooks" inlined as plain code (loss printing, in-training evaluation with
+best-model checkpoints, periodic saves, benchmark objects/sec).
+
+Multi-device notes:
+  * the batch is device_put with its leading dim sharded over the mesh's
+    "data" axis; the state is replicated (model-parallel param shardings
+    plug in here later). Under jit the semantics are *global*: the mean
+    loss / summed gradients across shards are what XLA's psum computes —
+    there is no allreduce code to write (vs. reference Horovod).
+  * eval/infer iterate the data layer's deterministic epoch with
+    last-batch clipping via ``batch_valid``.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import make_mesh, replicated_sharding, shard_batch
+from ..utils.logging import deco_print
+from .checkpoint import CheckpointManager
+
+
+def _prepare(model):
+    mesh = model.mesh
+    if mesh is None:
+        mesh = make_mesh(num_data=1, num_model=1,
+                         devices=jax.devices()[:1])
+        model._mesh = mesh
+    return mesh
+
+
+def restore_state(model, checkpoint: Optional[str] = None):
+    """Build an initial state (and restore from checkpoint if given)."""
+    mesh = _prepare(model)
+    dl = model.get_data_layer()
+    example_batch = next(iter(dl.iterate_one_epoch()))
+    state = model.init_state(example_batch)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    if checkpoint:
+        state = CheckpointManager.restore(checkpoint, state)
+        state = jax.device_put(state, replicated_sharding(mesh))
+    elif model.params.get("load_model"):
+        # transfer learning: partial restore of matching tensors
+        from ..utils.config import _latest_checkpoint
+        base = _latest_checkpoint(model.params["load_model"]) or \
+            model.params["load_model"]
+        params = CheckpointManager.restore_params_partial(base, state.params)
+        state = state.replace(params=jax.device_put(
+            params, replicated_sharding(mesh)))
+    return state
+
+
+def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
+    """Main training loop (reference `utils/funcs.py:22-220`)."""
+    mesh = _prepare(train_model)
+    params = train_model.params
+    logdir = params.get("logdir", "")
+    ckpt_mgr = None
+    if logdir and params.get("save_checkpoint_steps") is not None:
+        ckpt_mgr = CheckpointManager(
+            logdir, params.get("num_checkpoints", 5))
+
+    state = restore_state(train_model, checkpoint)
+    start_step = int(state.step)
+
+    step_fn = jax.jit(train_model.train_step, donate_argnums=(0,))
+    base_rng = jax.random.PRNGKey(train_model.params.get("random_seed", 0))
+
+    dl = train_model.get_data_layer()
+    batches = dl.prefetch(dl.iterate_forever())
+
+    last_step = train_model.last_step
+    print_loss_steps = params.get("print_loss_steps", 10)
+    eval_steps = params.get("eval_steps", None)
+    save_steps = params.get("save_checkpoint_steps", None)
+    bench_start = params.get("bench_start", 10)
+
+    deco_print("Starting training from step {}".format(start_step))
+    total_objects = 0
+    bench_objects = 0
+    bench_t0 = None
+    fetch_metrics = None
+    step_times = []
+
+    step = start_step
+    while step < last_step:
+        batch = next(batches)
+        num_objects = train_model.get_num_objects_per_step(batch)
+        device_batch = shard_batch(batch, mesh)
+        rng = jax.random.fold_in(base_rng, step)
+        t0 = time.time()
+        state, metrics = step_fn(state, device_batch, rng)
+
+        step += 1
+        total_objects += num_objects
+        if bench_t0 is not None:
+            bench_objects += num_objects
+
+        if print_loss_steps and step % print_loss_steps == 0:
+            fetch_metrics = jax.device_get(metrics)
+            step_times.append(time.time() - t0)
+            train_model.maybe_print_logs(fetch_metrics, step)
+
+        if step == bench_start:
+            jax.block_until_ready(state.params)
+            bench_t0 = time.time()
+            bench_objects = 0
+
+        if save_steps and ckpt_mgr and step % save_steps == 0:
+            jax.block_until_ready(state.params)
+            ckpt_mgr.save(state, step)
+
+        if eval_steps and eval_model is not None and step % eval_steps == 0:
+            eval_metrics = evaluate_with_state(eval_model, state,
+                                               training_step=step)
+            if ckpt_mgr and "eval_loss" in eval_metrics:
+                ckpt_mgr.save_best(state, step, eval_metrics["eval_loss"])
+
+    jax.block_until_ready(state.params)
+    wall = None
+    if bench_t0 is not None and step > bench_start:
+        wall = time.time() - bench_t0
+        avg_objects = bench_objects / wall
+        deco_print("Avg objects per second: {:.3f}".format(avg_objects))
+        deco_print("Avg time per step: {:.3f}s".format(
+            wall / (step - bench_start)))
+
+    if ckpt_mgr:
+        ckpt_mgr.save(state, step)
+    deco_print("Finished training at step {}".format(step))
+    result = {"state": state, "steps": step}
+    if fetch_metrics is not None:
+        result["last_metrics"] = fetch_metrics
+    if wall is not None:
+        result["objects_per_sec"] = bench_objects / wall
+    return result
+
+
+def evaluate_with_state(model, state, training_step=None) -> Dict[str, Any]:
+    """One full eval epoch with an existing state (in-training eval,
+    reference `utils/hooks.py:192-236` + `utils/utils.py:95-263`)."""
+    mesh = _prepare(model)
+    eval_fn = jax.jit(model.eval_step)
+    dl = model.get_data_layer()
+    results = []
+    for batch in dl.prefetch(dl.iterate_one_epoch()):
+        device_batch = shard_batch(batch, mesh)
+        out = jax.device_get(eval_fn(state, device_batch))
+        results.append(model.evaluate(batch, out))
+    return model.finalize_evaluation(results, training_step=training_step)
+
+
+def evaluate(model, checkpoint: Optional[str]) -> Dict[str, Any]:
+    state = restore_state(model, checkpoint)
+    metrics = evaluate_with_state(model, state)
+    deco_print("Evaluation results: {}".format(
+        {k: (round(v, 6) if isinstance(v, float) else v)
+         for k, v in metrics.items()}))
+    return metrics
+
+
+def infer(model, checkpoint: Optional[str], output_file: str):
+    state = restore_state(model, checkpoint)
+    mesh = _prepare(model)
+    eval_fn = jax.jit(model.eval_step)
+    dl = model.get_data_layer()
+    results = []
+    for batch in dl.prefetch(dl.iterate_one_epoch()):
+        device_batch = shard_batch(batch, mesh)
+        out = jax.device_get(eval_fn(state, device_batch))
+        results.append(model.infer(batch, out))
+    model.finalize_inference(results, output_file)
+    return results

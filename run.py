@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""CLI entry point (reference `run.py:19-104`):
+
+    python run.py --config_file=example_configs/... --mode=train_eval
+
+Modes: train, eval, train_eval, infer, interactive_infer. Every scalar
+leaf of the config's ``base_params`` is overridable as ``--a/b/c value``.
+``--benchmark`` rewrites the config for throughput measurement.
+"""
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from openseq2seq_tpu.parallel.mesh import mesh_from_config
+from openseq2seq_tpu.training import trainer
+from openseq2seq_tpu.utils.config import (apply_benchmark_mode, check_logdir,
+                                          configs_for_modes, get_base_config)
+from openseq2seq_tpu.utils.logging import deco_print, enable_logs
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    args, base_config, base_model, config_module = get_base_config(argv)
+
+    if args.enable_logs and base_config.get("logdir"):
+        enable_logs(base_config["logdir"])
+
+    if args.benchmark:
+        base_config = apply_benchmark_mode(base_config, args.bench_steps,
+                                           args.bench_start)
+        config_module = dict(config_module)
+        config_module["base_params"] = base_config
+
+    restore_checkpoint = check_logdir(args, base_config)
+
+    # multi-host: every process sees the global mesh; data layers shard
+    # by process (jax.distributed is initialized by the launcher env)
+    num_workers = jax.process_count()
+    worker_id = jax.process_index()
+
+    mode_configs = configs_for_modes(args, base_config, config_module)
+    mesh = mesh_from_config(base_config)
+    deco_print("Mesh: {}".format(dict(zip(mesh.axis_names, mesh.devices.shape))))
+
+    models = {}
+    for mode, cfg in mode_configs.items():
+        models[mode] = base_model(params=cfg, mode=mode, mesh=mesh,
+                                  num_workers=num_workers,
+                                  worker_id=worker_id)
+
+    if args.mode in ("train", "train_eval"):
+        trainer.train(models["train"], models.get("eval"),
+                      checkpoint=restore_checkpoint)
+    elif args.mode == "eval":
+        trainer.evaluate(models["eval"], restore_checkpoint)
+    elif args.mode == "infer":
+        trainer.infer(models["infer"], restore_checkpoint,
+                      args.infer_output_file)
+    elif args.mode == "interactive_infer":
+        raise SystemExit("interactive_infer is used programmatically; see "
+                         "openseq2seq_tpu/apps/frame_asr.py")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+
+from openseq2seq_tpu.ops.features import (get_speech_features,
+                                          mel_filterbank, normalize_signal,
+                                          preemphasis, stft_power)
+
+
+def test_normalize_signal_range():
+    sig = np.array([0.5, -2.0, 1.0], np.float32)
+    out = normalize_signal(sig)
+    assert np.max(np.abs(out)) <= 1.0
+    assert np.max(np.abs(out)) == pytest.approx(1.0, rel=1e-3)
+
+
+def test_preemphasis():
+    sig = np.array([1.0, 2.0, 3.0], np.float32)
+    out = preemphasis(sig, coeff=0.9)
+    np.testing.assert_allclose(out, [1.0, 2.0 - 0.9, 3.0 - 1.8], rtol=1e-6)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(16000, 512, n_mels=40)
+    assert fb.shape == (40, 257)
+    assert np.all(fb >= 0)
+    # every filter has some support
+    assert np.all(fb.sum(axis=1) > 0)
+    # filters are ordered in frequency
+    peaks = fb.argmax(axis=1)
+    assert np.all(np.diff(peaks) >= 0)
+
+
+def test_stft_power_frame_count():
+    sr = 16000
+    sig = np.random.RandomState(0).randn(sr).astype(np.float32)  # 1 s
+    hop = 160
+    spec = stft_power(sig, n_fft=320, hop_length=hop, win_length=320)
+    assert spec.shape[0] == 161
+    # centered stft: 1 + len/hop frames
+    assert spec.shape[1] == 1 + len(sig) // hop
+
+
+def test_stft_parseval_sanity():
+    """Energy of a pure tone concentrates at its bin."""
+    sr, f = 16000, 1000
+    t = np.arange(sr) / sr
+    sig = np.sin(2 * np.pi * f * t).astype(np.float32)
+    spec = stft_power(sig, n_fft=512, hop_length=256, win_length=512)
+    mean_spec = spec.mean(axis=1)
+    peak_bin = np.argmax(mean_spec)
+    expected_bin = round(f * 512 / sr)
+    assert abs(int(peak_bin) - expected_bin) <= 1
+
+
+@pytest.mark.parametrize("input_type,num_feat", [
+    ("spectrogram", 96), ("logfbank", 64), ("mfcc", 13)])
+def test_get_speech_features_shapes(input_type, num_feat):
+    sr = 16000
+    rng = np.random.RandomState(0)
+    sig = rng.randn(sr // 2).astype(np.float32)
+    params = {"num_audio_features": num_feat, "input_type": input_type,
+              "sample_freq": sr}
+    feats, duration = get_speech_features(sig, sr, params, rng=rng)
+    assert feats.shape[1] == num_feat
+    assert feats.dtype == np.float32
+    assert duration == pytest.approx(0.5)
+    # normalized: global mean ~0, std ~1
+    assert abs(np.mean(feats)) < 0.1
+    assert np.std(feats) == pytest.approx(1.0, rel=0.1)
+
+
+def test_norm_per_feature():
+    sr = 16000
+    rng = np.random.RandomState(1)
+    sig = rng.randn(sr).astype(np.float32)
+    params = {"num_audio_features": 32, "input_type": "logfbank",
+              "sample_freq": sr, "norm_per_feature": True}
+    feats, _ = get_speech_features(sig, sr, params, rng=rng)
+    np.testing.assert_allclose(feats.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(feats.std(axis=0), 1.0, atol=1e-3)
+
+
+def test_spec_augment_masks_applied():
+    sr = 16000
+    rng = np.random.RandomState(2)
+    sig = rng.randn(sr).astype(np.float32)
+    params = {"num_audio_features": 32, "input_type": "logfbank",
+              "sample_freq": sr,
+              "augmentation": {"n_freq_mask": 2, "n_time_mask": 2,
+                               "width_freq_mask": 6, "width_time_mask": 10}}
+    feats, _ = get_speech_features(sig, sr, params, rng=rng)
+    # at least one exact-zero column or row band should exist
+    assert (np.any(np.all(feats == 0, axis=0)) or
+            np.any(np.all(feats == 0, axis=1)))
+
+
+def test_speed_perturbation_changes_length():
+    sr = 16000
+    rng = np.random.RandomState(3)
+    sig = rng.randn(sr).astype(np.float32)
+    params = {"num_audio_features": 32, "input_type": "logfbank",
+              "sample_freq": sr,
+              "augmentation": {"speed_perturbation_ratio": [1.5]}}
+    feats, dur = get_speech_features(sig, sr, params, rng=rng)
+    base_params = {"num_audio_features": 32, "input_type": "logfbank",
+                   "sample_freq": sr}
+    base_feats, base_dur = get_speech_features(sig, sr, base_params, rng=rng)
+    assert feats.shape[0] != base_feats.shape[0]

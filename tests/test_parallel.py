@@ -1,0 +1,107 @@
+"""Multi-device SPMD tests on the virtual 8-CPU mesh — coverage the
+reference never had (SURVEY §4: no multi-node harness, no fake comm
+backend)."""
+import jax
+import numpy as np
+import pytest
+
+from openseq2seq_tpu.parallel.mesh import (batch_sharding, eval_shard_bounds,
+                                           make_mesh, replicated_sharding,
+                                           shard_batch)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(num_data=4, num_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh()  # defaults: all devices on data axis
+    assert mesh.shape["data"] == len(jax.devices())
+
+
+def test_make_mesh_too_many():
+    with pytest.raises(ValueError, match="needs"):
+        make_mesh(num_data=100, num_model=1)
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh(num_data=8, num_model=1)
+    batch = {"source_tensors": [np.ones((16, 4), np.float32),
+                                np.ones((16,), np.int32)],
+             "batch_valid": np.int32(16)}
+    sharded = shard_batch(batch, mesh)
+    x = sharded["source_tensors"][0]
+    assert x.sharding.spec == batch_sharding(mesh).spec
+    # scalar replicated
+    assert sharded["batch_valid"].sharding.spec == \
+        replicated_sharding(mesh).spec
+
+
+def test_eval_shard_bounds_contiguous_with_remainder():
+    # 10 examples over 3 workers: 3/3/4 (last takes remainder —
+    # reference data/speech2text/speech2text.py:200-210)
+    bounds = [eval_shard_bounds(10, 3, i) for i in range(3)]
+    assert bounds == [(0, 3), (3, 6), (6, 10)]
+
+
+def test_sharded_train_step_matches_single_device(toy_speech_data):
+    """The same batch must produce the same loss whether run on 1 device
+    or sharded over 8 — SPMD semantics are global."""
+    from openseq2seq_tpu.test_utils.test_speech_configs import w2l_test_config
+    from openseq2seq_tpu.models import Speech2Text
+    from openseq2seq_tpu.utils.params import nested_update
+
+    def build(mesh, per_device):
+        base_params, _ = w2l_test_config(toy_speech_data["csv"],
+                                         toy_speech_data["vocab"],
+                                         num_epochs=1)
+        nested_update(base_params, {
+            "batch_size_per_gpu": per_device,
+            "encoder_params": {"dropout_keep_prob": 1.0,
+                               "drop_block_prob": 0.0}})
+        return Speech2Text(params=base_params, mode="train", mesh=mesh)
+
+    mesh1 = make_mesh(num_data=1, num_model=1, devices=jax.devices()[:1])
+    mesh8 = make_mesh(num_data=8, num_model=1)
+
+    m1 = build(mesh1, 8)
+    m8 = build(mesh8, 1)
+    batch = next(iter(m1.get_data_layer().iterate_one_epoch()))
+    # both models: identical init (same seed)
+    s1 = m1.init_state(batch)
+    s8 = m8.init_state(batch)
+
+    rng = jax.random.PRNGKey(0)
+    b1 = jax.device_put(batch, replicated_sharding(mesh1))
+    _, metrics1 = jax.jit(m1.train_step)(s1, b1, rng)
+    b8 = shard_batch(batch, mesh8)
+    s8 = jax.device_put(s8, replicated_sharding(mesh8))
+    _, metrics8 = jax.jit(m8.train_step)(s8, b8, rng)
+
+    np.testing.assert_allclose(float(metrics1["loss"]),
+                               float(metrics8["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(metrics1["global_grad_norm"]),
+                               float(metrics8["global_grad_norm"]),
+                               rtol=1e-3)
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..",
+                                    "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2", os.path.join(os.path.dirname(__file__), "..",
+                                     "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
