@@ -64,16 +64,17 @@ def main():
     step_fn = jax.jit(model.train_step, donate_argnums=(0,))
     rng = jax.random.PRNGKey(0)
 
-    # warmup / compile
+    # warmup / compile (fetch a scalar: on experimental remote backends
+    # block_until_ready may not actually block, a device_get must)
     for _ in range(3):
         state, metrics = step_fn(state, device_batch, rng)
-    jax.block_until_ready(state.params)
+    float(jax.device_get(metrics["loss"]))
 
     n_steps = 20
     t0 = time.time()
     for _ in range(n_steps):
         state, metrics = step_fn(state, device_batch, rng)
-    jax.block_until_ready(state.params)
+    float(jax.device_get(metrics["loss"]))
     wall = time.time() - t0
 
     utt_per_sec = n_steps * batch_per_chip * n_chips / wall

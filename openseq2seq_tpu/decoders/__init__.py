@@ -1,3 +1,4 @@
 from .decoder import Decoder
 from .fc_decoders import (FullyConnectedDecoder, FullyConnectedTimeDecoder,
                           FullyConnectedCTCDecoder)
+from .transformer_decoder import TransformerDecoder

@@ -1,0 +1,237 @@
+"""Transformer decoder (reference
+`open_seq2seq/decoders/transformer_decoder.py:17-326`).
+
+Train: parallel pass over shifted targets with a causal bias.
+Infer: incremental decoding with an explicit KV-cache pytree inside a
+jittable beam search (`ops/beam_search.py`) — the reference's
+``predict`` + ``sequence_beam_search`` path (`transformer_decoder.py:
+278-326`), with cross-attention K/V projected once per sequence instead
+of per step.
+
+The embedding/softmax table arrives via the encoder output dict
+("embedding_table"), giving true three-way weight sharing.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .decoder import Decoder
+from ..ops.beam_search import (NEG_INF, beam_search,
+                               sequence_lengths_from_ids)
+from ..parts.transformer.attention import CrossAttention, SelfAttention
+from ..parts.transformer.common import (embed_ids,
+                                        get_decoder_self_attention_bias,
+                                        get_position_encoding,
+                                        project_logits)
+from ..parts.transformer.ffn import FeedForwardNetwork
+
+
+class TransformerDecoderModule(nn.Module):
+    num_hidden_layers: int
+    hidden_size: int
+    num_heads: int
+    attention_dropout: float
+    relu_dropout: float
+    filter_size: int
+    layer_postprocess_dropout: float
+    tgt_vocab_size: int
+    beam_size: int
+    alpha: float
+    extra_decode_length: int
+    eos_id: int
+    go_symbol: int
+    dtype_: Any
+    mode: str
+
+    def setup(self):
+        L = self.num_hidden_layers
+        self.self_attns = [SelfAttention(
+            hidden_size=self.hidden_size, num_heads=self.num_heads,
+            attention_dropout=self.attention_dropout, dtype=self.dtype_)
+            for _ in range(L)]
+        self.cross_attns = [CrossAttention(
+            hidden_size=self.hidden_size, num_heads=self.num_heads,
+            attention_dropout=self.attention_dropout, dtype=self.dtype_)
+            for _ in range(L)]
+        self.ffns = [FeedForwardNetwork(
+            hidden_size=self.hidden_size, filter_size=self.filter_size,
+            relu_dropout=self.relu_dropout, dtype=self.dtype_)
+            for _ in range(L)]
+        ln = lambda: nn.LayerNorm(dtype=self.dtype_,  # noqa: E731
+                                  param_dtype=jnp.float32)
+        self.sa_norms = [ln() for _ in range(L)]
+        self.ca_norms = [ln() for _ in range(L)]
+        self.ffn_norms = [ln() for _ in range(L)]
+        self.out_norm = ln()
+        self.post_drop = nn.Dropout(rate=self.layer_postprocess_dropout)
+
+    # ------------------------------------------------------------------
+    def _layer_stack(self, x, self_bias, enc_bias, memory, train,
+                     caches: Optional[Dict] = None,
+                     decode_pos=None):
+        drop = lambda h: self.post_drop(h, deterministic=not train)  # noqa: E731
+        new_self_caches = []
+        for i in range(self.num_hidden_layers):
+            h = self.sa_norms[i](x)
+            h, new_c = self.self_attns[i](
+                h, bias=self_bias, train=train,
+                cache=None if caches is None else caches["self"][i],
+                decode_pos=decode_pos)
+            new_self_caches.append(new_c)
+            x = x + drop(h)
+
+            h = self.ca_norms[i](x)
+            h = self.cross_attns[i](
+                h, memory=memory, bias=enc_bias, train=train,
+                kv_cache=None if caches is None else caches["cross"][i])
+            x = x + drop(h)
+
+            h = self.ffn_norms[i](x)
+            h = self.ffns[i](h, train=train)
+            x = x + drop(h)
+        return self.out_norm(x), new_self_caches
+
+    def __call__(self, input_dict: Dict[str, Any], train: bool):
+        enc = input_dict["encoder_output"]
+        table = enc["embedding_table"]
+        memory = enc["outputs"]
+        enc_bias = enc["attention_bias"]
+
+        if self.mode == "infer" or "target_tensors" not in input_dict \
+                or input_dict.get("target_tensors") is None:
+            return self.decode(enc)
+
+        targets = input_dict["target_tensors"][0]
+        dec_in = targets[:, :-1]
+        T = dec_in.shape[1]
+        x = embed_ids(table, dec_in, self.hidden_size, self.dtype_)
+        pos = get_position_encoding(T, self.hidden_size)
+        x = x + jnp.asarray(pos, self.dtype_)[None]
+        x = self.post_drop(x, deterministic=not train)
+        self_bias = jnp.asarray(get_decoder_self_attention_bias(T))
+
+        x, _ = self._layer_stack(x, self_bias, enc_bias, memory, train)
+        logits = project_logits(table, x, self.tgt_vocab_size)
+        out = {"logits": logits, "targets": targets,
+               "src_length": enc["src_length"]}
+        if not train:
+            out.update(self.decode(enc))
+        return out
+
+    # ------------------------------------------------------------------
+    def decode(self, enc: Dict[str, Any]) -> Dict[str, Any]:
+        """Beam-search decode from encoder outputs."""
+        table = enc["embedding_table"]
+        memory = enc["outputs"]
+        enc_bias = enc["attention_bias"]
+        B, S, _ = memory.shape
+        max_len = S + self.extra_decode_length
+        h = self.num_heads
+        dh = self.hidden_size // h
+
+        init_cache = {
+            "self": [{"k": jnp.zeros((B, max_len, h, dh), self.dtype_),
+                      "v": jnp.zeros((B, max_len, h, dh), self.dtype_)}
+                     for _ in range(self.num_hidden_layers)],
+            "cross": [self.cross_attns[i].precompute_kv(memory)
+                      for i in range(self.num_hidden_layers)],
+            "enc_bias": enc_bias,
+        }
+        pos_table = jnp.asarray(
+            get_position_encoding(max_len, self.hidden_size), self.dtype_)
+        positions = jnp.arange(max_len)
+
+        def symbols_to_logits_fn(ids, pos, cache):
+            x = embed_ids(table, ids, self.hidden_size, self.dtype_)
+            x = x + jax.lax.dynamic_slice_in_dim(
+                pos_table, pos, 1, axis=0)[None]
+            self_bias = jnp.where(positions > pos, NEG_INF,
+                                  0.0)[None, None, None, :]
+            x, new_self = self._layer_stack(
+                x, self_bias, cache["enc_bias"], None, train=False,
+                caches=cache, decode_pos=pos)
+            logits = project_logits(table, x[:, 0, :], self.tgt_vocab_size)
+            new_cache = {"self": new_self, "cross": cache["cross"],
+                         "enc_bias": cache["enc_bias"]}
+            return logits, new_cache
+
+        if self.is_initializing():
+            # during init, run ONE eager decoder step to materialize all
+            # params — flax cannot create params inside lax.while_loop
+            dummy = jnp.zeros((B, 1), jnp.int32)
+            symbols_to_logits_fn(dummy, 0, init_cache)
+            zeros = jnp.zeros((B, max_len), jnp.int32)
+            return {"outputs": [zeros, jnp.zeros((B,), jnp.int32)],
+                    "scores": jnp.zeros((B,), jnp.float32),
+                    "beams": jnp.zeros((B, self.beam_size, max_len + 1),
+                                       jnp.int32)}
+
+        decoded, scores = beam_search(
+            symbols_to_logits_fn, init_cache,
+            batch_size=B, beam_size=self.beam_size,
+            vocab_size=self.tgt_vocab_size,
+            max_decode_length=max_len, eos_id=self.eos_id,
+            alpha=self.alpha, bos_id=self.go_symbol)
+
+        top = decoded[:, 0, 1:]                       # strip BOS
+        lengths = sequence_lengths_from_ids(top, self.eos_id)
+        return {"outputs": [top, lengths], "scores": scores[:, 0],
+                "beams": decoded}
+
+
+class TransformerDecoder(Decoder):
+    """Config wrapper; schema mirrors the reference's
+    (`transformer_decoder.py:19-63`)."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(Decoder.get_required_params(), **{
+            "EOS_ID": int,
+            "layer_postprocess_dropout": float,
+            "num_hidden_layers": int,
+            "hidden_size": int,
+            "num_heads": int,
+            "attention_dropout": float,
+            "relu_dropout": float,
+            "filter_size": int,
+            "batch_size": int,
+            "tgt_vocab_size": int,
+            "beam_size": int,
+            "alpha": float,
+            "extra_decode_length": int,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(Decoder.get_optional_params(), **{
+            "GO_SYMBOL": int,
+            "PAD_SYMBOL": int,
+            "END_SYMBOL": int,
+            "norm_params": dict,
+        })
+
+    def make_module(self):
+        p = self._params
+        import jax.numpy as jnp
+        dtype = jnp.float32 if self._model is None \
+            else self._model.mp_policy.compute_dtype
+        return TransformerDecoderModule(
+            num_hidden_layers=p["num_hidden_layers"],
+            hidden_size=p["hidden_size"],
+            num_heads=p["num_heads"],
+            attention_dropout=p["attention_dropout"],
+            relu_dropout=p["relu_dropout"],
+            filter_size=p["filter_size"],
+            layer_postprocess_dropout=p["layer_postprocess_dropout"],
+            tgt_vocab_size=p["tgt_vocab_size"],
+            beam_size=p["beam_size"],
+            alpha=p["alpha"],
+            extra_decode_length=p["extra_decode_length"],
+            eos_id=p["EOS_ID"],
+            go_symbol=p.get("GO_SYMBOL", 2),
+            dtype_=dtype,
+            mode=self._mode)

@@ -1,0 +1,124 @@
+"""Transformer encoder (reference
+`open_seq2seq/encoders/transformer_encoder.py:17-170`).
+
+Shared embedding + sinusoidal positions, N pre-norm [self-attention,
+FFN] layers, final layer norm. The shared embedding *table* is returned
+in the output dict so the decoder reuses the identical parameter for
+target embedding and softmax projection — the flax equivalent of the
+reference handing its ``EmbeddingSharedWeights`` layer object to the
+decoder through the encoder output.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .encoder import Encoder
+from ..parts.transformer.attention import SelfAttention
+from ..parts.transformer.common import (SharedEmbedding, get_padding_bias,
+                                        get_position_encoding)
+from ..parts.transformer.ffn import FeedForwardNetwork
+
+
+class TransformerEncoderModule(nn.Module):
+    encoder_layers: int
+    hidden_size: int
+    num_heads: int
+    attention_dropout: float
+    filter_size: int
+    src_vocab_size: int
+    relu_dropout: float
+    layer_postprocess_dropout: float
+    pad_embeddings_2_eight: bool
+    dtype_: Any
+
+    def setup(self):
+        self.embedding = SharedEmbedding(
+            vocab_size=self.src_vocab_size, hidden_size=self.hidden_size,
+            pad_vocab_to_eight=self.pad_embeddings_2_eight,
+            dtype=self.dtype_)
+        self.self_attns = [SelfAttention(
+            hidden_size=self.hidden_size, num_heads=self.num_heads,
+            attention_dropout=self.attention_dropout, dtype=self.dtype_)
+            for _ in range(self.encoder_layers)]
+        self.ffns = [FeedForwardNetwork(
+            hidden_size=self.hidden_size, filter_size=self.filter_size,
+            relu_dropout=self.relu_dropout, dtype=self.dtype_)
+            for _ in range(self.encoder_layers)]
+        self.sa_norms = [nn.LayerNorm(dtype=self.dtype_,
+                                      param_dtype=jnp.float32)
+                         for _ in range(self.encoder_layers)]
+        self.ffn_norms = [nn.LayerNorm(dtype=self.dtype_,
+                                       param_dtype=jnp.float32)
+                          for _ in range(self.encoder_layers)]
+        self.out_norm = nn.LayerNorm(dtype=self.dtype_,
+                                     param_dtype=jnp.float32)
+        self.post_drop = nn.Dropout(rate=self.layer_postprocess_dropout)
+
+    def __call__(self, input_dict: Dict[str, Any], train: bool):
+        ids = input_dict["source_tensors"][0]
+        lengths = input_dict["source_tensors"][1]
+        B, T = ids.shape
+
+        bias = get_padding_bias(ids)                 # (B,1,1,T) fp32
+        x = self.embedding(ids)
+        pos = get_position_encoding(T, self.hidden_size)
+        x = x + jnp.asarray(pos, self.dtype_)[None, :, :]
+        drop = lambda h: self.post_drop(h, deterministic=not train)  # noqa: E731
+        x = drop(x)
+
+        for i in range(self.encoder_layers):
+            h = self.sa_norms[i](x)
+            h, _ = self.self_attns[i](h, bias=bias, train=train)
+            x = x + drop(h)
+            h = self.ffn_norms[i](x)
+            h = self.ffns[i](h, train=train)
+            x = x + drop(h)
+        x = self.out_norm(x)
+
+        return {"outputs": x,
+                "inputs": ids,
+                "src_length": lengths,
+                "attention_bias": bias,
+                "embedding_table": self.embedding.table()}
+
+
+class TransformerEncoder(Encoder):
+    """Config wrapper; schema mirrors the reference's."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(Encoder.get_required_params(), **{
+            "encoder_layers": int,
+            "hidden_size": int,
+            "num_heads": int,
+            "attention_dropout": float,
+            "filter_size": int,
+            "src_vocab_size": int,
+            "relu_dropout": float,
+            "layer_postprocess_dropout": float,
+            "remove_padding": bool,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(Encoder.get_optional_params(), **{
+            "pad_embeddings_2_eight": bool,
+            "norm_params": dict,
+        })
+
+    def make_module(self):
+        p = self._params
+        return TransformerEncoderModule(
+            encoder_layers=p["encoder_layers"],
+            hidden_size=p["hidden_size"],
+            num_heads=p["num_heads"],
+            attention_dropout=p["attention_dropout"],
+            filter_size=p["filter_size"],
+            src_vocab_size=p["src_vocab_size"],
+            relu_dropout=p["relu_dropout"],
+            layer_postprocess_dropout=p["layer_postprocess_dropout"],
+            pad_embeddings_2_eight=p.get("pad_embeddings_2_eight", False),
+            dtype_=self.compute_dtype)

