@@ -1,0 +1,1 @@
+from .image2label import CifarDataLayer, ImagenetDataLayer

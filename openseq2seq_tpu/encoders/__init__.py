@@ -2,3 +2,5 @@ from .encoder import Encoder
 from .tdnn_encoder import TDNNEncoder
 from .transformer_encoder import TransformerEncoder
 from .ds2_encoder import DeepSpeech2Encoder
+from .resnet_encoder import ResNetEncoder
+from .cnn_encoder import CNNEncoder
