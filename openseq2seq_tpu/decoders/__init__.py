@@ -2,3 +2,4 @@ from .decoder import Decoder
 from .fc_decoders import (FullyConnectedDecoder, FullyConnectedTimeDecoder,
                           FullyConnectedCTCDecoder)
 from .transformer_decoder import TransformerDecoder
+from .lm_decoders import FakeDecoder

@@ -4,3 +4,4 @@ from .transformer_encoder import TransformerEncoder
 from .ds2_encoder import DeepSpeech2Encoder
 from .resnet_encoder import ResNetEncoder
 from .cnn_encoder import CNNEncoder
+from .lm_encoders import LMEncoder

@@ -1,0 +1,199 @@
+"""Language-model encoder (reference
+`open_seq2seq/encoders/lm_encoders.py:17-447`).
+
+Embedding + LSTM stack; in LM mode the encoder itself produces vocab
+logits (the decoder is a pass-through ``FakeDecoder``), optionally with
+the softmax weights tied to the embedding. In classification mode
+(IMDB/SST transfer) the last valid hidden state feeds an FC head.
+
+AWD-style regularization knobs (embedding dropout, per-layer
+input/output dropout) are supported; DropConnect-style recurrent weight
+dropout is approximated by variational output dropout (a jit-friendly
+equivalent; the reference's cuDNN path doesn't support it either).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .encoder import Encoder
+from ..parts.rnns.rnn import LSTM, GRU
+
+
+class LMNet(nn.Module):
+    vocab_size: int
+    emb_size: int
+    encoder_layers: int
+    hidden_size: int
+    weight_tied: bool
+    lm_mode: bool                 # True: LM logits; False: classification
+    fc_dim: int                   # classification head width (0 = none)
+    num_classes: int              # classification classes
+    emb_keep_prob: float
+    input_keep_prob: float
+    output_keep_prob: float
+    last_output_keep_prob: float
+    use_cell_state: bool
+    cell_type: str
+    dtype_: Any
+
+    @nn.compact
+    def __call__(self, x, lengths, train: bool):
+        table = self.param("embedding",
+                           nn.initializers.uniform(scale=0.1),
+                           (self.vocab_size, self.emb_size), jnp.float32)
+        h = jnp.take(table.astype(self.dtype_), x, axis=0)
+        if train and self.emb_keep_prob < 1.0:
+            # embedding dropout: drop whole words (rows), AWD-style
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, self.emb_keep_prob,
+                                        (self.vocab_size, 1))
+            scaled = jnp.where(keep, 1.0 / self.emb_keep_prob, 0.0)
+            h = h * jnp.take(scaled.astype(self.dtype_), x, axis=0)
+
+        states = []
+        for i in range(self.encoder_layers):
+            is_last = i == self.encoder_layers - 1
+            in_keep = self.input_keep_prob if train else 1.0
+            out_keep = (self.last_output_keep_prob if is_last
+                        else self.output_keep_prob) if train else 1.0
+            if in_keep < 1.0:
+                h = nn.Dropout(rate=1.0 - in_keep, broadcast_dims=(1,),
+                               deterministic=not train)(h)
+            size = self.hidden_size if not (is_last and self.lm_mode and
+                                            self.weight_tied) \
+                else self.emb_size
+            if self.cell_type == "gru":
+                h, state = GRU(size, dtype=self.dtype_,
+                               name="rnn{}".format(i + 1))(h, lengths)
+                states.append((state, state))
+            else:
+                h, state = LSTM(size, dtype=self.dtype_,
+                                name="rnn{}".format(i + 1))(h, lengths)
+                states.append(state)
+            if out_keep < 1.0:
+                h = nn.Dropout(rate=1.0 - out_keep, broadcast_dims=(1,),
+                               deterministic=not train)(h)
+
+        if self.lm_mode:
+            if self.weight_tied:
+                logits = jnp.einsum("btd,vd->btv",
+                                    h.astype(jnp.float32),
+                                    table.astype(jnp.float32))
+                bias = self.param("softmax_bias", nn.initializers.zeros,
+                                  (self.vocab_size,), jnp.float32)
+                logits = logits + bias
+            else:
+                logits = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                                  param_dtype=jnp.float32,
+                                  name="softmax")(h.astype(jnp.float32))
+            return {"logits": logits, "outputs": h, "src_length": lengths}
+
+        # classification: gather last valid hidden state (and cell state
+        # if requested)
+        idx = jnp.clip(lengths - 1, 0, h.shape[1] - 1)
+        last_h = jnp.take_along_axis(
+            h, idx[:, None, None].repeat(h.shape[2], axis=2), axis=1)[:, 0]
+        feat = last_h
+        if self.use_cell_state:
+            last_c = states[-1][1].astype(feat.dtype)
+            feat = jnp.concatenate([feat, last_c], axis=-1)
+        if self.fc_dim > 0:
+            feat = jax.nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype_,
+                                        param_dtype=jnp.float32,
+                                        name="fc_hidden")(feat))
+        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                          param_dtype=jnp.float32,
+                          name="classifier")(feat.astype(jnp.float32))
+        return {"logits": logits, "outputs": feat, "src_length": lengths}
+
+
+class LMEncoder(Encoder):
+    """Config wrapper; key schema entries mirror the reference
+    (`lm_encoders.py:22-64`); cuDNN/cell selection keys are accepted and
+    mapped onto the scan kernels."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(Encoder.get_required_params(), **{
+            "vocab_size": int,
+            "emb_size": int,
+            "encoder_layers": int,
+            "encoder_use_skip_connections": bool,
+            "core_cell": None,
+            "core_cell_params": dict,
+            "end_token": int,
+            "batch_size": int,
+            "use_cudnn_rnn": bool,
+            "cudnn_rnn_type": None,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(Encoder.get_optional_params(), **{
+            "encoder_dp_input_keep_prob": float,
+            "encoder_dp_output_keep_prob": float,
+            "encoder_last_input_keep_prob": float,
+            "encoder_last_output_keep_prob": float,
+            "encoder_emb_keep_prob": float,
+            "variational_recurrent": bool,
+            "time_major": bool,
+            "use_swap_memory": bool,
+            "proj_size": int,
+            "num_groups": int,
+            "num_tokens_gen": int,
+            "fc_use_bias": bool,
+            "seed_tokens": list,
+            "sampling_prob": float,
+            "schedule_learning": bool,
+            "weight_tied": bool,
+            "awd_initializer": bool,
+            "recurrent_keep_prob": float,
+            "input_weight_keep_prob": float,
+            "recurrent_weight_keep_prob": float,
+            "weight_variational": bool,
+            "dropout_seed": int,
+            "num_sampled": int,
+            "fc_dim": int,
+            "use_cell_state": bool,
+            "lm_mode": bool,
+            "num_classes": int,
+        })
+
+    def make_module(self):
+        p = self._params
+        core_params = p.get("core_cell_params", {})
+        hidden = core_params.get("num_units", p["emb_size"])
+        cell_type = "gru" if "gru" in str(
+            p.get("cudnn_rnn_type", "lstm")).lower() else "lstm"
+        lm_mode = p.get("lm_mode", True)
+        net = LMNet(
+            vocab_size=p["vocab_size"],
+            emb_size=p["emb_size"],
+            encoder_layers=p["encoder_layers"],
+            hidden_size=hidden,
+            weight_tied=p.get("weight_tied", False),
+            lm_mode=lm_mode,
+            fc_dim=p.get("fc_dim", 0),
+            num_classes=p.get("num_classes", 2),
+            emb_keep_prob=p.get("encoder_emb_keep_prob", 1.0),
+            input_keep_prob=p.get("encoder_dp_input_keep_prob", 1.0),
+            output_keep_prob=p.get("encoder_dp_output_keep_prob", 1.0),
+            last_output_keep_prob=p.get("encoder_last_output_keep_prob",
+                                        1.0),
+            use_cell_state=p.get("use_cell_state", False),
+            cell_type=cell_type,
+            dtype_=self.compute_dtype)
+
+        class LMEncoderModule(nn.Module):
+            net: nn.Module
+
+            @nn.compact
+            def __call__(self, input_dict: Dict[str, Any], train: bool):
+                x, lengths = input_dict["source_tensors"][:2]
+                return self.net(x, lengths, train)
+
+        return LMEncoderModule(net=net)

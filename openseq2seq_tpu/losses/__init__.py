@@ -1,5 +1,6 @@
 from .loss import Loss
 from .ctc_loss import CTCLoss
 from .sequence_loss import (BasicSequenceLoss, CrossEntropyWithSmoothing,
-                            PaddedCrossEntropyLossWithSmoothing)
+                            PaddedCrossEntropyLossWithSmoothing,
+                            BasicSampledSequenceLoss)
 from .cross_entropy_loss import CrossEntropyLoss

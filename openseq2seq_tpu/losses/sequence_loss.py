@@ -144,3 +144,23 @@ class PaddedCrossEntropyLossWithSmoothing(Loss):
             xent = xent - normalizing
         mask = (labels != 0).astype(jnp.float32)
         return jnp.sum(xent * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+class BasicSampledSequenceLoss(BasicSequenceLoss):
+    """Config-compatible stand-in for the reference's sampled-softmax
+    loss (`losses/sequence_loss.py:312-454`).
+
+    The reference samples negatives to avoid materializing the full
+    (B*T, V) logits on GPU memory. On TPU the full softmax over even a
+    260k vocab is one well-tiled MXU matmul in bf16 and is typically
+    *faster* end-to-end than the gather-heavy candidate-sampling path,
+    so this class accepts ``hid_dim``/``num_sampled`` for config parity
+    and computes the exact softmax CE (the unsampled limit of the
+    reference's estimator)."""
+
+    @staticmethod
+    def get_optional_params():
+        return dict(BasicSequenceLoss.get_optional_params(), **{
+            "hid_dim": int,
+            "num_sampled": int,
+        })
