@@ -3,3 +3,4 @@ from .fc_decoders import (FullyConnectedDecoder, FullyConnectedTimeDecoder,
                           FullyConnectedCTCDecoder)
 from .transformer_decoder import TransformerDecoder
 from .lm_decoders import FakeDecoder
+from .tacotron2_decoder import Tacotron2Decoder

@@ -1,0 +1,369 @@
+"""Tacotron-2 decoder (reference
+`open_seq2seq/decoders/tacotron2_decoder.py:22-567` +
+`parts/tacotron/tacotron_decoder.py:42`,
+`parts/rnns/attention_wrapper.py` LocationSensitiveAttention).
+
+Autoregressive frame decoder: prenet (dropout always on, Tacotron
+convention) -> zoneout-LSTM stack -> location-sensitive attention ->
+frame + stop-token projections -> conv postnet with residual add.
+
+TPU design: the recurrent cell is built from *raw* parameter tensors
+(``self.param``) so the whole decode loop is a single ``lax.scan`` —
+teacher-forced in training (scan over shifted ground-truth frames) and
+free-running in inference (predicted frame fed back through the carry),
+with per-step dropout keys split from one base rng inside the carry.
+No dynamic shapes: inference runs to a static max length and output
+lengths come from the first stop-token firing.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .decoder import Decoder
+
+_NEG = -1e9
+
+
+class Tacotron2DecoderModule(nn.Module):
+    num_audio_features: int
+    attention_layer_size: int
+    attention_type: str               # 'location' | 'bahdanau'
+    decoder_cell_units: int
+    decoder_layers: int
+    enable_prenet: bool
+    prenet_layers: int
+    prenet_units: int
+    enable_postnet: bool
+    postnet_conv_layers: tuple
+    postnet_keep_dropout_prob: float
+    postnet_bn_momentum: float
+    postnet_bn_epsilon: float
+    zoneout_prob: float
+    dropout_prob: float
+    mask_decoder_sequence: bool
+    infer_max_steps: int
+    location_conv_filters: int
+    location_conv_kernel: int
+    dtype_: Any
+    mode: str
+
+    # ------------------------------------------------------------------
+    # All parameters live in the single compact __call__: the recurrent
+    # cell uses raw self.param tensors (their shapes depend on the
+    # encoder width and they are consumed inside lax.scan, where flax
+    # submodule creation is not allowed at init time); mem_dense and the
+    # postnet are ordinary inline submodules created outside the scan.
+    # ------------------------------------------------------------------
+    # pure-functional pieces used inside the scan
+    # ------------------------------------------------------------------
+    def _prenet(self, prenet_params, x, rng):
+        if not self.enable_prenet:
+            return x
+        for w, b in prenet_params:
+            x = jax.nn.relu(x @ w + b)
+            rng, sub = jax.random.split(rng)
+            # prenet dropout stays ON in eval/infer (Tacotron-2 paper)
+            keep = jax.random.bernoulli(sub, 0.5, x.shape)
+            x = jnp.where(keep, x / 0.5, 0.0)
+        return x
+
+    def _lstm_step(self, lstm_params, states, x, rng, train):
+        new_states = []
+        inp = x
+        for i, (wx, wh, b) in enumerate(lstm_params):
+            h_prev, c_prev = states[i]
+            gates = inp @ wx + h_prev @ wh + b
+            ig, fg, g, og = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(fg + 1.0) * c_prev + \
+                jax.nn.sigmoid(ig) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(og) * jnp.tanh(c_new)
+            if self.zoneout_prob > 0:
+                p = self.zoneout_prob
+                if train:
+                    rng, s1, s2 = jax.random.split(rng, 3)
+                    zc = jax.random.bernoulli(s1, p, c_new.shape)
+                    zh = jax.random.bernoulli(s2, p, h_new.shape)
+                    c_new = jnp.where(zc, c_prev, c_new)
+                    h_new = jnp.where(zh, h_prev, h_new)
+                else:
+                    c_new = p * c_prev + (1 - p) * c_new
+                    h_new = p * h_prev + (1 - p) * h_new
+            new_states.append((h_new, c_new))
+            inp = h_new
+        return new_states, inp
+
+    def _attend(self, att, query, keys, memory, mem_mask, cum_align):
+        """query (B,H); keys (B,S,A) = projected memory; returns
+        (context (B,E), align (B,S))."""
+        q = (query @ att["query"])[:, None, :]             # (B,1,A)
+        e = q + keys + att["b"]
+        if self.attention_type == "location":
+            loc = jax.lax.conv_general_dilated(
+                cum_align[:, :, None], att["loc_kernel"],
+                window_strides=(1,), padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            e = e + loc @ att["loc_proj"]
+        scores = jnp.tanh(e) @ att["v"]                     # (B,S)
+        scores = jnp.where(mem_mask, scores, _NEG)
+        align = jax.nn.softmax(scores, axis=-1)
+        context = jnp.einsum("bs,bse->be", align, memory)
+        return context, align
+
+    # ------------------------------------------------------------------
+    @nn.compact
+    def __call__(self, input_dict: Dict[str, Any], train: bool):
+        enc = input_dict["encoder_output"]
+        memory = enc["outputs"].astype(jnp.float32)
+        mem_len = enc["src_length"]
+        B, S, E = memory.shape
+        H = self.decoder_cell_units
+        F = self.num_audio_features
+        mem_mask = jnp.arange(S)[None, :] < mem_len[:, None]
+        keys = nn.Dense(self.attention_layer_size, dtype=self.dtype_,
+                        param_dtype=jnp.float32,
+                        name="memory")(memory).astype(jnp.float32)
+
+        init = nn.initializers.xavier_uniform()
+        A = self.attention_layer_size
+        P = self.prenet_units if self.enable_prenet else F
+
+        prenet_params = []
+        in_dim = F
+        for i in range(self.prenet_layers if self.enable_prenet else 0):
+            prenet_params.append((
+                self.param("prenet_w{}".format(i + 1), init,
+                           (in_dim, self.prenet_units), jnp.float32),
+                self.param("prenet_b{}".format(i + 1),
+                           nn.initializers.zeros,
+                           (self.prenet_units,), jnp.float32)))
+            in_dim = self.prenet_units
+
+        lstm_params = []
+        for i in range(self.decoder_layers):
+            d_in = (P + E) if i == 0 else H   # cell input: prenet+context
+            lstm_params.append((
+                self.param("lstm{}_wx".format(i + 1), init,
+                           (d_in, 4 * H), jnp.float32),
+                self.param("lstm{}_wh".format(i + 1),
+                           nn.initializers.orthogonal(), (H, 4 * H),
+                           jnp.float32),
+                self.param("lstm{}_b".format(i + 1),
+                           nn.initializers.zeros, (4 * H,), jnp.float32)))
+
+        att = {
+            "query": self.param("att_query", init, (H, A), jnp.float32),
+            "v": self.param("att_v", nn.initializers.normal(0.1), (A,),
+                            jnp.float32),
+            "b": self.param("att_b", nn.initializers.zeros, (A,),
+                            jnp.float32),
+        }
+        if self.attention_type == "location":
+            att["loc_kernel"] = self.param(
+                "loc_conv_kernel", init,
+                (self.location_conv_kernel, 1, self.location_conv_filters),
+                jnp.float32)
+            att["loc_proj"] = self.param(
+                "loc_proj", init, (self.location_conv_filters, A),
+                jnp.float32)
+
+        frame_w = self.param("frame_w", init, (H + E, F), jnp.float32)
+        frame_b = self.param("frame_b", nn.initializers.zeros, (F,),
+                             jnp.float32)
+        stop_w = self.param("stop_w", init, (H + E, 1), jnp.float32)
+        stop_b = self.param("stop_b", nn.initializers.zeros, (1,),
+                            jnp.float32)
+
+        targets = input_dict.get("target_tensors")
+        teacher = targets is not None and self.mode != "infer"
+        if teacher:
+            spec = targets[0].astype(jnp.float32)           # (B,T,F)
+            spec_len = targets[2]
+            T = spec.shape[1]
+            # decoder inputs: previous ground-truth frame (go = zeros)
+            dec_in = jnp.concatenate(
+                [jnp.zeros((B, 1, F)), spec[:, :-1]], axis=1)
+        else:
+            T = self.infer_max_steps
+            dec_in = None
+
+        base_rng = self.make_rng("dropout") if \
+            (train or self.enable_prenet) else jax.random.PRNGKey(0)
+
+        init_states = tuple((jnp.zeros((B, H)), jnp.zeros((B, H)))
+                            for _ in range(self.decoder_layers))
+        init_carry = {
+            "states": init_states,
+            "context": jnp.zeros((B, E)),
+            "cum_align": jnp.zeros((B, S)),
+            "prev_frame": jnp.zeros((B, F)),
+            "rng": base_rng,
+        }
+
+        def step(carry, x_t):
+            rng, step_rng = jax.random.split(carry["rng"])
+            frame_in = x_t if x_t is not None else carry["prev_frame"]
+            pre = self._prenet(prenet_params, frame_in, step_rng)
+            cell_in = jnp.concatenate([pre, carry["context"]], axis=-1)
+            rng2, lstm_rng = jax.random.split(rng)
+            states, h_top = self._lstm_step(lstm_params,
+                                            list(carry["states"]),
+                                            cell_in, lstm_rng, train)
+            context, align = self._attend(att, h_top, keys, memory,
+                                          mem_mask, carry["cum_align"])
+            proj_in = jnp.concatenate([h_top, context], axis=-1)
+            frame = proj_in @ frame_w + frame_b
+            stop = (proj_in @ stop_w + stop_b)[:, 0]
+            new_carry = {
+                "states": tuple(states),
+                "context": context,
+                "cum_align": carry["cum_align"] + align,
+                "prev_frame": frame,
+                "rng": rng2,
+            }
+            return new_carry, (frame, stop, align)
+
+        if teacher:
+            xs = jnp.moveaxis(dec_in, 1, 0)                # (T,B,F)
+            _, (frames, stops, aligns) = jax.lax.scan(
+                lambda c, x: step(c, x), init_carry, xs)
+        else:
+            _, (frames, stops, aligns) = jax.lax.scan(
+                lambda c, _: step(c, None), init_carry, None, length=T)
+
+        frames = jnp.moveaxis(frames, 0, 1)                # (B,T,F)
+        stops = jnp.moveaxis(stops, 0, 1)                  # (B,T)
+        aligns = jnp.moveaxis(aligns, 0, 1)                # (B,T,S)
+
+        if teacher:
+            out_len = spec_len
+        else:
+            stopped = jax.nn.sigmoid(stops) > 0.5
+            seen = jnp.cumsum(stopped.astype(jnp.int32), axis=1)
+            out_len = jnp.sum((seen == 0).astype(jnp.int32), axis=1)
+            out_len = jnp.minimum(out_len + 1, T)
+
+        if self.mask_decoder_sequence:
+            tmask = (jnp.arange(T)[None, :] <
+                     out_len[:, None]).astype(jnp.float32)
+            frames = frames * tmask[:, :, None]
+            stops = jnp.where(tmask > 0, stops, 1e3)  # forced stop after
+
+        post = frames
+        if self.enable_postnet:
+            y = frames.astype(self.dtype_)
+            for i, spec in enumerate(self.postnet_conv_layers):
+                ch = spec["num_channels"]
+                if ch == -1:
+                    ch = F
+                y = nn.Conv(ch, kernel_size=(spec["kernel_size"][0],),
+                            padding=spec.get("padding", "SAME"),
+                            dtype=self.dtype_, param_dtype=jnp.float32,
+                            name="postnet_conv{}".format(i + 1))(y)
+                y = nn.BatchNorm(use_running_average=not train,
+                                 momentum=self.postnet_bn_momentum,
+                                 epsilon=self.postnet_bn_epsilon,
+                                 dtype=self.dtype_,
+                                 param_dtype=jnp.float32,
+                                 name="postnet_bn{}".format(i + 1))(y)
+                act = spec.get("activation_fn", "tanh")
+                if act == "tanh" or act is None:
+                    y = jnp.tanh(y)
+                elif callable(act):
+                    y = act(y)
+            post = frames + y.astype(jnp.float32)
+            if self.mask_decoder_sequence:
+                post = post * tmask[:, :, None]
+
+        return {
+            "decoder_spec": frames,
+            "post_net_spec": post,
+            "stop_token_logits": stops,
+            "alignments": aligns,
+            "lengths": out_len,
+            "outputs": [post, out_len],
+        }
+
+
+class Tacotron2Decoder(Decoder):
+    """Config wrapper; schema mirrors the reference
+    (`tacotron2_decoder.py:94-128`)."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(Decoder.get_required_params(), **{
+            "attention_layer_size": int,
+            "attention_type": ["bahdanau", "location", None],
+            "decoder_cell_units": int,
+            "decoder_cell_type": None,
+            "decoder_layers": int,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(Decoder.get_optional_params(), **{
+            "bahdanau_normalize": bool,
+            "time_major": bool,
+            "use_swap_memory": bool,
+            "enable_prenet": bool,
+            "prenet_layers": int,
+            "prenet_units": int,
+            "prenet_activation": None,
+            "enable_postnet": bool,
+            "postnet_conv_layers": list,
+            "postnet_bn_momentum": float,
+            "postnet_bn_epsilon": float,
+            "postnet_data_format": ["channels_first", "channels_last"],
+            "postnet_keep_dropout_prob": float,
+            "mask_decoder_sequence": bool,
+            "attention_bias": bool,
+            "zoneout_prob": float,
+            "dropout_prob": float,
+            "parallel_iterations": int,
+            "num_audio_features": int,
+            "infer_max_steps": int,
+        })
+
+    def make_module(self):
+        p = self._params
+        dtype = jnp.float32 if self._model is None \
+            else self._model.mp_policy.compute_dtype
+        default_postnet = [
+            {"kernel_size": [5], "stride": [1], "num_channels": 512,
+             "padding": "SAME"},
+            {"kernel_size": [5], "stride": [1], "num_channels": 512,
+             "padding": "SAME"},
+            {"kernel_size": [5], "stride": [1], "num_channels": 512,
+             "padding": "SAME"},
+            {"kernel_size": [5], "stride": [1], "num_channels": 512,
+             "padding": "SAME"},
+            {"kernel_size": [5], "stride": [1], "num_channels": -1,
+             "padding": "SAME"},
+        ]
+        return Tacotron2DecoderModule(
+            num_audio_features=p["num_audio_features"],
+            attention_layer_size=p["attention_layer_size"],
+            attention_type=p["attention_type"] or "bahdanau",
+            decoder_cell_units=p["decoder_cell_units"],
+            decoder_layers=p["decoder_layers"],
+            enable_prenet=p.get("enable_prenet", True),
+            prenet_layers=p.get("prenet_layers", 2),
+            prenet_units=p.get("prenet_units", 256),
+            enable_postnet=p.get("enable_postnet", True),
+            postnet_conv_layers=tuple(p.get("postnet_conv_layers",
+                                            default_postnet)),
+            postnet_keep_dropout_prob=p.get("postnet_keep_dropout_prob",
+                                            0.5),
+            postnet_bn_momentum=p.get("postnet_bn_momentum", 0.1),
+            postnet_bn_epsilon=p.get("postnet_bn_epsilon", 1e-5),
+            zoneout_prob=p.get("zoneout_prob", 0.0),
+            dropout_prob=p.get("dropout_prob", 0.1),
+            mask_decoder_sequence=p.get("mask_decoder_sequence", True),
+            infer_max_steps=p.get("infer_max_steps", 1000),
+            location_conv_filters=32,
+            location_conv_kernel=31,
+            dtype_=dtype,
+            mode=self._mode)

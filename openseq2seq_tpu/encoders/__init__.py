@@ -5,3 +5,4 @@ from .ds2_encoder import DeepSpeech2Encoder
 from .resnet_encoder import ResNetEncoder
 from .cnn_encoder import CNNEncoder
 from .lm_encoders import LMEncoder
+from .tacotron2_encoder import Tacotron2Encoder

@@ -4,3 +4,4 @@ from .sequence_loss import (BasicSequenceLoss, CrossEntropyWithSmoothing,
                             PaddedCrossEntropyLossWithSmoothing,
                             BasicSampledSequenceLoss)
 from .cross_entropy_loss import CrossEntropyLoss
+from .text2speech_loss import Text2SpeechLoss

@@ -4,3 +4,4 @@ from .speech2text import Speech2Text
 from .text2text import Text2Text
 from .image2label import Image2Label
 from .lstm_lm import LSTMLM
+from .text2speech import Text2Speech, Text2SpeechTacotron

@@ -382,7 +382,10 @@ class Model(abc.ABC):
         eval loss when targets are present."""
         module = self.module()
         variables = {"params": state.params, **state.model_state}
-        outputs = module.apply(variables, batch, train=False)
+        # fixed dropout key: eval is deterministic, but modules that keep
+        # sampling at inference (Tacotron prenet) still get an rng stream
+        outputs = module.apply(variables, batch, train=False,
+                               rngs={"dropout": jax.random.PRNGKey(0)})
         result = {"outputs": outputs}
         if "target_tensors" in batch:
             result["loss"] = self.compute_loss(outputs, batch)

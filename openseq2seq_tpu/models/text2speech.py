@@ -1,0 +1,128 @@
+"""Text-to-speech task model (reference
+`open_seq2seq/models/text2speech.py:201-558` + task subclasses):
+spectrogram losses on eval, Griffin-Lim waveform reconstruction, wav
+saving on eval/infer."""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List
+
+import numpy as np
+
+from .encoder_decoder import EncoderDecoderModel
+from ..data.text2speech.speech_utils import griffin_lim, inverse_mel
+from ..utils.logging import deco_print
+
+
+class Text2Speech(EncoderDecoderModel):
+
+    def _create_encoder(self):
+        self._params.setdefault("encoder_params", {})
+        self._params["encoder_params"].setdefault(
+            "src_vocab_size", self.get_data_layer().params["src_vocab_size"])
+        return super()._create_encoder()
+
+    def _create_decoder(self):
+        dl_params = self.get_data_layer().params
+        self._params.setdefault("decoder_params", {})
+        self._params["decoder_params"].setdefault(
+            "num_audio_features", dl_params["num_output_features"])
+        return super()._create_decoder()
+
+    def compute_loss(self, outputs, batch):
+        input_dict = {
+            "decoder_output": outputs["decoder_output"],
+            "target_tensors": batch["target_tensors"],
+        }
+        return self._loss_computator.compute_loss(input_dict)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, input_values, output_values):
+        valid = int(input_values.get(
+            "batch_valid", input_values["source_tensors"][0].shape[0]))
+        loss = float(output_values.get("loss", 0.0))
+        # attention sharpness: mean max alignment (host-side diagnostic)
+        dec = output_values["outputs"]["decoder_output"]
+        align = np.asarray(dec["alignments"])[:valid]
+        sharpness = float(np.mean(np.max(align, axis=-1)))
+        return (loss * valid, valid, sharpness)
+
+    def finalize_evaluation(self, results_per_batch, training_step=None):
+        total_loss = sum(r[0] for r in results_per_batch)
+        total = sum(r[1] for r in results_per_batch)
+        sharp = np.mean([r[2] for r in results_per_batch])
+        eval_loss = total_loss / max(total, 1)
+        deco_print("Validation loss: {:.4f} (attention sharpness "
+                   "{:.3f})".format(eval_loss, sharp), offset=4)
+        return {"eval_loss": eval_loss, "attention_sharpness": float(sharp)}
+
+    # ------------------------------------------------------------------
+    def synthesize_wav(self, spec: np.ndarray) -> np.ndarray:
+        """log spectrogram (T, F) -> waveform via Griffin-Lim (reference
+        `models/text2speech.py:182-199`)."""
+        dl = self.get_data_layer()
+        p = dl.params
+        n_fft = p.get("n_fft", 1024)
+        sr = p.get("sample_freq", 22050)
+        if p["output_type"] == "mel" or (p["output_type"] == "both"):
+            num_mels = (dl.n_feats["mel"] if isinstance(dl.n_feats, dict)
+                        else p["num_audio_features"])
+            mag = inverse_mel(
+                spec, sr, n_fft, num_mels,
+                mag_power=p.get("mag_power", 1),
+                feature_normalize=p["feature_normalize"],
+                mean=p.get("feature_normalize_mean", 0.0),
+                std=p.get("feature_normalize_std", 1.0),
+                fmax=p.get("fmax"))
+        else:
+            mag_log = spec
+            if p["feature_normalize"]:
+                mag_log = mag_log * p.get("feature_normalize_std", 1.0) + \
+                    p.get("feature_normalize_mean", 0.0)
+            full = n_fft // 2 + 1
+            if mag_log.shape[1] < full:
+                pad = np.full((mag_log.shape[0], full - mag_log.shape[1]),
+                              np.log(1e-5), mag_log.dtype)
+                mag_log = np.concatenate([mag_log, pad], axis=1)
+            mag = np.exp(mag_log) ** (1.0 / p.get("mag_power", 1))
+        return griffin_lim(mag, n_fft=n_fft)
+
+    def infer(self, input_values, output_values):
+        dec = output_values["outputs"]["decoder_output"]
+        spec, lengths = dec["outputs"]
+        valid = int(input_values.get("batch_valid", np.shape(spec)[0]))
+        ids = np.asarray(input_values["source_ids"])[:valid]
+        out = []
+        for i in range(valid):
+            n = int(np.asarray(lengths)[i])
+            out.append((int(ids[i]), np.asarray(spec)[i, :n]))
+        return out
+
+    def finalize_inference(self, results_per_batch, output_file):
+        """Write one wav per example next to ``output_file``."""
+        from scipy.io import wavfile
+        out_dir = os.path.dirname(os.path.abspath(output_file)) or "."
+        os.makedirs(out_dir, exist_ok=True)
+        sr = self.get_data_layer().params.get("sample_freq", 22050)
+        rows = [item for batch in results_per_batch for item in batch]
+        rows.sort(key=lambda kv: kv[0])
+        with open(output_file, "w") as f:
+            for idx, spec in rows:
+                wav = self.synthesize_wav(spec)
+                wav_path = os.path.join(out_dir,
+                                        "sample_{}.wav".format(idx))
+                peak = np.max(np.abs(wav)) or 1.0
+                wavfile.write(wav_path, sr,
+                              (wav / peak * 0.9 * 32767).astype(np.int16))
+                f.write("{},{}\n".format(idx, wav_path))
+        deco_print("Synthesized {} wavs into {}".format(len(rows), out_dir))
+
+    def _get_num_objects_per_step(self, batch):
+        if "target_tensors" in batch:
+            return int(np.sum(np.asarray(batch["target_tensors"][2])))
+        return int(batch["source_tensors"][0].shape[0])
+
+
+class Text2SpeechTacotron(Text2Speech):
+    """Named subclass for config parity (reference
+    `models/text2speech_tacotron.py`)."""

@@ -1,0 +1,168 @@
+"""TTS track: data layer, Tacotron-2 encoder/decoder (teacher-forced +
+free-running), loss, Griffin-Lim synthesis."""
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from openseq2seq_tpu.data.text2speech import Text2SpeechDataLayer
+from openseq2seq_tpu.data.text2speech.speech_utils import (
+    get_speech_features_tts, griffin_lim)
+from openseq2seq_tpu.decoders import Tacotron2Decoder
+from openseq2seq_tpu.encoders import Tacotron2Encoder
+from openseq2seq_tpu.losses import Text2SpeechLoss
+from openseq2seq_tpu.models import Text2SpeechTacotron
+from openseq2seq_tpu.training import trainer
+
+
+@pytest.fixture(scope="module")
+def toy_lj(tmp_path_factory):
+    """Tiny LJ-style dataset: tone wavs + texts + pipe CSV."""
+    out = tmp_path_factory.mktemp("lj")
+    wav_dir = out / "wavs"
+    wav_dir.mkdir()
+    sr = 22050
+    rng = np.random.RandomState(0)
+    texts = ["aba", "bab", "abab", "bb aa", "ab ba", "aabb"]
+    rows = []
+    for i, text in enumerate(texts):
+        freqs = {"a": 220.0, "b": 440.0, " ": 0.0}
+        sig = np.concatenate([
+            np.sin(2 * np.pi * freqs[c] *
+                   np.arange(int(0.12 * sr)) / sr) * (freqs[c] > 0)
+            for c in text])
+        sig = (sig * 0.8 * 32767).astype(np.int16)
+        name = "toy_{:03d}".format(i)
+        wavfile.write(str(wav_dir / (name + ".wav")), sr, sig)
+        rows.append("{}|{}|{}".format(name, text, text))
+    csv = out / "metadata.csv"
+    csv.write_text("\n".join(rows) + "\n")
+    vocab = out / "vocab.txt"
+    vocab.write_text("a\nb\n \n")
+    return {"dir": str(out), "csv": str(csv), "vocab": str(vocab)}
+
+
+def _config(toy, num_epochs=2, infer_max_steps=40):
+    return {
+        "random_seed": 0,
+        "num_epochs": num_epochs,
+        "logdir": "",
+        "batch_size_per_gpu": 6,
+        "print_loss_steps": 5,
+        "save_checkpoint_steps": None,
+        "optimizer": "Adam",
+        "optimizer_params": {"learning_rate": 1e-3},
+        "max_grad_norm": 1.0,
+        "encoder": Tacotron2Encoder,
+        "encoder_params": {
+            "cnn_dropout_prob": 0.1,
+            "rnn_dropout_prob": 0.1,
+            "src_emb_size": 16,
+            "conv_layers": [
+                {"kernel_size": [5], "stride": [1], "num_channels": 16,
+                 "padding": "SAME"},
+            ],
+            "activation_fn": "relu",
+            "num_rnn_layers": 1,
+            "rnn_cell_dim": 16,
+            "use_cudnn_rnn": False,
+            "rnn_type": "lstm",
+            "rnn_unidirectional": False,
+        },
+        "decoder": Tacotron2Decoder,
+        "decoder_params": {
+            "attention_layer_size": 16,
+            "attention_type": "location",
+            "decoder_cell_units": 32,
+            "decoder_cell_type": None,
+            "decoder_layers": 1,
+            "enable_prenet": True,
+            "prenet_layers": 1,
+            "prenet_units": 16,
+            "enable_postnet": True,
+            "postnet_conv_layers": [
+                {"kernel_size": [5], "stride": [1], "num_channels": 16,
+                 "padding": "SAME"},
+                {"kernel_size": [5], "stride": [1], "num_channels": -1,
+                 "padding": "SAME"},
+            ],
+            "zoneout_prob": 0.1,
+            "infer_max_steps": infer_max_steps,
+        },
+        "loss": Text2SpeechLoss,
+        "loss_params": {"use_mask": True},
+        "data_layer": Text2SpeechDataLayer,
+        "data_layer_params": {
+            "dataset_location": toy["dir"],
+            "dataset": "LJ",
+            "num_audio_features": 20,
+            "output_type": "mel",
+            "vocab_file": toy["vocab"],
+            "dataset_files": [toy["csv"]],
+            "feature_normalize": False,
+            "n_fft": 512,
+            "sample_freq": 22050,
+        },
+    }
+
+
+def test_tts_features_and_griffin_lim():
+    sr = 22050
+    t = np.arange(sr) / sr
+    sig = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    mel = get_speech_features_tts(sig, sr, n_fft=512, num_mels=20,
+                                  output_type="mel")
+    assert mel.shape[1] == 20
+    mag = get_speech_features_tts(sig, sr, n_fft=512,
+                                  output_type="magnitude")
+    assert mag.shape[1] == 257
+    wav = griffin_lim(np.exp(mag), n_fft=512, n_iters=5)
+    assert wav.ndim == 1 and len(wav) > sr // 2
+
+
+def test_tts_data_layer(toy_lj):
+    model = Text2SpeechTacotron(params=_config(toy_lj), mode="train")
+    dl = model.get_data_layer()
+    assert dl.get_size_in_samples() == 6
+    batch = next(iter(dl.iterate_one_epoch()))
+    text, text_len = batch["source_tensors"]
+    spec, stop, spec_len = batch["target_tensors"]
+    assert spec.shape[0] == 6 and spec.shape[2] == 20
+    assert stop.shape == spec.shape[:2]
+    # stop target is 0 during speech, 1 in padding
+    i = 0
+    assert stop[i, 0] == 0.0
+    assert stop[i, -1] == 1.0
+
+
+def test_tacotron_train_step_and_infer(toy_lj):
+    import jax
+    model = Text2SpeechTacotron(params=_config(toy_lj), mode="train")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    new_state, metrics = jax.jit(model.train_step)(
+        state, device_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # free-running inference on the same params
+    infer_model = Text2SpeechTacotron(params=_config(toy_lj),
+                                      mode="infer")
+    infer_batch = dict(device_batch)
+    infer_batch.pop("target_tensors")
+    out = jax.jit(infer_model.eval_step)(new_state, infer_batch)
+    spec, lengths = out["outputs"]["decoder_output"]["outputs"]
+    assert spec.shape[2] == 20
+    assert spec.shape[1] == 40       # infer_max_steps
+    assert np.all(np.asarray(lengths) >= 1)
+
+
+@pytest.mark.slow
+def test_tacotron_loss_decreases(toy_lj):
+    model = Text2SpeechTacotron(params=_config(toy_lj, num_epochs=400),
+                                mode="train")
+    result = trainer.train(model)
+    # teacher-forced spectrogram regression on 6 clips must fit well
+    assert float(result["last_metrics"]["loss"]) < 12.0, \
+        result["last_metrics"]
