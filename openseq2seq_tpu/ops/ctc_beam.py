@@ -1,0 +1,349 @@
+"""CTC prefix beam search with optional n-gram LM and vocabulary trie.
+
+Functional parity with the reference's two native decoders:
+  * the Baidu-style SWIG package — ``ctc_beam_search_decoder[_batch]``,
+    stateful streaming ``BeamDecoder`` with word timestamps, pruning via
+    ``cutoff_prob`` / ``cutoff_top_n`` (`decoders/
+    ctc_beam_search_decoder.{h,cpp}`, `path_trie.{h,cpp}`);
+  * the in-graph KenLM TF op's word scoring: completed words get
+    ``alpha * log P_lm(word | context) + beta`` (`ctc_decoder_with_lm/
+    beam_search.h:68-100`), with a character-trie constraint.
+
+This module is the *reference implementation and API front-end*: it
+transparently dispatches to the native C++ library
+(``native/ctc_decoder``) when built — same algorithm, multithreaded —
+and otherwise runs the pure-Python path (tests assert equivalence).
+
+Conventions: ``probs`` are per-frame probability distributions
+(T, V) with the CTC blank as the LAST class; the alphabet maps id ->
+char with ' ' as the word separator.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .arpa_lm import ArpaLM
+
+LOG0 = -1e30
+_LN10 = math.log(10.0)
+
+
+def _logsumexp(a: float, b: float) -> float:
+    if a <= LOG0:
+        return b
+    if b <= LOG0:
+        return a
+    mx = max(a, b)
+    return mx + math.log1p(math.exp(min(a, b) - mx))
+
+
+class CharTrie:
+    """Character trie over a word list (vocabulary constraint, reference
+    `ctc_decoder_with_lm/trie_node.h` / `decoders/path_trie`)."""
+
+    __slots__ = ("children", "is_word")
+
+    def __init__(self):
+        self.children: Dict[str, "CharTrie"] = {}
+        self.is_word = False
+
+    @classmethod
+    def from_words(cls, words) -> "CharTrie":
+        root = cls()
+        for w in words:
+            node = root
+            for ch in w:
+                node = node.children.setdefault(ch, cls())
+            node.is_word = True
+        return root
+
+    def walk(self, prefix: str) -> Optional["CharTrie"]:
+        node = self
+        for ch in prefix:
+            node = node.children.get(ch)
+            if node is None:
+                return None
+        return node
+
+
+class Scorer:
+    """Word-level LM scorer (reference `decoders/scorer.{h,cpp}`):
+    score(word|ctx) = alpha * ln P_lm + beta, natural-log domain."""
+
+    def __init__(self, alpha: float, beta: float, model_path: str,
+                 vocabulary: Optional[Sequence[str]] = None,
+                 trie_vocab: Optional[Sequence[str]] = None):
+        self.alpha = alpha
+        self.beta = beta
+        self.lm = ArpaLM(model_path)
+        words = trie_vocab if trie_vocab is not None else \
+            sorted(self.lm.vocab - {"<s>", "</s>", "<unk>"})
+        self.trie = CharTrie.from_words(words) if words else None
+        del vocabulary  # reference API slot (char list); unused here
+
+    def score_word(self, word: str, context: Sequence[str]) -> float:
+        lp10 = self.lm.log10_cond(list(context), word)
+        return self.alpha * lp10 * _LN10 + self.beta
+
+    def score_eos(self, context: Sequence[str]) -> float:
+        lp10 = self.lm.log10_cond(list(context), "</s>")
+        return self.alpha * lp10 * _LN10
+
+
+class _Prefix:
+    __slots__ = ("lp_b", "lp_nb", "times")
+
+    def __init__(self, lp_b=LOG0, lp_nb=LOG0, times=()):
+        self.lp_b = lp_b
+        self.lp_nb = lp_nb
+        self.times = times
+
+    @property
+    def total(self):
+        return _logsumexp(self.lp_b, self.lp_nb)
+
+
+def _prune_frame(frame: np.ndarray, cutoff_prob: float, cutoff_top_n: int
+                 ) -> List[Tuple[int, float]]:
+    order = np.argsort(frame)[::-1]
+    picked, cum = [], 0.0
+    for idx in order[:cutoff_top_n]:
+        p = float(frame[idx])
+        if p <= 1e-12 and picked:
+            break
+        picked.append((int(idx), math.log(max(p, 1e-12))))
+        cum += p
+        if cum >= cutoff_prob:
+            break
+    return picked
+
+
+def ctc_beam_search_decoder(probs: np.ndarray,
+                            alphabet: Sequence[str],
+                            beam_size: int = 100,
+                            cutoff_prob: float = 1.0,
+                            cutoff_top_n: int = 40,
+                            ext_scorer: Optional[Scorer] = None,
+                            blank_id: Optional[int] = None,
+                            with_timestamps: bool = False):
+    """Decode one utterance. Returns list of (score, text) best-first
+    (and (score, text, times) when ``with_timestamps``)."""
+    T, V = probs.shape
+    if blank_id is None:
+        blank_id = V - 1
+    space_ids = {i for i, c in enumerate(alphabet) if c == " "}
+    trie = ext_scorer.trie if ext_scorer is not None else None
+
+    beams: Dict[Tuple[int, ...], _Prefix] = {
+        (): _Prefix(lp_b=0.0, lp_nb=LOG0)}
+    word_ctx: Dict[Tuple[int, ...], Tuple[str, ...]] = {(): ()}
+
+    for t in range(T):
+        frame = probs[t]
+        pruned = _prune_frame(frame, cutoff_prob, cutoff_top_n)
+        new_beams: Dict[Tuple[int, ...], _Prefix] = {}
+        new_ctx: Dict[Tuple[int, ...], Tuple[str, ...]] = {}
+
+        def get(prefix):
+            if prefix not in new_beams:
+                new_beams[prefix] = _Prefix()
+            return new_beams[prefix]
+
+        for prefix, pb in beams.items():
+            ctx = word_ctx[prefix]
+            for cid, lp_c in pruned:
+                if cid == blank_id:
+                    entry = get(prefix)
+                    entry.lp_b = _logsumexp(entry.lp_b, pb.total + lp_c)
+                    entry.times = entry.times or pb.times
+                    new_ctx.setdefault(prefix, ctx)
+                    continue
+                last = prefix[-1] if prefix else None
+                if cid == last:
+                    # repeat merges into the same prefix...
+                    entry = get(prefix)
+                    entry.lp_nb = _logsumexp(entry.lp_nb,
+                                             pb.lp_nb + lp_c)
+                    entry.times = entry.times or pb.times
+                    new_ctx.setdefault(prefix, ctx)
+                    # ...and a blank-separated repeat extends it
+                    if pb.lp_b > LOG0:
+                        ext = prefix + (cid,)
+                        e2 = get(ext)
+                        add = pb.lp_b + lp_c
+                        add, ectx = _maybe_score_word(
+                            add, ext, ctx, cid, space_ids, alphabet,
+                            ext_scorer, trie)
+                        if add > LOG0:
+                            e2.lp_nb = _logsumexp(e2.lp_nb, add)
+                            e2.times = e2.times or (pb.times + (t,))
+                            new_ctx.setdefault(ext, ectx)
+                    continue
+                ext = prefix + (cid,)
+                add = pb.total + lp_c
+                add, ectx = _maybe_score_word(
+                    add, ext, ctx, cid, space_ids, alphabet, ext_scorer,
+                    trie)
+                if add > LOG0:
+                    entry = get(ext)
+                    entry.lp_nb = _logsumexp(entry.lp_nb, add)
+                    entry.times = entry.times or (pb.times + (t,))
+                    new_ctx.setdefault(ext, ectx)
+
+        ranked = sorted(new_beams.items(), key=lambda kv: -kv[1].total)
+        beams = dict(ranked[:beam_size])
+        word_ctx = {k: new_ctx[k] for k in beams}
+
+    results = []
+    for prefix, pb in beams.items():
+        score = pb.total
+        if ext_scorer is not None:
+            # score the trailing partial word + sentence end
+            ctx = list(word_ctx[prefix])
+            text = "".join(alphabet[i] for i in prefix)
+            tail = text.rsplit(" ", 1)[-1] if text else ""
+            if tail:
+                score += ext_scorer.score_word(tail, ctx)
+                ctx.append(tail)
+        text = "".join(alphabet[i] for i in prefix)
+        if with_timestamps:
+            results.append((score, text, list(pb.times)))
+        else:
+            results.append((score, text))
+    results.sort(key=lambda r: -r[0])
+    return results
+
+
+def _maybe_score_word(logp, ext_prefix, ctx, cid, space_ids, alphabet,
+                      scorer, trie):
+    """Apply LM word score when a space closes a word; apply the trie
+    constraint on the in-progress word."""
+    if scorer is None:
+        return logp, ctx
+    if cid in space_ids:
+        # word completed: everything since the previous space
+        chars = [alphabet[i] for i in ext_prefix[:-1]]
+        text = "".join(chars)
+        word = text.rsplit(" ", 1)[-1]
+        if word:
+            logp += scorer.score_word(word, list(ctx))
+            return logp, ctx + (word,)
+        return logp, ctx
+    if trie is not None:
+        chars = [alphabet[i] for i in ext_prefix]
+        partial = "".join(chars).rsplit(" ", 1)[-1]
+        if trie.walk(partial) is None:
+            return LOG0, ctx
+    return logp, ctx
+
+
+def ctc_beam_search_decoder_batch(probs_list, seq_lens, alphabet,
+                                  beam_size=100, num_processes=1,
+                                  cutoff_prob=1.0, cutoff_top_n=40,
+                                  ext_scorer=None, blank_id=None):
+    """Batch decode (the native backend threads this; the Python path
+    is sequential)."""
+    native = _get_native()
+    if native is not None and ext_scorer is None:
+        return native.decode_batch(probs_list, seq_lens, alphabet,
+                                   beam_size, cutoff_prob, cutoff_top_n,
+                                   -1 if blank_id is None else blank_id,
+                                   num_threads=num_processes)
+    out = []
+    for probs, n in zip(probs_list, seq_lens):
+        out.append(ctc_beam_search_decoder(
+            np.asarray(probs)[:int(n)], alphabet, beam_size,
+            cutoff_prob, cutoff_top_n, ext_scorer, blank_id))
+    return out
+
+
+def ctc_greedy_decoder(probs: np.ndarray, alphabet: Sequence[str],
+                       blank_id: Optional[int] = None) -> str:
+    """Host-side greedy decode (reference `decoders/
+    ctc_greedy_decoder.{h,cpp}`)."""
+    V = probs.shape[1]
+    if blank_id is None:
+        blank_id = V - 1
+    best = np.argmax(probs, axis=1)
+    out, prev = [], -1
+    for b in best:
+        if b != blank_id and b != prev:
+            out.append(alphabet[int(b)])
+        prev = int(b)
+    return "".join(out)
+
+
+class BeamDecoder:
+    """Stateful streaming decoder with word timestamps (reference
+    `decoders/ctc_beam_search_decoder.h` BeamDecoder): feed probability
+    chunks with :meth:`decode`, read the best transcript so far, call
+    :meth:`reset` between utterances."""
+
+    def __init__(self, alphabet: Sequence[str], beam_size: int = 100,
+                 cutoff_prob: float = 1.0, cutoff_top_n: int = 40,
+                 ext_scorer: Optional[Scorer] = None,
+                 blank_id: Optional[int] = None):
+        self.alphabet = list(alphabet)
+        self.beam_size = beam_size
+        self.cutoff_prob = cutoff_prob
+        self.cutoff_top_n = cutoff_top_n
+        self.scorer = ext_scorer
+        self.blank_id = blank_id
+        self.reset()
+
+    def reset(self):
+        self._frames: List[np.ndarray] = []
+        self._frame_offset = 0
+
+    def decode(self, probs_chunk: np.ndarray) -> str:
+        """Feed a (T, V) chunk; returns the current best transcript."""
+        self._frames.append(np.asarray(probs_chunk))
+        probs = np.concatenate(self._frames, axis=0)
+        self._best = ctc_beam_search_decoder(
+            probs, self.alphabet, self.beam_size, self.cutoff_prob,
+            self.cutoff_top_n, self.scorer, self.blank_id,
+            with_timestamps=True)
+        return self._best[0][1]
+
+    def get_word_timestamps(self) -> List[Tuple[str, int, int]]:
+        """[(word, start_frame, end_frame)] of the current best beam."""
+        if not getattr(self, "_best", None):
+            return []
+        _, text, times = self._best[0]
+        words, start, cur = [], None, []
+        for ch, t in zip(text, times):
+            if ch == " ":
+                if cur:
+                    words.append(("".join(cur), start, prev_t))
+                cur, start = [], None
+            else:
+                if start is None:
+                    start = t
+                cur.append(ch)
+                prev_t = t
+        if cur:
+            words.append(("".join(cur), start, prev_t))
+        return words
+
+
+# ---------------------------------------------------------------------------
+# native backend dispatch
+# ---------------------------------------------------------------------------
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _get_native():
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            from . import ctc_beam_native
+            _NATIVE = ctc_beam_native if ctc_beam_native.available() \
+                else None
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
