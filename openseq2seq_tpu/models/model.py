@@ -161,6 +161,10 @@ class Model(abc.ABC):
         dl_params.pop("dtype", None)  # host pipeline is dtype-agnostic
         dl_params["mode"] = "infer" if mode == "interactive_infer" else mode
         dl_params["interactive"] = self._interactive
+        if dl_params["mode"] != "train" and dl_params.get("shuffle"):
+            # train configs are routinely reused for eval/infer; shuffle
+            # only ever applies to training epochs
+            dl_params["shuffle"] = False
 
         dl_class = self._params["data_layer"]
         self._data_layer = dl_class(dl_params, model=self,

@@ -71,21 +71,46 @@ class Speech2Text(EncoderDecoderModel):
         deco_print("Validation WER: {:.4f}".format(wer), offset=4)
         return {"Eval WER": wer, "eval_loss": eval_loss}
 
+    @property
+    def _dump_logits(self) -> bool:
+        return bool(self._params.get("decoder_params", {})
+                    .get("infer_logits_to_pickle", False))
+
     def infer(self, input_values, output_values):
-        decoded = self._decode_batch(
-            output_values["outputs"]["decoder_output"]["outputs"])
-        valid = int(input_values.get("batch_valid", len(decoded)))
+        valid = int(input_values.get(
+            "batch_valid", input_values["source_tensors"][0].shape[0]))
         ids = np.asarray(input_values["source_ids"])[:valid]
-        return list(zip(ids.tolist(), decoded[:valid]))
+        if self._dump_logits:
+            # raw logits for offline beam-search/LM rescoring
+            # (reference `decoders/fc_decoders.py:infer_logits_to_pickle`
+            # + `scripts/decode.py`)
+            dec = output_values["outputs"]["decoder_output"]
+            logits = np.asarray(dec["logits"])
+            lengths = np.asarray(dec["src_length"])
+            return [(int(ids[i]), logits[i, :int(lengths[i])])
+                    for i in range(valid)]
+        decoded = self._decode_batch(
+            output_values["outputs"]["decoder_output"]["outputs"])[:valid]
+        return list(zip(ids.tolist(), decoded))
 
     def finalize_inference(self, results_per_batch, output_file):
         rows = [item for batch in results_per_batch for item in batch]
         rows.sort(key=lambda kv: kv[0])
+        files = self.get_data_layer().all_files
+        if self._dump_logits:
+            import pickle
+            dumped = {}
+            for idx, logits in rows:
+                wav = files[idx][0] if idx < len(files) else str(idx)
+                dumped[wav] = logits
+            with open(output_file, "wb") as f:
+                pickle.dump(dumped, f)
+            deco_print("Logits pickled to {}".format(output_file))
+            return
         import csv
         with open(output_file, "w", newline="") as f:
             writer = csv.writer(f)
             writer.writerow(["wav_filename", "predicted_transcript"])
-            files = self.get_data_layer().all_files
             for idx, text in rows:
                 wav = files[idx][0] if idx < len(files) else str(idx)
                 writer.writerow([wav, text])

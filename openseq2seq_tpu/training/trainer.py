@@ -42,7 +42,14 @@ def restore_state(model, checkpoint: Optional[str] = None):
     """Build an initial state (and restore from checkpoint if given)."""
     mesh = _prepare(model)
     dl = model.get_data_layer()
-    example_batch = next(iter(dl.iterate_one_epoch()))
+    try:
+        example_batch = next(iter(dl.iterate_one_epoch()))
+    except StopIteration:
+        # interactive data layers have no dataset; init from a dummy
+        # one-second silence example
+        sr = dl.params.get("sample_freq", 16000)
+        example_batch = dl.create_interactive_batch(
+            (np.zeros(sr, np.float32), sr))
     state = model.init_state(example_batch)
     state = jax.device_put(state, replicated_sharding(mesh))
     if checkpoint:
