@@ -4,3 +4,5 @@ from .fc_decoders import (FullyConnectedDecoder, FullyConnectedTimeDecoder,
 from .transformer_decoder import TransformerDecoder
 from .lm_decoders import FakeDecoder
 from .tacotron2_decoder import Tacotron2Decoder
+from .rnn_decoders import (RNNDecoderWithAttention,
+                           BeamSearchRNNDecoderWithAttention)

@@ -6,3 +6,7 @@ from .resnet_encoder import ResNetEncoder
 from .cnn_encoder import CNNEncoder
 from .lm_encoders import LMEncoder
 from .tacotron2_encoder import Tacotron2Encoder
+from .rnn_encoders import (UnidirectionalRNNEncoderWithEmbedding,
+                           BidirectionalRNNEncoderWithEmbedding,
+                           GNMTLikeEncoderWithEmbedding,
+                           GNMTLikeEncoderWithEmbedding_cuDNN)
