@@ -10,3 +10,4 @@ from .rnn_encoders import (UnidirectionalRNNEncoderWithEmbedding,
                            BidirectionalRNNEncoderWithEmbedding,
                            GNMTLikeEncoderWithEmbedding,
                            GNMTLikeEncoderWithEmbedding_cuDNN)
+from .wavenet_encoder import WavenetEncoder

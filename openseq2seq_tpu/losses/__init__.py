@@ -5,3 +5,4 @@ from .sequence_loss import (BasicSequenceLoss, CrossEntropyWithSmoothing,
                             BasicSampledSequenceLoss)
 from .cross_entropy_loss import CrossEntropyLoss
 from .text2speech_loss import Text2SpeechLoss
+from .wavenet_loss import WavenetLoss

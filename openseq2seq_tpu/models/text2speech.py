@@ -17,16 +17,25 @@ from ..utils.logging import deco_print
 class Text2Speech(EncoderDecoderModel):
 
     def _create_encoder(self):
+        enc_cls = self._params["encoder"]
+        accepts = {**enc_cls.get_required_params(),
+                   **enc_cls.get_optional_params()}
         self._params.setdefault("encoder_params", {})
-        self._params["encoder_params"].setdefault(
-            "src_vocab_size", self.get_data_layer().params["src_vocab_size"])
+        if "src_vocab_size" in accepts:
+            self._params["encoder_params"].setdefault(
+                "src_vocab_size",
+                self.get_data_layer().params["src_vocab_size"])
         return super()._create_encoder()
 
     def _create_decoder(self):
+        dec_cls = self._params["decoder"]
+        accepts = {**dec_cls.get_required_params(),
+                   **dec_cls.get_optional_params()}
         dl_params = self.get_data_layer().params
         self._params.setdefault("decoder_params", {})
-        self._params["decoder_params"].setdefault(
-            "num_audio_features", dl_params["num_output_features"])
+        if "num_audio_features" in accepts:
+            self._params["decoder_params"].setdefault(
+                "num_audio_features", dl_params["num_output_features"])
         return super()._create_decoder()
 
     def compute_loss(self, outputs, batch):
@@ -126,3 +135,59 @@ class Text2Speech(EncoderDecoderModel):
 class Text2SpeechTacotron(Text2Speech):
     """Named subclass for config parity (reference
     `models/text2speech_tacotron.py`)."""
+
+
+class Text2SpeechWavenet(Text2Speech):
+    """WaveNet vocoder task model (reference
+    `models/text2speech_wavenet.py`): loss-only eval; infer emits the
+    teacher-forced reconstruction (fast autoregressive generation is a
+    perf-round item)."""
+
+    def _create_decoder(self):
+        # encoder emits logits directly; FakeDecoder passes through
+        self._params.setdefault("decoder_params", {})
+        return super(Text2Speech, self)._create_decoder()
+
+    def compute_loss(self, outputs, batch):
+        return self._loss_computator.compute_loss(
+            {"decoder_output": outputs["decoder_output"],
+             "target_tensors": batch.get("target_tensors")})
+
+    def evaluate(self, input_values, output_values):
+        valid = int(input_values.get(
+            "batch_valid", input_values["source_tensors"][0].shape[0]))
+        return (float(output_values.get("loss", 0.0)) * valid, valid)
+
+    def finalize_evaluation(self, results_per_batch, training_step=None):
+        total = sum(r[0] for r in results_per_batch)
+        count = sum(r[1] for r in results_per_batch)
+        eval_loss = total / max(count, 1)
+        deco_print("Validation loss: {:.4f}".format(eval_loss), offset=4)
+        return {"eval_loss": eval_loss}
+
+    def infer(self, input_values, output_values):
+        dec = output_values["outputs"]["decoder_output"]
+        audio = np.asarray(dec["outputs"][1])
+        valid = int(input_values.get("batch_valid", audio.shape[0]))
+        ids = np.asarray(input_values["source_ids"])[:valid]
+        return [(int(ids[i]), audio[i]) for i in range(valid)]
+
+    def finalize_inference(self, results_per_batch, output_file):
+        from scipy.io import wavfile
+        import os as _os
+        out_dir = _os.path.dirname(_os.path.abspath(output_file)) or "."
+        _os.makedirs(out_dir, exist_ok=True)
+        sr = self.get_data_layer().params.get("sample_freq", 22050)
+        rows = [item for b in results_per_batch for item in b]
+        with open(output_file, "w") as f:
+            for idx, wav in rows:
+                path = _os.path.join(out_dir,
+                                     "wavenet_{}.wav".format(idx))
+                peak = float(np.max(np.abs(wav))) or 1.0
+                wavfile.write(path, sr,
+                              (wav / peak * 0.9 * 32767).astype(np.int16))
+                f.write("{},{}\n".format(idx, path))
+        deco_print("Synthesized {} wavs".format(len(rows)))
+
+    def _get_num_objects_per_step(self, batch):
+        return int(np.sum(np.asarray(batch["source_tensors"][1])))
