@@ -6,3 +6,4 @@ from .lm_decoders import FakeDecoder
 from .tacotron2_decoder import Tacotron2Decoder
 from .rnn_decoders import (RNNDecoderWithAttention,
                            BeamSearchRNNDecoderWithAttention)
+from .convs2s_decoder import ConvS2SDecoder

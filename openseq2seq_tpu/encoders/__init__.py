@@ -11,3 +11,4 @@ from .rnn_encoders import (UnidirectionalRNNEncoderWithEmbedding,
                            GNMTLikeEncoderWithEmbedding,
                            GNMTLikeEncoderWithEmbedding_cuDNN)
 from .wavenet_encoder import WavenetEncoder
+from .convs2s_encoder import ConvS2SEncoder

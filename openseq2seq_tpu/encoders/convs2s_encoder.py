@@ -1,0 +1,130 @@
+"""ConvS2S encoder (reference
+`open_seq2seq/encoders/convs2s_encoder.py:21-244` +
+`parts/convs2s/{ffn_wn_layer,conv_wn_layer}.py`).
+
+Token + learned position embeddings -> stack of GLU conv blocks with
+residual connections and sqrt(0.5) scaling. The reference's explicit
+weight normalization is replaced by standard variance-scaling init —
+on TPU, XLA's fused conv + the bf16 policy make WN's conditioning
+benefit marginal while its per-step norm computation breaks fusion
+(documented deviation; the math of the blocks is otherwise identical).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .encoder import Encoder
+
+SCALE = math.sqrt(0.5)
+
+
+def glu_conv_block(x, n_channels, k_width, dtype, name, train,
+                   keep_prob, causal=False):
+    """conv -> GLU with residual (projected if widths differ)."""
+    residual = x
+    if keep_prob < 1.0:
+        x = nn.Dropout(rate=1.0 - keep_prob,
+                       deterministic=not train)(x)
+    padding = "CAUSAL" if causal else "SAME"
+    h = nn.Conv(2 * n_channels, kernel_size=(k_width,), padding=padding,
+                dtype=dtype, param_dtype=jnp.float32, name=name)(x)
+    a, b = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(b)
+    if residual.shape[-1] != n_channels:
+        residual = nn.Dense(n_channels, dtype=dtype,
+                            param_dtype=jnp.float32,
+                            name=name + "_res_proj")(residual)
+    return (h + residual) * SCALE
+
+
+class ConvS2SEncoderModule(nn.Module):
+    src_vocab_size: int
+    src_emb_size: int
+    conv_nchannels_kwidth: tuple
+    embedding_dropout_keep_prob: float
+    hidden_dropout_keep_prob: float
+    max_input_length: int
+    pad_sym: int
+    dtype_: Any
+
+    @nn.compact
+    def __call__(self, input_dict: Dict[str, Any], train: bool):
+        ids, lengths = input_dict["source_tensors"][:2]
+        B, T = ids.shape
+        tok = self.param("embedding", nn.initializers.normal(0.1),
+                         (self.src_vocab_size, self.src_emb_size),
+                         jnp.float32)
+        pos = self.param("pos_embedding", nn.initializers.normal(0.1),
+                         (self.max_input_length, self.src_emb_size),
+                         jnp.float32)
+        x = jnp.take(tok, ids, axis=0) + pos[None, :T]
+        x = x.astype(self.dtype_)
+        x = nn.Dropout(rate=1.0 - self.embedding_dropout_keep_prob,
+                       deterministic=not train)(x)
+        mask = (jnp.arange(T)[None, :] < lengths[:, None])
+        x = x * mask[:, :, None].astype(x.dtype)
+
+        emb_out = x   # for attention value combination
+        for i, (ch, k) in enumerate(self.conv_nchannels_kwidth):
+            x = glu_conv_block(x, ch, k, self.dtype_,
+                               "conv{}".format(i + 1), train,
+                               self.hidden_dropout_keep_prob)
+            x = x * mask[:, :, None].astype(x.dtype)
+
+        # attention keys = conv outputs; values = outputs + embeddings
+        # (the ConvS2S paper's z + e combination)
+        if x.shape[-1] != emb_out.shape[-1]:
+            e_proj = nn.Dense(x.shape[-1], dtype=self.dtype_,
+                              param_dtype=jnp.float32,
+                              name="emb_proj")(emb_out)
+        else:
+            e_proj = emb_out
+        values = (x + e_proj) * SCALE
+        return {"outputs": x, "attention_values": values,
+                "src_length": lengths}
+
+
+class ConvS2SEncoder(Encoder):
+    """Config wrapper; schema mirrors the reference
+    (`convs2s_encoder.py:27-49`)."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(Encoder.get_required_params(), **{
+            "src_emb_size": int,
+            "src_vocab_size": int,
+            "pad_embeddings_2_eight": bool,
+            "conv_nchannels_kwidth": list,
+            "embedding_dropout_keep_prob": float,
+            "hidden_dropout_keep_prob": float,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(Encoder.get_optional_params(), **{
+            "att_layer_num": int,
+            "max_input_length": int,
+            "PAD_SYMBOL": int,
+            "conv_activation": None,
+            "normalization_type": str,
+            "scaling_factor": float,
+            "init_var": None,
+        })
+
+    def make_module(self):
+        p = self._params
+        return ConvS2SEncoderModule(
+            src_vocab_size=p["src_vocab_size"],
+            src_emb_size=p["src_emb_size"],
+            conv_nchannels_kwidth=tuple(map(tuple,
+                                            p["conv_nchannels_kwidth"])),
+            embedding_dropout_keep_prob=p["embedding_dropout_keep_prob"],
+            hidden_dropout_keep_prob=p["hidden_dropout_keep_prob"],
+            max_input_length=p.get("max_input_length", 1024),
+            pad_sym=p.get("PAD_SYMBOL", 0),
+            dtype_=self.compute_dtype)
