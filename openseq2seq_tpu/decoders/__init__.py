@@ -7,3 +7,5 @@ from .tacotron2_decoder import Tacotron2Decoder
 from .rnn_decoders import (RNNDecoderWithAttention,
                            BeamSearchRNNDecoderWithAttention)
 from .convs2s_decoder import ConvS2SDecoder
+from .las_decoder import ListenAttendSpellDecoder
+from .jca_decoder import JointCTCAttentionDecoder

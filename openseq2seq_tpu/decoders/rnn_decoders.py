@@ -271,6 +271,8 @@ class RNNDecoderWithAttention(Decoder):
             "num_groups": int,
             "PAD_SYMBOL": int,
             "weight_tied": bool,
+            "beam_width": int,
+            "length_penalty": float,
         })
 
     _default_beam_width = 1

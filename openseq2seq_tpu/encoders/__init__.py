@@ -12,3 +12,4 @@ from .rnn_encoders import (UnidirectionalRNNEncoderWithEmbedding,
                            GNMTLikeEncoderWithEmbedding_cuDNN)
 from .wavenet_encoder import WavenetEncoder
 from .convs2s_encoder import ConvS2SEncoder
+from .las_encoder import ListenAttendSpellEncoder

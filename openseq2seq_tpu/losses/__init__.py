@@ -6,3 +6,4 @@ from .sequence_loss import (BasicSequenceLoss, CrossEntropyWithSmoothing,
 from .cross_entropy_loss import CrossEntropyLoss
 from .text2speech_loss import Text2SpeechLoss
 from .wavenet_loss import WavenetLoss
+from .jca_loss import MultiTaskCTCEntropyLoss

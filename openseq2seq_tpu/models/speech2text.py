@@ -26,11 +26,14 @@ class Speech2Text(EncoderDecoderModel):
         if loss_cls is not None:
             accepts = {**loss_cls.get_required_params(),
                        **loss_cls.get_optional_params()}
+            self._params.setdefault("loss_params", {})
+            dl_params = self.get_data_layer().params
             if "tgt_vocab_size" in accepts:
-                self._params.setdefault("loss_params", {})
                 self._params["loss_params"].setdefault(
-                    "tgt_vocab_size",
-                    self.get_data_layer().params["tgt_vocab_size"])
+                    "tgt_vocab_size", dl_params["tgt_vocab_size"])
+            if "batch_size" in accepts:
+                self._params["loss_params"].setdefault(
+                    "batch_size", dl_params["batch_size"])
         return super()._create_loss()
 
     def _decode_batch(self, output_values) -> List[str]:

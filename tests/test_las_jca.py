@@ -1,0 +1,101 @@
+"""LAS encoder, JCA decoder + multi-task loss, SpeechCommands layer."""
+import numpy as np
+import pytest
+
+import jax
+
+from openseq2seq_tpu.decoders import (FullyConnectedCTCDecoder,
+                                      JointCTCAttentionDecoder,
+                                      ListenAttendSpellDecoder)
+from openseq2seq_tpu.encoders import ListenAttendSpellEncoder
+from openseq2seq_tpu.losses import MultiTaskCTCEntropyLoss
+from openseq2seq_tpu.models import Speech2Text
+from openseq2seq_tpu.test_utils.test_speech_configs import w2l_test_config
+
+
+def _las_jca_config(toy):
+    base_params, _ = w2l_test_config(toy["csv"], toy["vocab"],
+                                     num_epochs=1)
+    base_params["data_layer_params"]["autoregressive"] = True
+    base_params["encoder"] = ListenAttendSpellEncoder
+    base_params["encoder_params"] = {
+        "convnet_layers": [
+            {"type": "conv1d", "repeat": 1, "kernel_size": [7],
+             "stride": [2], "num_channels": 32, "padding": "SAME"},
+        ],
+        "recurrent_layers": [
+            {"type": "lstm", "num_units": 32, "pool": 2},
+            {"type": "lstm", "num_units": 32},
+        ],
+        "activation_fn": "relu",
+        "dropout_keep_prob": 1.0,
+    }
+    base_params["decoder"] = JointCTCAttentionDecoder
+    base_params["decoder_params"] = {
+        "ctc_decoder": FullyConnectedCTCDecoder,
+        "attn_decoder": ListenAttendSpellDecoder,
+        "ctc_decoder_params": {"use_language_model": False},
+        "attn_decoder_params": {
+            "tgt_emb_size": 32,
+            "attention_layer_size": 32,
+            "attention_type": "bahdanau",
+            "core_cell": "lstm",
+            "core_cell_params": {"num_units": 32},
+            "decoder_layers": 1,
+            "decoder_use_skip_connections": False,
+            "batch_size": 10,
+        },
+        "beam_search_params": {"beam_width": 2},
+        "language_model_params": {},
+        "GO_SYMBOL": 9,
+        "END_SYMBOL": 10,
+    }
+    base_params["loss"] = MultiTaskCTCEntropyLoss
+    base_params["loss_params"] = {
+        "ctc_loss_params": {},
+        "seq_loss_params": {},
+        "lambda_value": 0.5,
+    }
+    return base_params
+
+
+def test_las_jca_train_step(toy_speech_data):
+    model = Speech2Text(params=_las_jca_config(toy_speech_data),
+                        mode="train")
+    dl = model.get_data_layer()
+    # autoregressive vocab: chars + <S>/</S>
+    assert dl.params["tgt_vocab_size"] == 11
+    batch = next(iter(dl.iterate_one_epoch()))
+    state = model.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    new_state, metrics = jax.jit(model.train_step)(
+        state, device_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_speech_commands_layer(tmp_path, toy_speech_data):
+    import shutil
+    from openseq2seq_tpu.data.speech2text import SpeechCommandsDataLayer
+    rows = []
+    for i in range(4):
+        rows.append("toy_{}.wav,{}".format(i, i % 2))
+    csv = tmp_path / "commands.csv"
+    csv.write_text("\n".join(rows) + "\n")
+    params = {
+        "mode": "train",
+        "dataset_files": [str(csv)],
+        "dataset_location": toy_speech_data["dir"],
+        "num_audio_features": 32,
+        "audio_length": 1000,
+        "num_labels": 2,
+        "model_format": "jasper",
+        "batch_size": 2,
+        "augment_data": True,
+        "shuffle": True,
+    }
+    dl = SpeechCommandsDataLayer(params, model=None)
+    assert dl.get_size_in_samples() == 4
+    batch = next(iter(dl.iterate_one_epoch()))
+    x, x_len = batch["source_tensors"]
+    assert x.shape[0] == 2 and x.shape[2] == 32
+    assert set(np.asarray(batch["target_tensors"][0]).tolist()) <= {0, 1}
