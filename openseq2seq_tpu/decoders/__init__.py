@@ -9,3 +9,4 @@ from .rnn_decoders import (RNNDecoderWithAttention,
 from .convs2s_decoder import ConvS2SDecoder
 from .las_decoder import ListenAttendSpellDecoder
 from .jca_decoder import JointCTCAttentionDecoder
+from .centaur_decoder import CentaurDecoder

@@ -13,3 +13,4 @@ from .rnn_encoders import (UnidirectionalRNNEncoderWithEmbedding,
 from .wavenet_encoder import WavenetEncoder
 from .convs2s_encoder import ConvS2SEncoder
 from .las_encoder import ListenAttendSpellEncoder
+from .centaur_encoder import CentaurEncoder
