@@ -79,6 +79,12 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
     state = restore_state(train_model, checkpoint)
     start_step = int(state.step)
 
+    summary_writer = None
+    save_summaries_steps = params.get("save_summaries_steps")
+    if logdir and save_summaries_steps:
+        from ..utils.tb_writer import SummaryWriter
+        summary_writer = SummaryWriter(logdir)
+
     step_fn = jax.jit(train_model.train_step, donate_argnums=(0,))
     base_rng = jax.random.PRNGKey(train_model.params.get("random_seed", 0))
 
@@ -117,6 +123,11 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
             step_times.append(time.time() - t0)
             train_model.maybe_print_logs(fetch_metrics, step)
 
+        if summary_writer and step % save_summaries_steps == 0:
+            summary_writer.add_scalars(
+                step, {"train/{}".format(k): v
+                       for k, v in jax.device_get(metrics).items()})
+
         if step == bench_start:
             jax.block_until_ready(state.params)
             bench_t0 = time.time()
@@ -129,6 +140,11 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
         if eval_steps and eval_model is not None and step % eval_steps == 0:
             eval_metrics = evaluate_with_state(eval_model, state,
                                                training_step=step)
+            if summary_writer:
+                summary_writer.add_scalars(
+                    step, {"eval/{}".format(k.replace(" ", "_")): v
+                           for k, v in eval_metrics.items()
+                           if isinstance(v, (int, float))})
             if ckpt_mgr and "eval_loss" in eval_metrics:
                 ckpt_mgr.save_best(state, step, eval_metrics["eval_loss"])
 

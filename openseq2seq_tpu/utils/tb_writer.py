@@ -1,0 +1,228 @@
+"""Minimal TensorBoard event-file writer, dependency-free.
+
+The reference logs train loss / lr / grad norms / eval metrics as TF
+summaries (`open_seq2seq/models/model.py:526-532`,
+`utils/hooks.py:120-190`). This environment has no TensorFlow, so this
+module hand-encodes the TFRecord framing (length + masked-CRC32C) and
+the Event/Summary protobuf wire format for scalar summaries — enough
+for TensorBoard to read loss/lr/metric curves.
+
+Wire format (protobuf):
+  Event:  1=wall_time(double) 2=step(int64) 3=file_version(bytes)
+          5=summary(Summary)
+  Summary: 1=repeated Value;  Value: 1=tag(string) 2=simple_value(float)
+"""
+from __future__ import annotations
+
+import os
+import struct
+import time
+from typing import Dict, Optional
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli), table-driven
+# ---------------------------------------------------------------------------
+_CRC_TABLE = []
+
+
+def _build_table():
+    poly = 0x82F63B78
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+        _CRC_TABLE.append(crc)
+
+
+_build_table()
+
+
+def _crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return ((crc >> 15 | crc << 17) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# protobuf encoding helpers
+# ---------------------------------------------------------------------------
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        bits = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([bits | 0x80])
+        else:
+            return out + bytes([bits])
+
+
+def _field_varint(num: int, value: int) -> bytes:
+    return _varint(num << 3) + _varint(value)
+
+
+def _field_double(num: int, value: float) -> bytes:
+    return _varint(num << 3 | 1) + struct.pack("<d", value)
+
+
+def _field_float(num: int, value: float) -> bytes:
+    return _varint(num << 3 | 5) + struct.pack("<f", value)
+
+
+def _field_bytes(num: int, data: bytes) -> bytes:
+    return _varint(num << 3 | 2) + _varint(len(data)) + data
+
+
+def _encode_event(step: Optional[int] = None,
+                  scalars: Optional[Dict[str, float]] = None,
+                  file_version: Optional[str] = None) -> bytes:
+    body = _field_double(1, time.time())
+    if step is not None:
+        body += _field_varint(2, int(step))
+    if file_version is not None:
+        body += _field_bytes(3, file_version.encode())
+    if scalars:
+        values = b""
+        for tag, value in scalars.items():
+            v = _field_bytes(1, tag.encode()) + _field_float(2,
+                                                             float(value))
+            values += _field_bytes(1, v)
+        body += _field_bytes(5, values)
+    return body
+
+
+class SummaryWriter:
+    """Append-only scalar summary writer; one events file per run."""
+
+    def __init__(self, logdir: str):
+        os.makedirs(logdir, exist_ok=True)
+        fname = "events.out.tfevents.{}.os2s".format(int(time.time()))
+        self._path = os.path.join(logdir, fname)
+        self._f = open(self._path, "ab")
+        self._write_record(_encode_event(file_version="brain.Event:2"))
+
+    def _write_record(self, data: bytes):
+        header = struct.pack("<Q", len(data))
+        self._f.write(header)
+        self._f.write(struct.pack("<I", _masked_crc(header)))
+        self._f.write(data)
+        self._f.write(struct.pack("<I", _masked_crc(data)))
+        self._f.flush()
+
+    def add_scalars(self, step: int, scalars: Dict[str, float]):
+        clean = {k: float(v) for k, v in scalars.items()
+                 if _is_scalar(v)}
+        if clean:
+            self._write_record(_encode_event(step=step, scalars=clean))
+
+    def close(self):
+        self._f.close()
+
+    @property
+    def path(self):
+        return self._path
+
+
+def _is_scalar(v) -> bool:
+    try:
+        float(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+# ---------------------------------------------------------------------------
+# reader (for tests / quick inspection)
+# ---------------------------------------------------------------------------
+def read_events(path: str):
+    """Parse an events file back into [(step, {tag: value})]."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                break
+            (length,) = struct.unpack("<Q", header)
+            f.read(4)
+            data = f.read(length)
+            f.read(4)
+            step, scalars = _parse_event(data)
+            if scalars:
+                out.append((step, scalars))
+    return out
+
+
+def _parse_event(data: bytes):
+    i, step, scalars = 0, 0, {}
+    while i < len(data):
+        key, i = _read_varint(data, i)
+        num, wt = key >> 3, key & 7
+        if wt == 0:
+            val, i = _read_varint(data, i)
+            if num == 2:
+                step = val
+        elif wt == 1:
+            i += 8
+        elif wt == 5:
+            i += 4
+        elif wt == 2:
+            ln, i = _read_varint(data, i)
+            chunk = data[i:i + ln]
+            i += ln
+            if num == 5:
+                scalars.update(_parse_summary(chunk))
+    return step, scalars
+
+
+def _parse_summary(data: bytes):
+    i, out = 0, {}
+    while i < len(data):
+        key, i = _read_varint(data, i)
+        if key >> 3 == 1 and key & 7 == 2:
+            ln, i = _read_varint(data, i)
+            tag, val = _parse_value(data[i:i + ln])
+            i += ln
+            if tag is not None:
+                out[tag] = val
+        else:
+            break
+    return out
+
+
+def _parse_value(data: bytes):
+    i, tag, val = 0, None, None
+    while i < len(data):
+        key, i = _read_varint(data, i)
+        num, wt = key >> 3, key & 7
+        if num == 1 and wt == 2:
+            ln, i = _read_varint(data, i)
+            tag = data[i:i + ln].decode()
+            i += ln
+        elif num == 2 and wt == 5:
+            (val,) = struct.unpack("<f", data[i:i + 4])
+            i += 4
+        elif wt == 0:
+            _, i = _read_varint(data, i)
+        elif wt == 2:
+            ln, i = _read_varint(data, i)
+            i += ln
+        else:
+            break
+    return tag, val
+
+
+def _read_varint(data: bytes, i: int):
+    result, shift = 0, 0
+    while True:
+        b = data[i]
+        i += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, i
+        shift += 7
