@@ -1,0 +1,119 @@
+"""Training-mechanism tests mirroring the reference suite:
+finetuning/partial restore (`speech2text_test.py:105-138`), iter_size
+accumulation in the real loop (`optimizers_test.py:14`), fp16 loss
+scaling with skip-on-overflow (`mp_wrapper_test.py`)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from openseq2seq_tpu.models import Speech2Text
+from openseq2seq_tpu.test_utils.test_speech_configs import w2l_test_config
+from openseq2seq_tpu.training import trainer
+from openseq2seq_tpu.utils.params import nested_update
+
+
+def _model(toy, mode="train", overrides=None, **kw):
+    base_params, _ = w2l_test_config(toy["csv"], toy["vocab"], **kw)
+    if overrides:
+        nested_update(base_params, overrides)
+    return Speech2Text(params=base_params, mode=mode)
+
+
+def test_finetune_partial_restore(toy_speech_data, tmp_path):
+    """Train briefly, checkpoint, then build a model with a DIFFERENT
+    decoder width and load_model: matching tensors restore, mismatched
+    keep their init (reference load_model semantics)."""
+    logdir = str(tmp_path / "base")
+    m1 = _model(toy_speech_data, logdir=logdir, num_epochs=5)
+    m1._params["save_checkpoint_steps"] = 5
+    result = trainer.train(m1)
+    ckpt = os.path.join(logdir, "checkpoints", "5")
+    assert os.path.isdir(ckpt)
+
+    # same shapes: everything restores
+    m2 = _model(toy_speech_data, num_epochs=5,
+                overrides={"load_model": logdir})
+    state2 = trainer.restore_state(m2)
+    base_leaf = np.asarray(jax.tree_util.tree_leaves(
+        result["state"].params)[0])
+    restored_leaf = np.asarray(jax.tree_util.tree_leaves(
+        state2.params)[0])
+    np.testing.assert_allclose(base_leaf, restored_leaf)
+
+    # different encoder width: mismatched tensors keep init, no crash
+    m3 = _model(toy_speech_data, num_epochs=5, overrides={
+        "load_model": logdir,
+        "encoder_params": {"convnet_layers": [
+            {"type": "conv1d", "repeat": 1, "kernel_size": [7],
+             "stride": [1], "num_channels": 48, "padding": "SAME"},
+        ]}})
+    state3 = trainer.restore_state(m3)
+    assert state3 is not None
+
+
+def test_iter_size_matches_large_batch(toy_speech_data):
+    """iter_size=2 with per-step half batches must match math of
+    accumulate-then-step: check the optimizer only advances params every
+    2nd microbatch."""
+    m = _model(toy_speech_data, num_epochs=2,
+               overrides={"iter_size": 2})
+    batch = next(iter(m.get_data_layer().iterate_one_epoch()))
+    state = m.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    step_fn = jax.jit(m.train_step)
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    state1, _ = step_fn(state, device_batch, jax.random.PRNGKey(0))
+    p1 = np.asarray(jax.tree_util.tree_leaves(state1.params)[0])
+    # first microbatch only accumulates: params unchanged
+    np.testing.assert_allclose(p0, p1)
+    state2, _ = step_fn(state1, device_batch, jax.random.PRNGKey(1))
+    p2 = np.asarray(jax.tree_util.tree_leaves(state2.params)[0])
+    assert not np.allclose(p1, p2)
+
+
+def test_fp16_loss_scaling_and_skip_on_overflow(toy_speech_data):
+    m = _model(toy_speech_data, num_epochs=2, dtype="float16",
+               overrides={"loss_scaling": "Backoff"})
+    assert m.mp_policy.use_loss_scaling
+    batch = next(iter(m.get_data_layer().iterate_one_epoch()))
+    state = m.init_state(batch)
+    assert state.loss_scale is not None
+    init_scale = float(state.loss_scale.scale)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    step_fn = jax.jit(m.train_step)
+    state1, metrics = step_fn(state, device_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # the huge initial scale (2^14) overflows fp16 grads -> update must
+    # be skipped and the scale halved
+    if int(metrics["skipped_update"]) == 1:
+        assert float(state1.loss_scale.scale) == init_scale / 2
+        p0 = jax.tree_util.tree_leaves(state.params)[0]
+        p1 = jax.tree_util.tree_leaves(state1.params)[0]
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+    # run a few more steps: training proceeds without NaNs
+    for i in range(3):
+        state1, metrics = step_fn(state1, device_batch,
+                                  jax.random.PRNGKey(i + 1))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+def test_param_count_mixed_vs_fp32_identical(toy_speech_data):
+    """bf16 'mixed' policy must not duplicate parameters (the reference
+    kept fp32 master copies; we keep exactly one fp32 set —
+    mp_collection_test analogue)."""
+    m32 = _model(toy_speech_data, num_epochs=1)
+    mbf = _model(toy_speech_data, num_epochs=1, dtype="mixed")
+    b = next(iter(m32.get_data_layer().iterate_one_epoch()))
+    s32 = m32.init_state(b)
+    sbf = mbf.init_state(b)
+    n32 = sum(np.prod(x.shape) for x in
+              jax.tree_util.tree_leaves(s32.params))
+    nbf = sum(np.prod(x.shape) for x in
+              jax.tree_util.tree_leaves(sbf.params))
+    assert n32 == nbf
+    # params stay fp32 under the mixed policy
+    assert all(x.dtype == np.float32 for x in
+               jax.tree_util.tree_leaves(sbf.params))
