@@ -1,0 +1,73 @@
+"""Jasper DR 10x5 on LibriSpeech — the headline ASR recipe
+(reference `example_configs/speech2text/
+jasper10x5_LibriSpeech_nvgrad_masks.py`: NovoGrad + LARC + poly decay,
+bf16 "mixed", SpecAugment-style masks). Greedy-WER target: 3.61
+dev-clean (BASELINE.md).
+
+Point the dataset_files at LibriSpeech CSVs
+(wav_filename,wav_filesize,transcript) built by scripts/import_librivox
+-style preprocessing, and vocab at the 28-char file.
+"""
+import os
+
+from openseq2seq_tpu.data.speech2text import Speech2TextDataLayer
+from openseq2seq_tpu.models import Speech2Text
+from openseq2seq_tpu.zoo import jasper_model_params
+
+_DATA = os.environ.get("LIBRISPEECH_DIR", "/data/librispeech")
+
+base_model = Speech2Text
+base_params = jasper_model_params(
+    data_layer=Speech2TextDataLayer,
+    data_layer_params={
+        "num_audio_features": 64,
+        "input_type": "logfbank",
+        "vocab_file": os.path.join(_DATA, "vocab.txt"),
+        "dataset_files": [
+            os.path.join(_DATA, "librivox-train-clean-100.csv"),
+            os.path.join(_DATA, "librivox-train-clean-360.csv"),
+            os.path.join(_DATA, "librivox-train-other-500.csv"),
+        ],
+        "norm_per_feature": True,
+        "window": "hanning",
+        "precompute_mel_basis": True,
+        "sample_freq": 16000,
+        "pad_to": 16,
+        "dither": 1e-5,
+        "max_duration": 16.7,
+        "backend": "librosa",
+    },
+    num_blocks=10, block_repeat=5,
+    batch_size_per_gpu=32,
+    dtype="mixed",
+    num_epochs=400,
+    logdir=os.environ.get("OS2S_LOGDIR", "jasper_log_folder"),
+    print_loss_steps=10,
+    print_samples_steps=2200,
+    eval_steps=2200,
+    save_checkpoint_steps=1100,
+    num_checkpoints=2,
+    save_summaries_steps=100,
+)
+base_params["lr_policy_params"]["decay_steps"] = 400 * 2200
+base_params["data_layer_params"]["augmentation"] = {
+    "n_freq_mask": 2, "n_time_mask": 2,
+    "width_freq_mask": 6, "width_time_mask": 6,
+}
+
+train_params = {"data_layer_params": {"shuffle": True}}
+eval_params = {
+    "data_layer_params": {
+        "dataset_files": [os.path.join(_DATA, "librivox-dev-clean.csv")],
+        "shuffle": False,
+        "augmentation": {},
+    },
+}
+infer_params = {
+    "data_layer_params": {
+        "dataset_files": [os.path.join(_DATA,
+                                       "librivox-test-clean.csv")],
+        "shuffle": False,
+        "augmentation": {},
+    },
+}

@@ -9,6 +9,7 @@ leaf of the config's ``base_params`` is overridable as ``--a/b/c value``.
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -35,8 +36,13 @@ def main(argv=None):
 
     restore_checkpoint = check_logdir(args, base_config)
 
-    # multi-host: every process sees the global mesh; data layers shard
-    # by process (jax.distributed is initialized by the launcher env)
+    # multi-host SPMD: when launched under a multi-process coordinator
+    # (GKE/TPU pod env vars set), initialize the global runtime so every
+    # process sees the full device mesh (replaces the reference's
+    # hvd.init() + MPI barrier, `run.py:42-49`)
+    if os.environ.get("COORDINATOR_ADDRESS") or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
     num_workers = jax.process_count()
     worker_id = jax.process_index()
 

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""BPE tokenizer train/encode/decode CLI (reference
+`tokenizer_wrapper.py`, which wraps sentencepiece; this wraps the
+built-in Subtokenizer — sentencepiece is used instead automatically if
+installed and a .model file is given).
+
+  python scripts/tokenizer_wrapper.py train --corpus=a.txt,b.txt \
+      --vocab_size=32000 --model_prefix=m_common
+  python scripts/tokenizer_wrapper.py encode --model=m_common.vocab \
+      --input=test.txt --output=test.tok
+  python scripts/tokenizer_wrapper.py decode --model=m_common.vocab \
+      --input=test.tok --output=test.detok
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from openseq2seq_tpu.data.text2text.tokenizer import \
+    Subtokenizer  # noqa: E402
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("command", choices=["train", "encode", "decode"])
+    parser.add_argument("--corpus", default="")
+    parser.add_argument("--vocab_size", type=int, default=32000)
+    parser.add_argument("--model_prefix", default="bpe")
+    parser.add_argument("--model", default="")
+    parser.add_argument("--input", default="")
+    parser.add_argument("--output", default="")
+    args = parser.parse_args(argv)
+
+    if args.command == "train":
+        files = [f for f in args.corpus.split(",") if f]
+        tok = Subtokenizer.init_from_files(files, args.vocab_size)
+        out = args.model_prefix + ".vocab"
+        tok.save_vocab(out)
+        print("Trained BPE vocab of {} subtokens -> {}".format(
+            tok.vocab_size, out))
+        return 0
+
+    tok = Subtokenizer.from_vocab_file(args.model)
+    with open(args.input, encoding="utf-8") as fin, \
+            open(args.output, "w", encoding="utf-8") as fout:
+        for line in fin:
+            if args.command == "encode":
+                ids = tok.encode(line.strip())
+                fout.write(" ".join(map(str, ids)) + "\n")
+            else:
+                ids = [int(t) for t in line.split()]
+                fout.write(tok.decode(ids) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
