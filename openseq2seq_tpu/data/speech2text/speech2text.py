@@ -172,6 +172,28 @@ class Speech2TextDataLayer(DataLayer):
 
     # ------------------------------------------------------------------
     def _featurize(self, wav_path: str):
+        """Featurize, with an optional npz cache (reference
+        ``cache_features`` + hdf5/npy cache, `speech_utils.py:42-90`).
+        Augmentation-bearing configs skip the cache (features change
+        per epoch)."""
+        p = self.params
+        if p.get("cache_features", False) and not p.get("augmentation"):
+            import hashlib
+            cache_dir = p.get("cache_format", "") or \
+                os.path.join(os.path.dirname(wav_path), ".feature_cache")
+            os.makedirs(cache_dir, exist_ok=True)
+            key = hashlib.md5("{}:{}:{}:{}".format(
+                wav_path, p["input_type"], p["num_audio_features"],
+                p.get("window_stride", 10e-3)).encode()).hexdigest()
+            cache_path = os.path.join(cache_dir, key + ".npz")
+            if os.path.exists(cache_path) and \
+                    not p.get("cache_regenerate", False):
+                blob = np.load(cache_path)
+                return blob["features"], float(blob["duration"])
+            features, duration = get_speech_features_from_file(
+                wav_path, p, rng=self._rng)
+            np.savez(cache_path, features=features, duration=duration)
+            return features, duration
         return get_speech_features_from_file(wav_path, self.params,
                                              rng=self._rng)
 

@@ -99,6 +99,7 @@ class Model(abc.ABC):
             "processed_data_folder": str,
             "num_model_partitions": int,  # TPU: model-parallel mesh axis
             "num_data_partitions": int,
+            "profile_dir": str,           # jax.profiler trace output
         }
 
     def __init__(self, params: Dict[str, Any], mode: str = "train",

@@ -97,6 +97,13 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
     save_steps = params.get("save_checkpoint_steps", None)
     bench_start = params.get("bench_start", 10)
 
+    profile_dir = params.get("profile_dir")
+    if profile_dir:
+        # jax.profiler trace of the first post-warmup steps (the TPU
+        # replacement for the reference's --debug_port TensorBoard
+        # debugger hook)
+        jax.profiler.start_trace(profile_dir)
+
     deco_print("Starting training from step {}".format(start_step))
     total_objects = 0
     bench_objects = 0
@@ -149,6 +156,9 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
                 ckpt_mgr.save_best(state, step, eval_metrics["eval_loss"])
 
     jax.block_until_ready(state.params)
+    if profile_dir:
+        jax.profiler.stop_trace()
+        deco_print("Profiler trace written to {}".format(profile_dir))
     wall = None
     if bench_t0 is not None and step > bench_start:
         wall = time.time() - bench_t0
