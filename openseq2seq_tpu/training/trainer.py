@@ -178,11 +178,21 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
     return result
 
 
+def _jitted_eval_fn(model):
+    """Cache the jitted eval step on the model: a fresh jax.jit of a
+    bound method would re-trace on every in-training evaluation."""
+    fn = getattr(model, "_cached_eval_fn", None)
+    if fn is None:
+        fn = jax.jit(model.eval_step)
+        model._cached_eval_fn = fn
+    return fn
+
+
 def evaluate_with_state(model, state, training_step=None) -> Dict[str, Any]:
     """One full eval epoch with an existing state (in-training eval,
     reference `utils/hooks.py:192-236` + `utils/utils.py:95-263`)."""
     mesh = _prepare(model)
-    eval_fn = jax.jit(model.eval_step)
+    eval_fn = _jitted_eval_fn(model)
     dl = model.get_data_layer()
     results = []
     for batch in dl.prefetch(dl.iterate_one_epoch()):
@@ -204,7 +214,7 @@ def evaluate(model, checkpoint: Optional[str]) -> Dict[str, Any]:
 def infer(model, checkpoint: Optional[str], output_file: str):
     state = restore_state(model, checkpoint)
     mesh = _prepare(model)
-    eval_fn = jax.jit(model.eval_step)
+    eval_fn = _jitted_eval_fn(model)
     dl = model.get_data_layer()
     results = []
     for batch in dl.prefetch(dl.iterate_one_epoch()):
