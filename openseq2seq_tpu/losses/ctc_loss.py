@@ -19,11 +19,14 @@ class CTCLoss(Loss):
     def get_optional_params():
         return dict(Loss.get_optional_params(), **{
             "mask_nan": bool,
+            "use_pallas": bool,   # run the alpha/beta recursions as
+                                  # single Pallas kernels (TPU only)
         })
 
     def __init__(self, params, model, name="ctc_loss"):
         super().__init__(params, model, name)
         self._mask_nan = self._params.get("mask_nan", True)
+        self._use_pallas = self._params.get("use_pallas", False)
 
     def compute_loss(self, input_dict):
         """input_dict:
@@ -34,6 +37,13 @@ class CTCLoss(Loss):
         logits = input_dict["decoder_output"]["logits"]
         logit_lengths = input_dict["decoder_output"]["src_length"]
         labels, label_lengths = input_dict["target_tensors"]
+        if self._use_pallas:
+            from ..ops.ctc_pallas import ctc_loss_pallas
+            return ctc_loss_pallas(
+                logits, logit_lengths, labels, label_lengths,
+                blank_id=-1,
+                ignore_longer_outputs_than_inputs=self._mask_nan,
+                average_across_batch=True)
         return ctc_loss(logits, logit_lengths, labels, label_lengths,
                         blank_id=-1,
                         ignore_longer_outputs_than_inputs=self._mask_nan,
