@@ -1,1 +1,3 @@
 from .text2text import ParallelTextDataLayer, SpecialTextTokens
+from .text2text import TransformerDataLayer
+from .tokenizer import Subtokenizer

@@ -11,6 +11,7 @@ S ... EOS. Batches are length-bucketed and padded to multiples of 8
 from __future__ import annotations
 
 import enum
+import os
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -204,3 +205,113 @@ class ParallelTextDataLayer(DataLayer):
                 continue
             tokens.append(idx2.get(i, "<UNK>"))
         return self._delimiter.join(tokens)
+
+
+class TransformerDataLayer(DataLayer):
+    """Tensor2Tensor-style TFRecord data layer (reference
+    `open_seq2seq/data/text2text/text2text.py:299-388` + `t2t.py`):
+    records with int64 "inputs"/"targets" subtoken ids, batched with
+    padding. TFRecords are parsed without TensorFlow (see t2t.py)."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(DataLayer.get_required_params(), **{
+            "data_dir": str,
+            "file_pattern": str,
+            "src_vocab_size": int,
+            "batch_size": int,
+            "max_length": int,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(DataLayer.get_optional_params(), **{
+            "delimiter": str,
+            "target_file": str,
+            "pad_lengths_to_eight": bool,
+            "pad_vocab_to_eight": bool,
+            "batch_in_tokens": bool,
+        })
+
+    def __init__(self, params, model, num_workers=1, worker_id=0):
+        super().__init__(params, model, num_workers, worker_id)
+        import glob as _glob
+        p = self._params
+        p["tgt_vocab_size"] = p["src_vocab_size"]
+        pattern = os.path.join(p["data_dir"], p["file_pattern"])
+        files = sorted(_glob.glob(pattern))
+        if not files:
+            raise FileNotFoundError("No TFRecord files match "
+                                    + pattern)
+        if p["mode"] != "train" and num_workers > 1:
+            n = len(files)
+            start = n // num_workers * worker_id
+            end = (n if worker_id == num_workers - 1
+                   else n // num_workers * (worker_id + 1))
+            files = files[start:end]
+        self._files = files
+        self._size = None
+
+    def get_size_in_samples(self) -> int:
+        if self._size is None:
+            from .t2t import read_tfrecords
+            self._size = sum(1 for path in self._files
+                             for _ in read_tfrecords(path))
+        return self._size
+
+    def iterate_one_epoch(self) -> Iterator[Dict[str, Any]]:
+        from .t2t import parse_example, read_tfrecords
+        p = self._params
+        B = p["batch_size"]
+        files = list(self._files)
+        if p["shuffle"]:
+            self._rng.shuffle(files)
+        buf: List[dict] = []
+        idx = 0
+        for path in files:
+            for record in read_tfrecords(path):
+                ex = parse_example(record)
+                src = ex.get("inputs", [])
+                tgt = ex.get("targets", [])
+                if not src or not tgt:
+                    continue
+                if p["mode"] == "train" and (
+                        len(src) > p["max_length"] or
+                        len(tgt) > p["max_length"]):
+                    continue
+                buf.append({"idx": idx,
+                            "src": np.asarray(src[:p["max_length"]],
+                                              np.int32),
+                            "tgt": np.asarray(tgt[:p["max_length"]],
+                                              np.int32)})
+                idx += 1
+                if len(buf) == B:
+                    yield self._collate_records(buf, B)
+                    buf = []
+        if buf:
+            valid = len(buf)
+            buf += [buf[-1]] * (B - valid)
+            yield self._collate_records(buf, valid)
+
+    def _collate_records(self, examples, valid):
+        mult = 8 if self._params.get("pad_lengths_to_eight") else 1
+        B = len(examples)
+        Ts = self.pad_to_multiple(max(len(e["src"]) for e in examples),
+                                  mult)
+        Tt = self.pad_to_multiple(max(len(e["tgt"]) for e in examples),
+                                  mult)
+        x = np.zeros((B, Ts), np.int32)
+        y = np.zeros((B, Tt), np.int32)
+        x_len = np.zeros((B,), np.int32)
+        y_len = np.zeros((B,), np.int32)
+        ids = np.zeros((B,), np.int32)
+        for i, e in enumerate(examples):
+            x[i, :len(e["src"])] = e["src"]
+            x_len[i] = len(e["src"])
+            y[i, :len(e["tgt"])] = e["tgt"]
+            y_len[i] = len(e["tgt"])
+            ids[i] = e["idx"]
+        return {"source_tensors": [x, x_len],
+                "target_tensors": [y, y_len],
+                "source_ids": ids,
+                "batch_valid": np.int32(valid)}
