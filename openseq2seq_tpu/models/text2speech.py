@@ -54,7 +54,7 @@ class Text2Speech(EncoderDecoderModel):
         dec = output_values["outputs"]["decoder_output"]
         align = np.asarray(dec["alignments"])[:valid]
         sharpness = float(np.mean(np.max(align, axis=-1)))
-        return (loss * valid, valid, sharpness)
+        return (loss * valid, valid, sharpness, align[0])
 
     def finalize_evaluation(self, results_per_batch, training_step=None):
         total_loss = sum(r[0] for r in results_per_batch)
@@ -63,7 +63,21 @@ class Text2Speech(EncoderDecoderModel):
         eval_loss = total_loss / max(total, 1)
         deco_print("Validation loss: {:.4f} (attention sharpness "
                    "{:.3f})".format(eval_loss, sharp), offset=4)
-        return {"eval_loss": eval_loss, "attention_sharpness": float(sharp)}
+        metrics = {"eval_loss": eval_loss,
+                   "attention_sharpness": float(sharp)}
+        # attention-alignment plot (reference logs these as image
+        # summaries, `models/text2speech.py:19-109`)
+        first = next((r[3] for r in results_per_batch
+                      if len(r) > 3 and r[3] is not None), None)
+        if first is not None:
+            try:
+                from ..utils.tb_writer import plot_to_png
+                metrics["image/attention_alignment"] = plot_to_png(
+                    first.T, xlabel="decoder step",
+                    ylabel="encoder step")
+            except Exception:
+                pass
+        return metrics
 
     # ------------------------------------------------------------------
     def synthesize_wav(self, spec: np.ndarray) -> np.ndarray:

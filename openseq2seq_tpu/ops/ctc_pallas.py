@@ -49,8 +49,8 @@ def _alpha_kernel(len_ref, extlen_ref, emit_ref, can_skip_ref,
     can_skip/valid (1, S): masks. alphas out (1, T, S); nll out (1, 1)."""
     T = emit_ref.shape[1]
     S = emit_ref.shape[2]
-    length = len_ref[0]
-    ext_len = extlen_ref[0]
+    length = len_ref[0, 0]
+    ext_len = extlen_ref[0, 0]
 
     can_skip = can_skip_ref[0, :]
     valid = valid_ref[0, :]
@@ -91,8 +91,8 @@ def _beta_kernel(len_ref, extlen_ref, nll_ref, emit_ref, can_skip_ref,
                  valid_ref, alphas_ref, grad_ref):
     T = emit_ref.shape[1]
     S = emit_ref.shape[2]
-    length = len_ref[0]
-    ext_len = extlen_ref[0]
+    length = len_ref[0, 0]
+    ext_len = extlen_ref[0, 0]
     logz = -nll_ref[0, 0]
 
     can_skip = can_skip_ref[0, :]
@@ -171,9 +171,9 @@ def _run_forward(emit, can_skip, valid, logit_lengths, ext_len,
         _alpha_kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1,), lambda b: (b,),
+            pl.BlockSpec((1, 1), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b: (b,),
+            pl.BlockSpec((1, 1), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -193,8 +193,8 @@ def _run_forward(emit, can_skip, valid, logit_lengths, ext_len,
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(logit_lengths.astype(jnp.int32), ext_len.astype(jnp.int32),
-      emit, can_skip, valid)
+    )(logit_lengths.astype(jnp.int32)[:, None],
+      ext_len.astype(jnp.int32)[:, None], emit, can_skip, valid)
     return alphas, nll[:, 0]
 
 
@@ -205,9 +205,9 @@ def _run_backward(emit, can_skip, valid, logit_lengths, ext_len, nll,
         _beta_kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1,), lambda b: (b,),
+            pl.BlockSpec((1, 1), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b: (b,),
+            pl.BlockSpec((1, 1), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
@@ -224,8 +224,9 @@ def _run_backward(emit, can_skip, valid, logit_lengths, ext_len, nll,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, S), jnp.float32),
         interpret=interpret,
-    )(logit_lengths.astype(jnp.int32), ext_len.astype(jnp.int32),
-      nll[:, None], emit, can_skip, valid, alphas)
+    )(logit_lengths.astype(jnp.int32)[:, None],
+      ext_len.astype(jnp.int32)[:, None], nll[:, None], emit, can_skip,
+      valid, alphas)
     return grad
 
 

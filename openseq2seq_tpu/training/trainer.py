@@ -152,6 +152,11 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
                     step, {"eval/{}".format(k.replace(" ", "_")): v
                            for k, v in eval_metrics.items()
                            if isinstance(v, (int, float))})
+                for k, v in eval_metrics.items():
+                    if k.startswith("image/") and isinstance(v, tuple):
+                        png, h, w = v
+                        summary_writer.add_image(
+                            step, "eval/{}".format(k[6:]), png, h, w)
             if ckpt_mgr and "eval_loss" in eval_metrics:
                 ckpt_mgr.save_best(state, step, eval_metrics["eval_loss"])
 

@@ -121,6 +121,15 @@ class SummaryWriter:
         if clean:
             self._write_record(_encode_event(step=step, scalars=clean))
 
+    def add_image(self, step: int, tag: str, png: bytes,
+                  height: int, width: int):
+        value = _field_bytes(1, _encode_image_value(tag, png, height,
+                                                    width))
+        body = (_field_double(1, time.time()) +
+                _field_varint(2, int(step)) +
+                _field_bytes(5, value))
+        self._write_record(body)
+
     def close(self):
         self._f.close()
 
@@ -226,3 +235,33 @@ def _read_varint(data: bytes, i: int):
         if not b & 0x80:
             return result, i
         shift += 7
+
+
+def _encode_image_value(tag: str, png: bytes, height: int,
+                        width: int) -> bytes:
+    """Summary.Value with an Image (field 4): Image {1:h 2:w 3:colorspace
+    4:encoded_image_string}."""
+    img = (_field_varint(1, height) + _field_varint(2, width) +
+           _field_varint(3, 4) + _field_bytes(4, png))
+    return _field_bytes(1, tag.encode()) + _field_bytes(4, img)
+
+
+def plot_to_png(matrix, xlabel: str = "", ylabel: str = "") -> tuple:
+    """Render a 2-D array (e.g. an attention alignment) to PNG bytes via
+    matplotlib (agg backend). Returns (png_bytes, height, width)."""
+    import io as _io
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4), dpi=100)
+    ax.imshow(matrix, aspect="auto", origin="lower",
+              interpolation="nearest")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    buf = _io.BytesIO()
+    fig.savefig(buf, format="png", bbox_inches="tight")
+    plt.close(fig)
+    png = buf.getvalue()
+    return png, 400, 600

@@ -70,3 +70,16 @@ def test_trainer_writes_summaries(toy_speech_data, tmp_path):
     assert files
     events = read_events(files[0])
     assert any("train/loss" in scalars for _, scalars in events)
+
+
+def test_image_summary_roundtrip(tmp_path):
+    from openseq2seq_tpu.utils.tb_writer import plot_to_png
+    import numpy as np
+    png, h, w = plot_to_png(np.random.RandomState(0).rand(10, 20))
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    wtr = SummaryWriter(str(tmp_path))
+    wtr.add_image(3, "attn", png, h, w)
+    wtr.close()
+    # file parses without error and the scalar reader skips the image
+    events = read_events(wtr.path)
+    assert isinstance(events, list)
