@@ -1,6 +1,7 @@
 from .decoder import Decoder
 from .fc_decoders import (FullyConnectedDecoder, FullyConnectedTimeDecoder,
-                          FullyConnectedCTCDecoder)
+                          FullyConnectedCTCDecoder,
+                          FullyConnectedSCDecoder)
 from .transformer_decoder import TransformerDecoder
 from .lm_decoders import FakeDecoder
 from .tacotron2_decoder import Tacotron2Decoder

@@ -144,3 +144,39 @@ class FullyConnectedCTCDecoder(FullyConnectedTimeDecoder):
                 return out
 
         return FCCTCDecoderModule()
+
+
+class FullyConnectedSCDecoder(FullyConnectedDecoder):
+    """Speech-commands decoder: FC over flattened/pooled features
+    (reference `fc_decoders.py:256-311`). The generic FC decoder already
+    flattens >2-D encoder outputs; this named subclass keeps config
+    parity and masks by sequence length via mean pooling."""
+
+    def make_module(self):
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        output_dim = self._params["output_dim"]
+        dtype = jnp.float32 if self._model is None \
+            else self._model.mp_policy.compute_dtype
+
+        class FCSCDecoderModule(nn.Module):
+            @nn.compact
+            def __call__(self, input_dict, train: bool):
+                x = input_dict["encoder_output"]["outputs"]
+                lengths = input_dict["encoder_output"].get("src_length")
+                if x.ndim == 3 and lengths is not None:
+                    mask = (jnp.arange(x.shape[1])[None, :] <
+                            lengths[:, None]).astype(x.dtype)
+                    x = jnp.sum(x * mask[:, :, None], axis=1) / \
+                        jnp.maximum(jnp.sum(mask, axis=1),
+                                    1.0)[:, None]
+                elif x.ndim > 2:
+                    x = x.reshape((x.shape[0], -1))
+                logits = nn.Dense(output_dim, dtype=dtype,
+                                  param_dtype=jnp.float32,
+                                  name="fully_connected")(x)
+                return {"logits": logits.astype(jnp.float32),
+                        "outputs": [jnp.argmax(logits, axis=-1)]}
+
+        return FCSCDecoderModule()
