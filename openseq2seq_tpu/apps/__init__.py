@@ -1,1 +1,2 @@
 from .frame_asr import FrameASR
+from .lm_rescorer import NeuralRescorer
