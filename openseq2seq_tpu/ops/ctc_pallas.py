@@ -49,8 +49,9 @@ def _alpha_kernel(len_ref, extlen_ref, emit_ref, can_skip_ref,
     can_skip/valid (1, S): masks. alphas out (1, T, S); nll out (1, 1)."""
     T = emit_ref.shape[1]
     S = emit_ref.shape[2]
-    length = len_ref[0, 0]
-    ext_len = extlen_ref[0, 0]
+    b = pl.program_id(0)
+    length = len_ref[b, 0]
+    ext_len = extlen_ref[b, 0]
 
     can_skip = can_skip_ref[0, :]
     valid = valid_ref[0, :]
@@ -81,7 +82,7 @@ def _alpha_kernel(len_ref, extlen_ref, emit_ref, can_skip_ref,
     end_mask = jnp.logical_and(end_mask, pos >= 0)
     score = jnp.where(end_mask, final, NEG)
     m = jnp.max(score)
-    nll_ref[0, 0] = -(m + jnp.log(jnp.sum(jnp.exp(score - m))))
+    nll_ref[b, 0] = -(m + jnp.log(jnp.sum(jnp.exp(score - m))))
 
 
 # ---------------------------------------------------------------------------
@@ -91,9 +92,10 @@ def _beta_kernel(len_ref, extlen_ref, nll_ref, emit_ref, can_skip_ref,
                  valid_ref, alphas_ref, grad_ref):
     T = emit_ref.shape[1]
     S = emit_ref.shape[2]
-    length = len_ref[0, 0]
-    ext_len = extlen_ref[0, 0]
-    logz = -nll_ref[0, 0]
+    b = pl.program_id(0)
+    length = len_ref[b, 0]
+    ext_len = extlen_ref[b, 0]
+    logz = -nll_ref[b, 0]
 
     can_skip = can_skip_ref[0, :]
     valid = valid_ref[0, :]
@@ -171,9 +173,9 @@ def _run_forward(emit, can_skip, valid, logit_lengths, ext_len,
         _alpha_kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b: (b, 0),
+            pl.BlockSpec((B, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0),
+            pl.BlockSpec((B, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -185,7 +187,7 @@ def _run_forward(emit, can_skip, valid, logit_lengths, ext_len,
         out_specs=[
             pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0),
+            pl.BlockSpec((B, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -205,11 +207,11 @@ def _run_backward(emit, can_skip, valid, logit_lengths, ext_len, nll,
         _beta_kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b: (b, 0),
+            pl.BlockSpec((B, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0),
+            pl.BlockSpec((B, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0),
+            pl.BlockSpec((B, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
