@@ -1,1 +1,2 @@
-from .image2label import CifarDataLayer, ImagenetDataLayer
+from .image2label import (CifarDataLayer, ImagenetDataLayer,
+                          ImagenetTFRecordDataLayer)

@@ -232,3 +232,127 @@ class ImagenetDataLayer(DataLayer):
                    "target_tensors": [np.asarray(labels, np.int32)],
                    "source_ids": np.asarray(ids, np.int32),
                    "batch_valid": np.int32(valid)}
+
+
+class ImagenetTFRecordDataLayer(DataLayer):
+    """ImageNet TF-Record reader matching the reference's shard layout
+    (`image2label.py:160-230`: train-xxxxx-of-01024 /
+    validation-xxxxx-of-00128) — records parsed without TensorFlow via
+    `data/text2text/t2t.py`, JPEGs decoded with PIL on the prefetch
+    thread."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(DataLayer.get_required_params(), **{
+            "data_dir": str,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(DataLayer.get_optional_params(), **{
+            "num_parallel_calls": int,
+            "shuffle_buffer": int,
+            "image_size": int,
+            "num_classes": int,
+            "file_pattern": str,
+        })
+
+    def __init__(self, params, model, num_workers=1, worker_id=0):
+        super().__init__(params, model, num_workers, worker_id)
+        import glob
+        p = self._params
+        p.setdefault("batch_size", 32)
+        p.setdefault("image_size", 224)
+        p.setdefault("num_classes", 1000)
+        pattern = p.get("file_pattern",
+                        "train-*" if p["mode"] == "train"
+                        else "validation-*")
+        files = sorted(glob.glob(os.path.join(p["data_dir"], pattern)))
+        if not files:
+            raise FileNotFoundError("no TFRecord shards match {} in {}"
+                                    .format(pattern, p["data_dir"]))
+        if p["mode"] != "train" and num_workers > 1:
+            n = len(files)
+            start = n // num_workers * worker_id
+            end = (n if worker_id == num_workers - 1
+                   else n // num_workers * (worker_id + 1))
+            files = files[start:end]
+        self._files = files
+        self._size = None
+
+    def get_size_in_samples(self) -> int:
+        if self._size is None:
+            from ..text2text.t2t import read_tfrecords
+            self._size = sum(1 for f in self._files
+                             for _ in read_tfrecords(f))
+        return self._size
+
+    def _decode(self, example, train):
+        from io import BytesIO
+        from PIL import Image
+        size = self._params["image_size"]
+        raw = example.get("image/encoded", [b""])[0]
+        label_list = example.get("image/class/label", [0])
+        label = int(label_list[0]) - 1 if label_list else 0  # 1-based
+        img = Image.open(BytesIO(raw)).convert("RGB")
+        if train:
+            w, h = img.size
+            scale = self._rng.uniform(1.0, 1.2) * size / min(w, h)
+            img = img.resize((max(int(w * scale), size),
+                              max(int(h * scale), size)))
+            w, h = img.size
+            x = self._rng.randint(0, w - size + 1)
+            y = self._rng.randint(0, h - size + 1)
+            arr = np.asarray(img.crop((x, y, x + size, y + size)),
+                             np.float32)
+            if self._rng.rand() < 0.5:
+                arr = arr[:, ::-1]
+        else:
+            w, h = img.size
+            scale = (size * 256 // 224) / min(w, h)
+            img = img.resize((int(w * scale), int(h * scale)))
+            w, h = img.size
+            x0, y0 = (w - size) // 2, (h - size) // 2
+            arr = np.asarray(img.crop((x0, y0, x0 + size, y0 + size)),
+                             np.float32)
+        mean = np.array([123.68, 116.78, 103.94], np.float32)
+        return arr - mean, max(label, 0)
+
+    def iterate_one_epoch(self):
+        from ..text2text.t2t import parse_example, read_tfrecords
+        p = self._params
+        B = p["batch_size"]
+        train = p["mode"] == "train"
+        files = list(self._files)
+        if p["shuffle"]:
+            self._rng.shuffle(files)
+        imgs, labels, ids = [], [], []
+        idx = 0
+        for path in files:
+            for record in read_tfrecords(path):
+                try:
+                    img, label = self._decode(parse_example(record),
+                                              train)
+                except Exception:
+                    continue
+                imgs.append(img)
+                labels.append(label)
+                ids.append(idx)
+                idx += 1
+                if len(imgs) == B:
+                    yield {"source_tensors": [np.stack(imgs)],
+                           "target_tensors": [np.asarray(labels,
+                                                         np.int32)],
+                           "source_ids": np.asarray(ids, np.int32),
+                           "batch_valid": np.int32(B)}
+                    imgs, labels, ids = [], [], []
+        if imgs:
+            valid = len(imgs)
+            while len(imgs) < B:
+                imgs.append(imgs[-1])
+                labels.append(labels[-1])
+                ids.append(ids[-1])
+            yield {"source_tensors": [np.stack(imgs)],
+                   "target_tensors": [np.asarray(labels, np.int32)],
+                   "source_ids": np.asarray(ids, np.int32),
+                   "batch_valid": np.int32(valid)}

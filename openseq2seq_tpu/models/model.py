@@ -100,6 +100,8 @@ class Model(abc.ABC):
             "num_model_partitions": int,  # TPU: model-parallel mesh axis
             "num_data_partitions": int,
             "profile_dir": str,           # jax.profiler trace output
+            "use_xla_jit": bool,          # accepted for config parity;
+                                          # everything is jitted anyway
         }
 
     def __init__(self, params: Dict[str, Any], mode: str = "train",

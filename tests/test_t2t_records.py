@@ -49,3 +49,54 @@ def test_transformer_data_layer(tmp_path):
     assert np.all(x_len > 0) and np.all(y_len > 0)
     # EOS-terminated sequences
     assert x[0, x_len[0] - 1] == 1
+
+
+def test_imagenet_tfrecord_layer(tmp_path):
+    """TFRecord ImageNet shard with PNG-encoded images parsed end to end."""
+    import io
+    from PIL import Image
+    from openseq2seq_tpu.utils.tb_writer import _masked_crc, _varint
+    import struct
+
+    def encode_bytes_feature(data: bytes) -> bytes:
+        inner = _varint(1 << 3 | 2) + _varint(len(data)) + data
+        return _varint(1 << 3 | 2) + _varint(len(inner)) + inner
+
+    def encode_int64_feature(v: int) -> bytes:
+        packed = _varint(v)
+        inner = _varint(1 << 3 | 2) + _varint(len(packed)) + packed
+        return _varint(3 << 3 | 2) + _varint(len(inner)) + inner
+
+    def entry(key: str, feature: bytes) -> bytes:
+        e = (_varint(1 << 3 | 2) + _varint(len(key)) + key.encode() +
+             _varint(2 << 3 | 2) + _varint(len(feature)) + feature)
+        return _varint(1 << 3 | 2) + _varint(len(e)) + e
+
+    path = str(tmp_path / "validation-00000-of-00001")
+    with open(path, "wb") as f:
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            img = Image.fromarray(
+                rng.randint(0, 255, size=(64, 48, 3), dtype=np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            entries = (entry("image/encoded",
+                             encode_bytes_feature(buf.getvalue())) +
+                       entry("image/class/label",
+                             encode_int64_feature(i + 1)))
+            payload = _varint(1 << 3 | 2) + _varint(len(entries)) + entries
+            header = struct.pack("<Q", len(payload))
+            f.write(header)
+            f.write(struct.pack("<I", _masked_crc(header)))
+            f.write(payload)
+            f.write(struct.pack("<I", _masked_crc(payload)))
+
+    from openseq2seq_tpu.data.image2label import ImagenetTFRecordDataLayer
+    dl = ImagenetTFRecordDataLayer({
+        "mode": "eval", "data_dir": str(tmp_path), "batch_size": 2,
+        "image_size": 32, "shuffle": False,
+    }, model=None)
+    assert dl.get_size_in_samples() == 3
+    batches = list(dl.iterate_one_epoch())
+    assert batches[0]["source_tensors"][0].shape == (2, 32, 32, 3)
+    assert np.asarray(batches[0]["target_tensors"][0]).tolist() == [0, 1]
