@@ -45,6 +45,7 @@ class RNNAttnDecoderModule(nn.Module):
     input_keep_prob: float
     output_keep_prob: float
     weight_tied: bool
+    sampling_prob: float
     dtype_: Any
     mode: str
 
@@ -176,14 +177,39 @@ class RNNAttnDecoderModule(nn.Module):
             dec_in = y[:, :-1]
             embs = jnp.take(embedding, dec_in, axis=0)     # (B,T,D)
 
-            def step(carry, e_t):
-                states, ctx = carry
-                states, h, ctx = cell_step(list(states), ctx, e_t,
-                                           memory, keys, mem_mask)
-                return (tuple(states), ctx), logits_of(h, ctx)
+            use_ss = train and self.sampling_prob > 0.0
+            if use_ss:
+                # scheduled sampling (reference `parts/rnns/helper.py`
+                # ScheduledEmbeddingTrainingHelper): with prob
+                # sampling_prob feed the model's own previous argmax
+                # instead of the teacher token
+                ss_rng = self.make_rng("dropout")
 
-            _, logits = jax.lax.scan(step, (init_states, init_ctx),
-                                     jnp.moveaxis(embs, 1, 0))
+                def step(carry, e_t):
+                    states, ctx, prev_emb, rng = carry
+                    rng, sub = jax.random.split(rng)
+                    coin = jax.random.bernoulli(
+                        sub, self.sampling_prob, (e_t.shape[0], 1))
+                    inp = jnp.where(coin, prev_emb, e_t)
+                    states, h, ctx = cell_step(list(states), ctx, inp,
+                                               memory, keys, mem_mask)
+                    logits = logits_of(h, ctx)
+                    pred_emb = jnp.take(embedding,
+                                        jnp.argmax(logits, -1), axis=0)
+                    return (tuple(states), ctx, pred_emb, rng), logits
+
+                init = (init_states, init_ctx, embs[:, 0], ss_rng)
+                _, logits = jax.lax.scan(step, init,
+                                         jnp.moveaxis(embs, 1, 0))
+            else:
+                def step(carry, e_t):
+                    states, ctx = carry
+                    states, h, ctx = cell_step(list(states), ctx, e_t,
+                                               memory, keys, mem_mask)
+                    return (tuple(states), ctx), logits_of(h, ctx)
+
+                _, logits = jax.lax.scan(step, (init_states, init_ctx),
+                                         jnp.moveaxis(embs, 1, 0))
             out["logits"] = jnp.moveaxis(logits, 0, 1)
             out["targets"] = y
 
@@ -273,6 +299,7 @@ class RNNDecoderWithAttention(Decoder):
             "weight_tied": bool,
             "beam_width": int,
             "length_penalty": float,
+            "sampling_prob": float,   # scheduled sampling
         })
 
     _default_beam_width = 1
@@ -299,6 +326,7 @@ class RNNDecoderWithAttention(Decoder):
             input_keep_prob=p.get("decoder_dp_input_keep_prob", 1.0),
             output_keep_prob=p.get("decoder_dp_output_keep_prob", 1.0),
             weight_tied=p.get("weight_tied", False),
+            sampling_prob=p.get("sampling_prob", 0.0),
             dtype_=dtype,
             mode=self._mode)
 

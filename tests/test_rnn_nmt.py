@@ -103,3 +103,16 @@ def test_gnmt_reversal_convergence(toy_data):
     eval_model = Text2Text(params=eval_cfg, mode="eval")
     metrics = trainer.evaluate_with_state(eval_model, result["state"])
     assert metrics["Eval BLEU"] > 80.0, metrics
+
+
+def test_scheduled_sampling_train_step(toy_data):
+    import jax
+    cfg = _config(toy_data, GNMTLikeEncoderWithEmbedding, "gnmt_v2",
+                  sampling_prob=0.5)
+    model = Text2Text(params=cfg, mode="train")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    _, metrics = jax.jit(model.train_step)(state, device_batch,
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
