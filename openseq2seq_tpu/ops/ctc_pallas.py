@@ -53,8 +53,8 @@ def _alpha_kernel(len_ref, extlen_ref, emit_ref, can_skip_ref,
     length = len_ref[b, 0]
     ext_len = extlen_ref[b, 0]
 
-    can_skip = can_skip_ref[0, :]
-    valid = valid_ref[0, :]
+    can_skip = can_skip_ref[b, :]
+    valid = valid_ref[b, :]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[0]
 
     # t = 0: alpha = emit[0] at s in {0, 1}, else -inf
@@ -97,8 +97,8 @@ def _beta_kernel(len_ref, extlen_ref, nll_ref, emit_ref, can_skip_ref,
     ext_len = extlen_ref[b, 0]
     logz = -nll_ref[b, 0]
 
-    can_skip = can_skip_ref[0, :]
-    valid = valid_ref[0, :]
+    can_skip = can_skip_ref[b, :]
+    valid = valid_ref[b, :]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[0]
     # skip transition INTO s+2 is allowed when can_skip[s+2]
     can_skip_fwd = pltpu.roll(can_skip, S - 2, 0)
@@ -179,9 +179,9 @@ def _run_forward(emit, can_skip, valid, logit_lengths, ext_len,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda b: (b, 0),
+            pl.BlockSpec((B, S), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda b: (b, 0),
+            pl.BlockSpec((B, S), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -215,9 +215,9 @@ def _run_backward(emit, can_skip, valid, logit_lengths, ext_len, nll,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda b: (b, 0),
+            pl.BlockSpec((B, S), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda b: (b, 0),
+            pl.BlockSpec((B, S), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
