@@ -133,7 +133,13 @@ class TDNNNet(nn.Module):
                 name = "conv{}_{}".format(li + 1, r + 1)
                 if self.use_conv_mask:
                     x = _mask_time(x, lengths)
-                if kind == "sep_conv1d":
+                if kind == "tcn":
+                    # causal temporal conv (reference parts/cnns/tcn.py)
+                    x = nn.Conv(ch, kernel_size=(k,), strides=(s,),
+                                kernel_dilation=(d,), padding="CAUSAL",
+                                dtype=self.dtype, param_dtype=jnp.float32,
+                                name=name)(x)
+                elif kind == "sep_conv1d":
                     in_ch = x.shape[-1]
                     x = nn.Conv(in_ch, kernel_size=(k,), strides=(s,),
                                 kernel_dilation=(d,), padding=padding,

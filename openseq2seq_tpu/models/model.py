@@ -370,6 +370,17 @@ class Model(abc.ABC):
 
         updates, new_opt_state = self.optimizer().update(
             grads, state.opt_state, state.params)
+        freeze_re = self._params.get("freeze_variables_regex")
+        if freeze_re:
+            # zero updates for matching parameter paths (reference
+            # `models/model.py` freeze_variables_regex semantics)
+            import re
+            pattern = re.compile(freeze_re)
+            flat = flax.traverse_util.flatten_dict(updates)
+            flat = {k: (jnp.zeros_like(v)
+                        if pattern.search("/".join(k)) else v)
+                    for k, v in flat.items()}
+            updates = flax.traverse_util.unflatten_dict(flat)
         new_params = optax.apply_updates(state.params, updates)
 
         lr_schedule = get_lr_schedule_from_config(self._params)

@@ -44,42 +44,41 @@ def _logaddexp(a, b):
 # ---------------------------------------------------------------------------
 def _alpha_kernel(len_ref, extlen_ref, emit_ref, can_skip_ref,
                   valid_ref, alphas_ref, nll_ref):
-    """Per-program: one batch row.
-    emit (1, T, S): emission logprobs at extended positions.
-    can_skip/valid (1, S): masks. alphas out (1, T, S); nll out (1, 1)."""
+    """Per-program: one batch row. All row vectors stay 2-D (1, S) —
+    Mosaic tiles (sublane, lane); 1-D vector ops are fragile.
+    emit (1, T, S): emission logprobs at extended positions."""
     T = emit_ref.shape[1]
     S = emit_ref.shape[2]
     b = pl.program_id(0)
     length = len_ref[b, 0]
     ext_len = extlen_ref[b, 0]
 
-    can_skip = can_skip_ref[b, :]
-    valid = valid_ref[b, :]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[0]
+    can_skip = can_skip_ref[pl.ds(b, 1), :]               # (1, S)
+    valid = valid_ref[pl.ds(b, 1), :]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
 
     # t = 0: alpha = emit[0] at s in {0, 1}, else -inf
-    init_mask = (pos <= jnp.minimum(ext_len - 1, 1)).astype(jnp.float32)
-    alpha0 = jnp.where(init_mask > 0, emit_ref[0, 0, :], NEG)
+    init_mask = (pos <= jnp.minimum(ext_len - 1, 1))
+    alpha0 = jnp.where(init_mask, emit_ref[:, 0, :], NEG)
     alpha0 = jnp.where(valid > 0, alpha0, NEG)
-    alphas_ref[0, 0, :] = alpha0
+    alphas_ref[:, 0, :] = alpha0
 
     def step(t, alpha):
-        emit_t = emit_ref[0, t, :]
-        shift1 = jnp.where(pos >= 1, pltpu.roll(alpha, 1, 0), NEG)
-        shift2 = jnp.where(pos >= 2, pltpu.roll(alpha, 2, 0), NEG)
+        emit_t = emit_ref[:, t, :]
+        shift1 = jnp.where(pos >= 1, pltpu.roll(alpha, 1, 1), NEG)
+        shift2 = jnp.where(pos >= 2, pltpu.roll(alpha, 2, 1), NEG)
         cand = _logaddexp(alpha, shift1)
         cand = jnp.where(can_skip > 0, _logaddexp(cand, shift2), cand)
         new = jnp.where(valid > 0, cand + emit_t, NEG)
         active = t < length
         new = jnp.where(active, new, alpha)
-        alphas_ref[0, t, :] = new
+        alphas_ref[:, t, :] = new
         return new
 
     jax.lax.fori_loop(1, T, step, alpha0)
 
-    final = alphas_ref[0, T - 1, :]
+    final = alphas_ref[:, T - 1, :]
     end_mask = jnp.logical_and(pos >= ext_len - 2, pos <= ext_len - 1)
-    end_mask = jnp.logical_and(end_mask, pos >= 0)
     score = jnp.where(end_mask, final, NEG)
     m = jnp.max(score)
     nll_ref[b, 0] = -(m + jnp.log(jnp.sum(jnp.exp(score - m))))
@@ -97,11 +96,11 @@ def _beta_kernel(len_ref, extlen_ref, nll_ref, emit_ref, can_skip_ref,
     ext_len = extlen_ref[b, 0]
     logz = -nll_ref[b, 0]
 
-    can_skip = can_skip_ref[b, :]
-    valid = valid_ref[b, :]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[0]
+    can_skip = can_skip_ref[pl.ds(b, 1), :]               # (1, S)
+    valid = valid_ref[pl.ds(b, 1), :]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     # skip transition INTO s+2 is allowed when can_skip[s+2]
-    can_skip_fwd = pltpu.roll(can_skip, S - 2, 0)
+    can_skip_fwd = pltpu.roll(can_skip, S - 2, 1)
     can_skip_fwd = jnp.where(pos < S - 2, can_skip_fwd, 0.0)
 
     # terminal beta at the last ACTIVE frame (t = length-1)
@@ -109,11 +108,11 @@ def _beta_kernel(len_ref, extlen_ref, nll_ref, emit_ref, can_skip_ref,
     beta_T = jnp.where(end_mask, 0.0, NEG)
 
     def write_grad(t, beta):
-        gamma = alphas_ref[0, t, :] + beta - logz
+        gamma = alphas_ref[:, t, :] + beta - logz
         g = -jnp.exp(jnp.maximum(gamma, -80.0))
         g = jnp.where(valid > 0, g, 0.0)
         g = jnp.where(t < length, g, 0.0)
-        grad_ref[0, t, :] = g
+        grad_ref[:, t, :] = g
 
     write_grad(T - 1, jnp.where(length == T, beta_T, NEG))
     # for padded frames t >= length, grad is 0 (handled in write_grad)
@@ -122,9 +121,9 @@ def _beta_kernel(len_ref, extlen_ref, nll_ref, emit_ref, can_skip_ref,
         t = T - 2 - i
         # beta at t from t+1 (only while t+1 < length; at t = length-1
         # beta is the terminal distribution)
-        nxt = beta + emit_ref[0, t + 1, :]
-        shift1 = jnp.where(pos < S - 1, pltpu.roll(nxt, S - 1, 0), NEG)
-        shift2 = jnp.where(pos < S - 2, pltpu.roll(nxt, S - 2, 0), NEG)
+        nxt = beta + emit_ref[:, t + 1, :]
+        shift1 = jnp.where(pos < S - 1, pltpu.roll(nxt, S - 1, 1), NEG)
+        shift2 = jnp.where(pos < S - 2, pltpu.roll(nxt, S - 2, 1), NEG)
         cand = _logaddexp(nxt, shift1)
         cand = jnp.where(can_skip_fwd > 0, _logaddexp(cand, shift2),
                          cand)
