@@ -117,3 +117,27 @@ def test_param_count_mixed_vs_fp32_identical(toy_speech_data):
     # params stay fp32 under the mixed policy
     assert all(x.dtype == np.float32 for x in
                jax.tree_util.tree_leaves(sbf.params))
+
+
+def test_freeze_variables_regex(toy_speech_data):
+    """Params matching the freeze regex must not change during training
+    (reference freeze_variables_regex)."""
+    import flax
+    m = _model(toy_speech_data, num_epochs=2,
+               overrides={"freeze_variables_regex": "conv1_1"})
+    batch = next(iter(m.get_data_layer().iterate_one_epoch()))
+    state = m.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    new_state, _ = jax.jit(m.train_step)(state, device_batch,
+                                         jax.random.PRNGKey(0))
+    flat0 = flax.traverse_util.flatten_dict(state.params)
+    flat1 = flax.traverse_util.flatten_dict(new_state.params)
+    frozen = [k for k in flat0 if "conv1_1" in "/".join(k)]
+    trained = [k for k in flat0 if "conv1_1" not in "/".join(k)
+               and "kernel" in k[-1]]
+    assert frozen and trained
+    for k in frozen:
+        np.testing.assert_array_equal(np.asarray(flat0[k]),
+                                      np.asarray(flat1[k]))
+    assert any(not np.allclose(np.asarray(flat0[k]),
+                               np.asarray(flat1[k])) for k in trained)
