@@ -102,6 +102,7 @@ class Model(abc.ABC):
             "profile_dir": str,           # jax.profiler trace output
             "use_xla_jit": bool,          # accepted for config parity;
                                           # everything is jitted anyway
+            "remat": bool,                # activation rematerialization
         }
 
     def __init__(self, params: Dict[str, Any], mode: str = "train",
@@ -323,9 +324,19 @@ class Model(abc.ABC):
         module = self.module()
         variables = {"params": params, **model_state}
         mutable = list(model_state.keys()) if train else False
-        out = module.apply(variables, batch, train=train,
-                           rngs={"dropout": dropout_rng},
-                           mutable=mutable)
+
+        def forward(variables_, batch_):
+            return module.apply(variables_, batch_, train=train,
+                                rngs={"dropout": dropout_rng},
+                                mutable=mutable)
+
+        if train and self._params.get("remat", False):
+            # rematerialize the forward pass during backprop: trades
+            # recompute FLOPs for activation HBM, enabling larger
+            # per-chip batches (the TPU replacement for the reference's
+            # memory-driven batch limits)
+            forward = jax.checkpoint(forward)
+        out = forward(variables, batch)
         if train:
             outputs, new_state = out
         else:

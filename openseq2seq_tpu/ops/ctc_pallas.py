@@ -4,7 +4,8 @@ The pure-XLA CTC in ``ops/ctc.py`` lowers the alpha recursion to a
 ``lax.scan`` with T sequential steps — T kernel launches' worth of
 per-step overhead for tiny (B, S) updates. Here the whole forward
 (alpha) and backward (beta/gamma) recursions run *inside* single Pallas
-kernels: one program per batch row, the (S,) state lives in VMEM, and
+kernels: each program owns R batch rows (R chosen to fill the VPU's 8
+sublanes within the VMEM budget), the (R, S) state lives in VMEM, and
 each time step is a handful of VPU ops (roll + logaddexp + add), so the
 loop runs at register/VMEM speed with no inter-step launch cost.
 
@@ -28,10 +29,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
+_VMEM_BUDGET = 12 * 1024 * 1024   # leave headroom below the ~16MB core
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _rows_per_program(B, T, S, arrays):
+    """Largest R in {8,4,2,1} dividing B whose blocks fit the budget;
+    ``arrays`` = number of (R,T,S) fp32 buffers resident at once."""
+    for r in (8, 4, 2, 1):
+        if B % r == 0 and arrays * r * T * S * 4 <= _VMEM_BUDGET:
+            return r
+    return 1
 
 
 def _logaddexp(a, b):
@@ -40,25 +51,24 @@ def _logaddexp(a, b):
 
 
 # ---------------------------------------------------------------------------
-# forward kernel: alpha recursion
+# forward kernel: alpha recursion over R batch rows per program
 # ---------------------------------------------------------------------------
-def _alpha_kernel(len_ref, extlen_ref, emit_ref, can_skip_ref,
+def _alpha_kernel(R, len_ref, extlen_ref, emit_ref, can_skip_ref,
                   valid_ref, alphas_ref, nll_ref):
-    """Per-program: one batch row. All row vectors stay 2-D (1, S) —
-    Mosaic tiles (sublane, lane); 1-D vector ops are fragile.
-    emit (1, T, S): emission logprobs at extended positions."""
+    """emit (R, T, S); len/extlen (B, 1) int32 VMEM; masks (B, S);
+    alphas out (R, T, S); nll out (B, 1) fp32 VMEM."""
     T = emit_ref.shape[1]
     S = emit_ref.shape[2]
     b = pl.program_id(0)
-    length = len_ref[b, 0]
-    ext_len = extlen_ref[b, 0]
-
-    can_skip = can_skip_ref[pl.ds(b, 1), :]               # (1, S)
-    valid = valid_ref[pl.ds(b, 1), :]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    row0 = b * R
+    length = len_ref[pl.ds(row0, R), :]                    # (R, 1)
+    ext_len = extlen_ref[pl.ds(row0, R), :]                # (R, 1)
+    can_skip = can_skip_ref[pl.ds(row0, R), :]             # (R, S)
+    valid = valid_ref[pl.ds(row0, R), :]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
 
     # t = 0: alpha = emit[0] at s in {0, 1}, else -inf
-    init_mask = (pos <= jnp.minimum(ext_len - 1, 1))
+    init_mask = pos <= jnp.minimum(ext_len - 1, 1)
     alpha0 = jnp.where(init_mask, emit_ref[:, 0, :], NEG)
     alpha0 = jnp.where(valid > 0, alpha0, NEG)
     alphas_ref[:, 0, :] = alpha0
@@ -70,35 +80,35 @@ def _alpha_kernel(len_ref, extlen_ref, emit_ref, can_skip_ref,
         cand = _logaddexp(alpha, shift1)
         cand = jnp.where(can_skip > 0, _logaddexp(cand, shift2), cand)
         new = jnp.where(valid > 0, cand + emit_t, NEG)
-        active = t < length
-        new = jnp.where(active, new, alpha)
+        new = jnp.where(t < length, new, alpha)            # freeze pads
         alphas_ref[:, t, :] = new
         return new
 
-    jax.lax.fori_loop(1, T, step, alpha0)
+    alpha_last = jax.lax.fori_loop(1, T, step, alpha0)
 
-    final = alphas_ref[:, T - 1, :]
     end_mask = jnp.logical_and(pos >= ext_len - 2, pos <= ext_len - 1)
-    score = jnp.where(end_mask, final, NEG)
-    m = jnp.max(score)
-    nll_ref[b, 0] = -(m + jnp.log(jnp.sum(jnp.exp(score - m))))
+    score = jnp.where(end_mask, alpha_last, NEG)
+    m = jnp.max(score, axis=1, keepdims=True)              # (R, 1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(score - m), axis=1,
+                              keepdims=True))
+    nll_ref[pl.ds(row0, R), :] = -lse
 
 
 # ---------------------------------------------------------------------------
 # backward kernel: beta-hat recursion -> gamma = alpha + beta - logZ
 # ---------------------------------------------------------------------------
-def _beta_kernel(len_ref, extlen_ref, nll_ref, emit_ref, can_skip_ref,
+def _beta_kernel(R, len_ref, extlen_ref, nll_ref, emit_ref, can_skip_ref,
                  valid_ref, alphas_ref, grad_ref):
     T = emit_ref.shape[1]
     S = emit_ref.shape[2]
     b = pl.program_id(0)
-    length = len_ref[b, 0]
-    ext_len = extlen_ref[b, 0]
-    logz = -nll_ref[b, 0]
-
-    can_skip = can_skip_ref[pl.ds(b, 1), :]               # (1, S)
-    valid = valid_ref[pl.ds(b, 1), :]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    row0 = b * R
+    length = len_ref[pl.ds(row0, R), :]                    # (R, 1)
+    ext_len = extlen_ref[pl.ds(row0, R), :]
+    logz = -nll_ref[pl.ds(row0, R), :]                     # (R, 1)
+    can_skip = can_skip_ref[pl.ds(row0, R), :]
+    valid = valid_ref[pl.ds(row0, R), :]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
     # skip transition INTO s+2 is allowed when can_skip[s+2]
     can_skip_fwd = pltpu.roll(can_skip, S - 2, 1)
     can_skip_fwd = jnp.where(pos < S - 2, can_skip_fwd, 0.0)
@@ -119,8 +129,6 @@ def _beta_kernel(len_ref, extlen_ref, nll_ref, emit_ref, can_skip_ref,
 
     def step(i, beta):
         t = T - 2 - i
-        # beta at t from t+1 (only while t+1 < length; at t = length-1
-        # beta is the terminal distribution)
         nxt = beta + emit_ref[:, t + 1, :]
         shift1 = jnp.where(pos < S - 1, pltpu.roll(nxt, S - 1, 1), NEG)
         shift2 = jnp.where(pos < S - 2, pltpu.roll(nxt, S - 2, 1), NEG)
@@ -165,18 +173,22 @@ def _prep(logprobs, logit_lengths, labels, label_lengths, blank_id):
     return emit, can_skip, valid, ext_len, onehot_ext, S_pad
 
 
+def _scalar_specs(B):
+    return pl.BlockSpec((B, 1), lambda b: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _run_forward(emit, can_skip, valid, logit_lengths, ext_len,
                  interpret):
     B, T, S = emit.shape
+    R = _rows_per_program(B, T, S, arrays=2)
     alphas, nll = pl.pallas_call(
-        _alpha_kernel,
-        grid=(B,),
+        functools.partial(_alpha_kernel, R),
+        grid=(B // R,),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, 1), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
+            _scalar_specs(B),
+            _scalar_specs(B),
+            pl.BlockSpec((R, T, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -184,10 +196,9 @@ def _run_forward(emit, can_skip, valid, logit_lengths, ext_len,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
+            pl.BlockSpec((R, T, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
+            _scalar_specs(B),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, T, S), jnp.float32),
@@ -202,26 +213,24 @@ def _run_forward(emit, can_skip, valid, logit_lengths, ext_len,
 def _run_backward(emit, can_skip, valid, logit_lengths, ext_len, nll,
                   alphas, interpret):
     B, T, S = emit.shape
+    R = _rows_per_program(B, T, S, arrays=3)
     grad = pl.pallas_call(
-        _beta_kernel,
-        grid=(B,),
+        functools.partial(_beta_kernel, R),
+        grid=(B // R,),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, 1), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, 1), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
+            _scalar_specs(B),
+            _scalar_specs(B),
+            _scalar_specs(B),
+            pl.BlockSpec((R, T, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
+            pl.BlockSpec((R, T, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, S), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((R, T, S), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, S), jnp.float32),
         interpret=interpret,

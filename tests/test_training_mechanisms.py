@@ -141,3 +141,25 @@ def test_freeze_variables_regex(toy_speech_data):
                                       np.asarray(flat1[k]))
     assert any(not np.allclose(np.asarray(flat0[k]),
                                np.asarray(flat1[k])) for k in trained)
+
+
+def test_remat_matches_plain(toy_speech_data):
+    """Activation rematerialization must not change the math."""
+    m_plain = _model(toy_speech_data, num_epochs=1)
+    m_remat = _model(toy_speech_data, num_epochs=1,
+                     overrides={"remat": True,
+                                "encoder_params": {
+                                    "dropout_keep_prob": 1.0}})
+    m_plain._params["encoder_params"]["dropout_keep_prob"] = 1.0
+    batch = next(iter(m_plain.get_data_layer().iterate_one_epoch()))
+    s1 = m_plain.init_state(batch)
+    s2 = m_remat.init_state(batch)
+    db = jax.tree_util.tree_map(np.asarray, batch)
+    rng = jax.random.PRNGKey(0)
+    _, met1 = jax.jit(m_plain.train_step)(s1, db, rng)
+    _, met2 = jax.jit(m_remat.train_step)(s2, db, rng)
+    np.testing.assert_allclose(float(met1["loss"]),
+                               float(met2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(met1["global_grad_norm"]),
+                               float(met2["global_grad_norm"]),
+                               rtol=1e-4)
