@@ -84,6 +84,7 @@ class Speech2TextDataLayer(DataLayer):
             "features_std_dev": np.ndarray,
             "max_batch_pad_time": int,
             "sort_by_duration": bool,
+            "map_parallel_calls": int,
         })
 
     def __init__(self, params, model, num_workers=1, worker_id=0):
@@ -214,28 +215,45 @@ class Speech2TextDataLayer(DataLayer):
         if p["shuffle"]:
             self._rng.shuffle(order)
 
-        examples: List[Dict[str, Any]] = []
-        for global_idx in order:
+        # featurize ahead with a thread pool (numpy FFT releases the
+        # GIL) — the reference's single-threaded tf.py_func featurizer
+        # was its acknowledged input bottleneck
+        # (`docs/speech-commands.rst:28`)
+        workers = max(int(p.get("map_parallel_calls", 4)), 1)
+        if p.get("augmentation") or p.get("dither", 0) > 0:
+            # the augmentation RNG is not thread-safe; keep featurization
+            # sequential when randomness is involved
+            workers = 1
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(global_idx):
             row = self._files[global_idx]
-            wav_path = row[0]
             try:
-                features, duration = self._featurize(wav_path)
+                features, duration = self._featurize(row[0])
             except (OSError, ValueError) as e:
+                return ("error", global_idx, e)
+            return ("ok", global_idx, features, duration, row)
+
+        examples: List[Dict[str, Any]] = []
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for result in pool.map(load, order, chunksize=4):
+                if result[0] == "error":
+                    if p["mode"] == "train":
+                        continue
+                    raise result[2]
+                _, global_idx, features, duration, row = result
                 if p["mode"] == "train":
-                    continue  # skip unreadable/mismatched files in training
-                raise
-            if p["mode"] == "train":
-                if 0 < p["max_duration"] < duration:
-                    continue
-                if duration < p["min_duration"]:
-                    continue
-            ex = {"x": features, "idx": int(global_idx)}
-            if p["mode"] != "infer":
-                ex["y"] = self._encode_transcript(str(row[1]))
-            examples.append(ex)
-            if len(examples) == batch_size:
-                yield self._collate(examples)
-                examples = []
+                    if 0 < p["max_duration"] < duration:
+                        continue
+                    if duration < p["min_duration"]:
+                        continue
+                ex = {"x": features, "idx": int(global_idx)}
+                if p["mode"] != "infer":
+                    ex["y"] = self._encode_transcript(str(row[1]))
+                examples.append(ex)
+                if len(examples) == batch_size:
+                    yield self._collate(examples)
+                    examples = []
         if examples:
             yield self._collate(examples, pad_batch_to=batch_size)
 
