@@ -182,11 +182,11 @@ class Model(abc.ABC):
         if mode == "train":
             size = self._data_layer.get_size_in_samples()
             if size > 0:
+                # steps are MICRObatch steps (the train loop's unit);
+                # with iter_size > 1 the optimizer advances every Nth —
+                # num_epochs still means full passes over the data
                 self._steps_in_epoch = max(
                     size // self._global_batch_size, 1)
-                if self._params["iter_size"] > 1:
-                    self._steps_in_epoch //= self._params["iter_size"]
-                    self._steps_in_epoch = max(self._steps_in_epoch, 1)
             if "num_epochs" in self._params:
                 if self._steps_in_epoch is None:
                     raise ValueError("num_epochs requires a sized data layer")
