@@ -103,5 +103,53 @@ class LSTMLM(EncoderDecoderModel):
                     f.write("{}\n".format(row))
         deco_print("Predictions saved to {}".format(output_file))
 
+    # ------------------------------------------------------------------
+    def generate(self, state, seed_tokens=None, num_tokens=50,
+                 temperature: float = 0.0, rng_seed: int = 0):
+        """Greedy / temperature-sampled text generation (reference
+        infer-mode generation, `models/lstm_lm.py` + ``seed_tokens`` /
+        ``num_tokens_gen`` encoder params). Re-runs the LM over the
+        growing prefix in a fixed-size buffer (one compilation)."""
+        import jax
+        import jax.numpy as jnp
+        dl = self.get_data_layer()
+        w2i = dl.corp.word2idx
+        i2w = dl.corp.idx2word
+        seed_tokens = seed_tokens or \
+            str(self._params.get("encoder_params", {})
+                .get("seed_tokens", "the")).split()
+        ids = [w2i.get(t, w2i.get("<unk>", 0)) for t in seed_tokens]
+        max_len = ((len(ids) + num_tokens + 7) // 8) * 8
+        buf = np.zeros((1, max_len), np.int32)
+        buf[0, :len(ids)] = ids
+
+        @jax.jit
+        def logits_at(x, pos):
+            variables = {"params": state.params, **state.model_state}
+            out = self.module().apply(
+                variables,
+                {"source_tensors": [x, jnp.full((1,), max_len,
+                                                jnp.int32)]},
+                train=False, rngs={"dropout": jax.random.PRNGKey(0)})
+            return jax.lax.dynamic_slice_in_dim(
+                out["decoder_output"]["logits"][0], pos, 1, axis=0)[0]
+
+        key = jax.random.PRNGKey(rng_seed)
+        pos = len(ids) - 1
+        for _ in range(num_tokens):
+            logits = logits_at(jnp.asarray(buf), pos)
+            if temperature > 0:
+                key, sub = jax.random.split(key)
+                nxt = int(jax.random.categorical(
+                    sub, logits / temperature))
+            else:
+                nxt = int(jnp.argmax(logits))
+            pos += 1
+            if pos >= max_len:
+                break
+            buf[0, pos] = nxt
+        return " ".join(i2w.get(int(i), "<unk>")
+                        for i in buf[0, :pos + 1])
+
     def _get_num_objects_per_step(self, batch):
         return int(np.sum(np.asarray(batch["source_tensors"][1])))

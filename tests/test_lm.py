@@ -117,3 +117,18 @@ def test_sst_classification_layer(tmp_path):
     batch = next(iter(dl.iterate_one_epoch()))
     assert batch["source_tensors"][0].shape[0] == 4
     assert set(np.asarray(batch["target_tensors"][0]).tolist()) <= {0, 1}
+
+
+@pytest.mark.slow
+def test_lm_generation(toy_wikitext, tmp_path):
+    """A LM trained on a deterministic cycle must continue it."""
+    model = LSTMLM(params=_lm_config(toy_wikitext, str(tmp_path),
+                                     num_epochs=30), mode="train")
+    result = trainer.train(model)
+    text = model.generate(result["state"], seed_tokens=["aa", "bb"],
+                          num_tokens=6)
+    words = text.split()
+    assert words[:2] == ["aa", "bb"]
+    # the cycle continues: cc dd ee ...
+    assert words[2] == "cc"
+    assert words[3] == "dd"
