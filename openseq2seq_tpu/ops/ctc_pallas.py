@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
-_VMEM_BUDGET = 12 * 1024 * 1024   # leave headroom below the ~16MB core
+_VMEM_BUDGET = 6 * 1024 * 1024    # blocks are double-buffered across
+                                  # grid steps: budget = ~16MB / 2 - slack
 
 
 def _round_up(x, m):
