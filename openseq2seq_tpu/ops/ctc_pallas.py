@@ -214,7 +214,10 @@ def _run_forward(emit, can_skip, valid, logit_lengths, ext_len,
 def _run_backward(emit, can_skip, valid, logit_lengths, ext_len, nll,
                   alphas, interpret):
     B, T, S = emit.shape
-    R = _rows_per_program(B, T, S, arrays=3)
+    # R > 1 currently trips a Mosaic compiler crash in the reverse
+    # loop; R = 1 is validated on hardware (and already beats the XLA
+    # scan on the grad path)
+    R = 1
     grad = pl.pallas_call(
         functools.partial(_beta_kernel, R),
         grid=(B // R,),
