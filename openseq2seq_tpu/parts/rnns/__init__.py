@@ -1,1 +1,1 @@
-from .rnn import LSTM, GRU, BiRNN, make_rnn
+from .rnn import LSTM, GRU, BiRNN, GLSTM, make_rnn

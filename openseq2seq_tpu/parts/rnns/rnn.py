@@ -161,3 +161,32 @@ def make_rnn(cell_type: str, hidden_size: int, unidirectional: bool,
             return GRU(hidden_size, dtype=dtype, name=name)
         raise ValueError("not supported rnn type: {}".format(cell_type))
     return BiRNN(hidden_size, cell_type=cell_type, dtype=dtype, name=name)
+
+
+class GLSTM(nn.Module):
+    """Group LSTM (reference `parts/rnns/utils.py` GLSTMCell, from
+    Kuchaiev & Ginsburg "Factorization Tricks for LSTM Networks"):
+    input and hidden state are split into ``num_groups`` slices, each
+    running an independent LSTM — parameter count and recurrent matmul
+    shrink by ~1/G while keeping the same width."""
+    hidden_size: int
+    num_groups: int = 4
+    reverse: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths, initial_state=None):
+        G = self.num_groups
+        if self.hidden_size % G or x.shape[-1] % G:
+            raise ValueError("hidden_size and input dim must divide "
+                             "num_groups")
+        outs, states = [], []
+        in_slices = jnp.split(x, G, axis=-1)
+        for g in range(G):
+            out, st = LSTM(self.hidden_size // G, reverse=self.reverse,
+                           dtype=self.dtype,
+                           name="group{}".format(g + 1))(
+                in_slices[g], lengths)
+            outs.append(out)
+            states.append(st)
+        return jnp.concatenate(outs, axis=-1), states

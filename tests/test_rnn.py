@@ -107,3 +107,22 @@ def test_ds2_encoder_forward(toy_speech_data):
     new_state, metrics = jax.jit(model.train_step)(
         state, device_batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_glstm_groups():
+    from openseq2seq_tpu.parts.rnns.rnn import GLSTM
+    B, T, D, H, G = 2, 5, 8, 8, 4
+    x = jnp.asarray(np.random.RandomState(5).randn(B, T, D), jnp.float32)
+    mod = GLSTM(H, num_groups=G)
+    vars_ = mod.init(jax.random.PRNGKey(0), x, jnp.asarray([5, 5]))
+    out, states = mod.apply(vars_, x, jnp.asarray([5, 5]))
+    assert out.shape == (B, T, H)
+    assert len(states) == G
+    # ~1/G the recurrent params of a full LSTM
+    n_params = sum(np.prod(p.shape) for p in
+                   jax.tree_util.tree_leaves(vars_))
+    full = LSTM(H)
+    fv = full.init(jax.random.PRNGKey(0), x, jnp.asarray([5, 5]))
+    n_full = sum(np.prod(p.shape) for p in
+                 jax.tree_util.tree_leaves(fv))
+    assert n_params < n_full
