@@ -54,7 +54,10 @@ class Text2Speech(EncoderDecoderModel):
         dec = output_values["outputs"]["decoder_output"]
         align = np.asarray(dec["alignments"])[:valid]
         sharpness = float(np.mean(np.max(align, axis=-1)))
-        return (loss * valid, valid, sharpness, align[0])
+        spec, spec_lens = dec["outputs"]
+        n = int(np.asarray(spec_lens)[0])
+        first_spec = np.asarray(spec)[0, :max(n, 1)]
+        return (loss * valid, valid, sharpness, align[0], first_spec)
 
     def finalize_evaluation(self, results_per_batch, training_step=None):
         total_loss = sum(r[0] for r in results_per_batch)
@@ -75,6 +78,19 @@ class Text2Speech(EncoderDecoderModel):
                 metrics["image/attention_alignment"] = plot_to_png(
                     first.T, xlabel="decoder step",
                     ylabel="encoder step")
+            except Exception:
+                pass
+        # Griffin-Lim synthesis of the first eval sample as an audio
+        # summary (the reference's tf.summary.audio in
+        # `models/text2speech.py:19-109`)
+        first_spec = next((r[4] for r in results_per_batch
+                           if len(r) > 4 and r[4] is not None), None)
+        if first_spec is not None and first_spec.shape[0] > 1:
+            try:
+                wav = self.synthesize_wav(first_spec)
+                peak = float(np.max(np.abs(wav))) or 1.0
+                sr = self.get_data_layer().params.get("sample_freq", 22050)
+                metrics["audio/synthesized"] = (wav / peak * 0.9, sr)
             except Exception:
                 pass
         return metrics

@@ -38,9 +38,16 @@ def _round_up(x, m):
 
 
 def _rows_per_program(B, T, S, arrays):
-    """Largest R in {8,4,2,1} dividing B whose blocks fit the budget;
-    ``arrays`` = number of (R,T,S) fp32 buffers resident at once."""
-    for r in (8, 4, 2, 1):
+    """Largest R dividing B whose blocks fit the budget; ``arrays`` =
+    number of (R,T,S) fp32 buffers resident at once.
+
+    R must be a multiple of 8 (the fp32 sublane count) or exactly 1:
+    the kernels slice full-array (B, S) refs at row offset
+    ``program_id * R``, and Mosaic rejects dynamic dim-0 indices it
+    cannot prove are 8-aligned ("cannot statically prove that index in
+    dimension 0 is a multiple of 8") — single-row slices lower through
+    a different path and are fine."""
+    for r in (32, 16, 8):
         if B % r == 0 and arrays * r * T * S * 4 <= _VMEM_BUDGET:
             return r
     return 1

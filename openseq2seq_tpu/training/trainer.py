@@ -134,6 +134,13 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
             summary_writer.add_scalars(
                 step, {"train/{}".format(k): v
                        for k, v in jax.device_get(metrics).items()})
+            if "variables" in params.get("summaries", ()):
+                import jax.tree_util as jtu
+                for path, leaf in jtu.tree_leaves_with_path(state.params):
+                    name = "/".join(str(getattr(p, "key", p)) for p in path)
+                    summary_writer.add_histogram(
+                        step, "variables/{}".format(name),
+                        jax.device_get(leaf))
 
         if step == bench_start:
             jax.block_until_ready(state.params)
@@ -157,6 +164,10 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
                         png, h, w = v
                         summary_writer.add_image(
                             step, "eval/{}".format(k[6:]), png, h, w)
+                    elif k.startswith("audio/") and isinstance(v, tuple):
+                        samples, rate = v
+                        summary_writer.add_audio(
+                            step, "eval/{}".format(k[6:]), samples, rate)
             if ckpt_mgr and "eval_loss" in eval_metrics:
                 ckpt_mgr.save_best(state, step, eval_metrics["eval_loss"])
 

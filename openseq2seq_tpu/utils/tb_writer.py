@@ -130,6 +130,32 @@ class SummaryWriter:
                 _field_bytes(5, value))
         self._write_record(body)
 
+    def add_histogram(self, step: int, tag: str, values):
+        """HistogramProto summary (reference logs variable/gradient
+        histograms when `summaries` includes 'variables'/'gradients',
+        `models/model.py` summary setup)."""
+        value = _field_bytes(1, _encode_histogram_value(tag, values))
+        body = (_field_double(1, time.time()) +
+                _field_varint(2, int(step)) +
+                _field_bytes(5, value))
+        self._write_record(body)
+
+    def add_audio(self, step: int, tag: str, samples, sample_rate: int):
+        """Audio summary from a float waveform in [-1, 1] (the reference's
+        Tacotron/WaveNet tf.summary.audio of eval synthesis)."""
+        wav = encode_wav(samples, sample_rate)
+        audio = (_field_float(1, float(sample_rate)) +
+                 _field_varint(2, 1) +
+                 _field_varint(3, len(samples)) +
+                 _field_bytes(4, wav) +
+                 _field_bytes(5, b"audio/wav"))
+        value = _field_bytes(
+            1, _field_bytes(1, tag.encode()) + _field_bytes(6, audio))
+        body = (_field_double(1, time.time()) +
+                _field_varint(2, int(step)) +
+                _field_bytes(5, value))
+        self._write_record(body)
+
     def close(self):
         self._f.close()
 
@@ -197,7 +223,7 @@ def _parse_summary(data: bytes):
             ln, i = _read_varint(data, i)
             tag, val = _parse_value(data[i:i + ln])
             i += ln
-            if tag is not None:
+            if tag is not None and val is not None:
                 out[tag] = val
         else:
             break
@@ -244,6 +270,57 @@ def _encode_image_value(tag: str, png: bytes, height: int,
     img = (_field_varint(1, height) + _field_varint(2, width) +
            _field_varint(3, 4) + _field_bytes(4, png))
     return _field_bytes(1, tag.encode()) + _field_bytes(4, img)
+
+
+def _packed_doubles(num: int, values) -> bytes:
+    payload = b"".join(struct.pack("<d", float(v)) for v in values)
+    return _varint(num << 3 | 2) + _varint(len(payload)) + payload
+
+
+def _encode_histogram_value(tag: str, values) -> bytes:
+    """Summary.Value with HistogramProto (field 5): {1:min 2:max 3:num
+    4:sum 5:sum_squares 6:bucket_limit[] 7:bucket[]} using TensorBoard's
+    exponential bucketing."""
+    import numpy as np
+
+    v = np.asarray(values, np.float64).ravel()
+    if v.size == 0:
+        v = np.zeros((1,), np.float64)
+    # exponential bucket edges, as tf.summary.histogram uses
+    limits = [1e-12]
+    while limits[-1] < 1e20:
+        limits.append(limits[-1] * 1.1)
+    edges = np.asarray([-x for x in reversed(limits)] + [0.0] + limits)
+    counts, _ = np.histogram(v, bins=np.concatenate(
+        [[-np.inf], edges, [np.inf]]))
+    # drop empty tail buckets; keep at least one
+    nz = np.nonzero(counts)[0]
+    hi = int(nz[-1]) + 1 if nz.size else 1
+    lo = int(nz[0]) if nz.size else 0
+    bucket_limits = np.concatenate([edges, [np.inf]])[lo:hi]
+    buckets = counts[lo:hi]
+    histo = (_field_double(1, float(v.min())) +
+             _field_double(2, float(v.max())) +
+             _field_double(3, float(v.size)) +
+             _field_double(4, float(v.sum())) +
+             _field_double(5, float((v * v).sum())) +
+             _packed_doubles(6, bucket_limits) +
+             _packed_doubles(7, buckets))
+    return _field_bytes(1, tag.encode()) + _field_bytes(5, histo)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """PCM16 mono WAV from a float waveform in [-1, 1] — replaces the
+    reference's scipy.io.wavfile use in `utils/utils.py` save paths."""
+    import numpy as np
+
+    x = np.clip(np.asarray(samples, np.float64), -1.0, 1.0)
+    pcm = (x * 32767.0).astype("<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE" +
+           b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                 sample_rate * 2, 2, 16) +
+           b"data" + struct.pack("<I", len(pcm)))
+    return hdr + pcm
 
 
 def plot_to_png(matrix, xlabel: str = "", ylabel: str = "") -> tuple:

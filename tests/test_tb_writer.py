@@ -83,3 +83,40 @@ def test_image_summary_roundtrip(tmp_path):
     # file parses without error and the scalar reader skips the image
     events = read_events(wtr.path)
     assert isinstance(events, list)
+
+
+def test_histogram_summary(tmp_path):
+    import numpy as np
+    from openseq2seq_tpu.utils.tb_writer import _encode_histogram_value
+    wtr = SummaryWriter(str(tmp_path))
+    vals = np.random.RandomState(0).randn(1000)
+    wtr.add_histogram(5, "w", vals)
+    wtr.close()
+    events = read_events(wtr.path)      # reader skips histos gracefully
+    assert isinstance(events, list)
+    # encoded histo carries correct count/sum stats
+    import struct as _s
+    enc = _encode_histogram_value("w", vals)
+    # field 5 (histo) starts after tag; find num (field 3, double)
+    # crude scan: all doubles in the message, one of them == len(vals)
+    doubles = [(_s.unpack("<d", enc[i:i + 8])[0])
+               for i in range(len(enc) - 8)]
+    assert any(abs(d - 1000.0) < 1e-9 for d in doubles)
+
+
+def test_audio_summary_and_wav(tmp_path):
+    import numpy as np
+    from openseq2seq_tpu.utils.tb_writer import encode_wav
+    t = np.linspace(0, 1, 8000)
+    sig = np.sin(2 * np.pi * 440 * t)
+    wav = encode_wav(sig, 8000)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    assert len(wav) == 44 + 2 * len(sig)
+    # sample rate in header
+    import struct as _s
+    assert _s.unpack("<I", wav[24:28])[0] == 8000
+    wtr = SummaryWriter(str(tmp_path))
+    wtr.add_audio(7, "synth", sig, 8000)
+    wtr.close()
+    events = read_events(wtr.path)
+    assert isinstance(events, list)
