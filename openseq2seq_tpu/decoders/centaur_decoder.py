@@ -39,6 +39,15 @@ class CentaurDecoderModule(nn.Module):
     infer_max_steps: int
     dtype_: Any
     mode: str
+    # windowed monotonic attention forcing at inference (reference
+    # `parts/transformer/attention_layer.py:160-181`): for forced
+    # layers, step t may only attend inside
+    # [pos_{t-1} - back_step_size, pos_{t-1} - back_step_size +
+    #  window_size) where pos_{t-1} is the previous step's alignment
+    # argmax per layer/head.
+    window_size: Any = None
+    back_step_size: int = 0
+    force_layers: Any = None    # tuple of layer indices, None = all
 
     def _build(self):
         """Create submodules once; shared by teacher pass and decode."""
@@ -83,8 +92,12 @@ class CentaurDecoderModule(nn.Module):
         }
         return mods
 
-    def _stack(self, mods, frames_in, memory, enc_mask, train, rng):
-        """frames_in (B, T, F) previous frames -> (frame_out, stop)."""
+    def _stack(self, mods, frames_in, memory, enc_mask, train, rng,
+               positions=None):
+        """frames_in (B, T, F) previous frames -> (frame_out, stop,
+        aligns) with aligns (L, B, nh, T, S) attention weights;
+        ``positions`` (L, B, nh, T) are per-query window bases for
+        monotonic forcing (None disables)."""
         B, T, F = frames_in.shape
         h = frames_in.astype(self.dtype_)
         for i, dense in enumerate(mods["prenets"]):
@@ -99,7 +112,8 @@ class CentaurDecoderModule(nn.Module):
 
         nh = self.attention_heads
         dh = self.hidden_size // nh
-        for blk in mods["blocks"]:
+        aligns = []
+        for li, blk in enumerate(mods["blocks"]):
             # causal conv sub-block
             y = blk["conv"](h)
             y = blk["bn"](y, use_running_average=not train)
@@ -116,7 +130,17 @@ class CentaurDecoderModule(nn.Module):
             logits = jnp.einsum("bqhd,bkhd->bhqk", q * dh ** -0.5, k,
                                 preferred_element_type=jnp.float32)
             logits = jnp.where(enc_mask[:, None, None, :], logits, _NEG)
+            if (positions is not None and self.window_size is not None
+                    and (self.force_layers is None
+                         or li in self.force_layers)):
+                wpos = jnp.maximum(
+                    positions[li] - self.back_step_size, 0)   # (B,nh,T)
+                k_idx = jnp.arange(logits.shape[-1])[None, None, None, :]
+                win = ((k_idx >= wpos[..., None]) &
+                       (k_idx < (wpos + self.window_size)[..., None]))
+                logits = jnp.where(win, logits, _NEG)
             w = jax.nn.softmax(logits, axis=-1)
+            aligns.append(w)
             w = nn.Dropout(rate=self.attention_dropout,
                            deterministic=not train)(w)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", w.astype(self.dtype_), v)
@@ -129,7 +153,7 @@ class CentaurDecoderModule(nn.Module):
         r = self.reduction_factor
         frame = frame.reshape(B, T * r, F)
         stop = stop.reshape(B, T * r)
-        return frame, stop
+        return frame, stop, jnp.stack(aligns).astype(jnp.float32)
 
     @nn.compact
     def __call__(self, input_dict: Dict[str, Any], train: bool):
@@ -156,12 +180,12 @@ class CentaurDecoderModule(nn.Module):
                 [jnp.zeros((B, 1, r * F)), grouped[:, :-1]], axis=1)
             dec_in = dec_in.reshape(B, (T // r), r, F)[:, :, -1, :]
             # feed last frame of each group (standard reduction trick)
-            frame, stop = self._stack(mods, dec_in, memory, enc_mask,
-                                      train, rng)
+            frame, stop, aligns = self._stack(mods, dec_in, memory,
+                                              enc_mask, train, rng)
             out.update({"decoder_spec": frame,
                         "post_net_spec": frame,
                         "stop_token_logits": stop,
-                        "alignments": jnp.zeros((B, 1, S)),
+                        "alignments": aligns[-1].mean(axis=1),
                         "lengths": spec_len,
                         "outputs": [frame, spec_len]})
 
@@ -171,7 +195,7 @@ class CentaurDecoderModule(nn.Module):
             if self.is_initializing():
                 # materialize params with one eager pass (no fori_loop
                 # param creation)
-                frame, stop = self._stack(
+                frame, stop, _ = self._stack(
                     mods, jnp.zeros((B, T_groups, F)), memory, enc_mask,
                     False, rng)
                 return {"decoder_spec": frame, "post_net_spec": frame,
@@ -180,10 +204,15 @@ class CentaurDecoderModule(nn.Module):
                         "lengths": jnp.ones((B,), jnp.int32),
                         "outputs": [frame, jnp.ones((B,), jnp.int32)]}
 
+            L = len(self.conv_layers)
+            nh = self.attention_heads
+            windowing = self.window_size is not None
+
             def body(i, buf):
-                frames_buf, stops_buf = buf
-                frame, stop = self._stack(mods, frames_buf, memory,
-                                          enc_mask, False, rng)
+                frames_buf, stops_buf, pos_buf = buf
+                frame, stop, aligns = self._stack(
+                    mods, frames_buf, memory, enc_mask, False, rng,
+                    positions=pos_buf if windowing else None)
                 # frame (B, T_groups*r, F): take group i output, write
                 # its LAST frame as input for group i+1
                 grp = jax.lax.dynamic_slice_in_dim(frame, i * r, r,
@@ -195,21 +224,30 @@ class CentaurDecoderModule(nn.Module):
                     stops_buf,
                     jax.lax.dynamic_slice_in_dim(stop, i * r, r, axis=1),
                     (0, i * r))
-                return (frames_buf, stops_buf)
+                # record step i's alignment argmax as step i+1's window
+                # base (reference `centaur_decoder.py:511-517`)
+                new_pos = jnp.argmax(
+                    jax.lax.dynamic_slice_in_dim(aligns, i, 1, axis=3),
+                    axis=-1).astype(jnp.int32)          # (L,B,nh,1)
+                pos_buf = jax.lax.dynamic_update_slice(
+                    pos_buf, new_pos, (0, 0, 0, i + 1))
+                return (frames_buf, stops_buf, pos_buf)
 
             frames_buf = jnp.zeros((B, T_groups, F))
             stops_buf = jnp.zeros((B, T_groups * r))
-            frames_buf, stops_buf = jax.lax.fori_loop(
-                0, T_groups - 1, body, (frames_buf, stops_buf))
-            frame, stop = self._stack(mods, frames_buf, memory,
-                                      enc_mask, False, rng)
+            pos_buf = jnp.zeros((L, B, nh, T_groups), jnp.int32)
+            frames_buf, stops_buf, pos_buf = jax.lax.fori_loop(
+                0, T_groups - 1, body, (frames_buf, stops_buf, pos_buf))
+            frame, stop, aligns = self._stack(
+                mods, frames_buf, memory, enc_mask, False, rng,
+                positions=pos_buf if windowing else None)
             stopped = jax.nn.sigmoid(stop) > 0.5
             seen = jnp.cumsum(stopped.astype(jnp.int32), axis=1)
             out_len = jnp.sum((seen == 0).astype(jnp.int32), axis=1)
             out_len = jnp.clip(out_len + 1, 1, frame.shape[1])
             out.update({"decoder_spec": frame, "post_net_spec": frame,
                         "stop_token_logits": stop,
-                        "alignments": jnp.zeros((B, 1, S)),
+                        "alignments": aligns[-1].mean(axis=1),
                         "lengths": out_len,
                         "outputs": [frame, out_len]})
         return out
@@ -271,4 +309,8 @@ class CentaurDecoder(Decoder):
             reduction_factor=p.get("reduction_factor", 1),
             infer_max_steps=p.get("infer_max_steps", 200),
             dtype_=dtype,
-            mode=self._mode)
+            mode=self._mode,
+            window_size=p.get("window_size"),
+            back_step_size=p.get("back_step_size", 0),
+            force_layers=(tuple(p["force_layers"])
+                          if "force_layers" in p else None))

@@ -5,9 +5,10 @@ connections, conditioned on upsampled mel features; produces logits
 over quantization channels (the decoder is a pass-through).
 
 Training is fully parallel (teacher-forced over the whole waveform —
-one batched conv program, ideal for the MXU). Naive autoregressive
-generation is provided for synthesis via repeated forward passes
-(fast-generation queues are a perf-round item).
+one batched conv program, ideal for the MXU). Synthesis uses
+fast-WaveNet generation (`wavenet_generate`): per-layer ring-buffer
+queues inside one `lax.scan`, so each sample costs only the per-layer
+tap matmuls instead of a full receptive-field re-run.
 """
 from __future__ import annotations
 
@@ -110,6 +111,110 @@ class WavenetNet(nn.Module):
                 "audio_len": audio_len,
                 "outputs": [labels, mu_law_decode(
                     jnp.argmax(logits, axis=-1), Q)]}
+
+
+def wavenet_generate(net_params, n_samples: int, *, blocks: int,
+                     layers_per_block: int, kernel_size: int,
+                     quantization_channels: int, conditioning=None,
+                     batch_size: int = 1, temperature: float = 0.0,
+                     rng=None):
+    """Fast-WaveNet autoregressive synthesis (reference runs the naive
+    per-sample session loop, `models/text2speech_wavenet.py`): each
+    dilated layer keeps a ring buffer of its last ``d*(K-1)+1`` inputs;
+    one `lax.scan` step advances every queue and emits one sample.
+
+    Args:
+      net_params: the trained ``WavenetNet`` param subtree (the dict
+        holding "entry", "b{i}_l{j}_*", "post1", "post2").
+      conditioning: optional (B, T, F_mel) mel features; upsampled by
+        repetition to ``n_samples``.
+      temperature: 0 -> argmax decoding, otherwise softmax sampling.
+
+    Returns (ids, audio, logits): (B, n_samples) int ids, the mu-law
+    decoded float waveform, and the per-step logits (B, n_samples, Q).
+    """
+    K = kernel_size
+    Q = quantization_channels
+    p = net_params
+    entry_k = jnp.asarray(p["entry"]["kernel"])      # (K, Q, F)
+    entry_b = jnp.asarray(p["entry"]["bias"])
+    F = entry_k.shape[-1]
+    B = batch_size
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    specs = []
+    for b in range(blocks):
+        for l in range(layers_per_block):
+            name = "b{}_l{}".format(b + 1, l + 1)
+            specs.append((name, 2 ** l))
+
+    if conditioning is not None:
+        cond = jnp.asarray(conditioning, jnp.float32)
+        ratio = max(n_samples // cond.shape[1], 1)
+        cond = jnp.repeat(cond, ratio, axis=1)[:, :n_samples]
+        pad = n_samples - cond.shape[1]
+        if pad > 0:
+            cond = jnp.pad(cond, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        # pre-apply the per-layer 1x1 conditioning convs outside the
+        # scan: one big matmul per layer instead of one per sample
+        cond_proj = jnp.stack(
+            [cond @ jnp.asarray(p[n + "_cond"]["kernel"])[0] +
+             jnp.asarray(p[n + "_cond"]["bias"]) for n, _ in specs])
+    else:
+        cond_proj = jnp.zeros((len(specs), B, n_samples, 2 * F))
+
+    entry_buf0 = jnp.zeros((B, K, Q))
+    layer_bufs0 = tuple(jnp.zeros((B, d * (K - 1) + 1, F))
+                        for _, d in specs)
+    prev0 = jnp.full((B,), Q // 2, jnp.int32)
+
+    w_dil = [jnp.asarray(p[n + "_dilated"]["kernel"]) for n, _ in specs]
+    b_dil = [jnp.asarray(p[n + "_dilated"]["bias"]) for n, _ in specs]
+    w_res = [jnp.asarray(p[n + "_res"]["kernel"])[0] for n, _ in specs]
+    b_res = [jnp.asarray(p[n + "_res"]["bias"]) for n, _ in specs]
+    w_skip = [jnp.asarray(p[n + "_skip"]["kernel"])[0] for n, _ in specs]
+    b_skip = [jnp.asarray(p[n + "_skip"]["bias"]) for n, _ in specs]
+    w_p1 = jnp.asarray(p["post1"]["kernel"])[0]
+    b_p1 = jnp.asarray(p["post1"]["bias"])
+    w_p2 = jnp.asarray(p["post2"]["kernel"])[0]
+    b_p2 = jnp.asarray(p["post2"]["bias"])
+
+    def step(carry, inp):
+        prev, entry_buf, layer_bufs, key = carry
+        cond_t = inp                                 # (L, B, 2F)
+        x = jax.nn.one_hot(prev, Q)
+        entry_buf = jnp.concatenate([entry_buf[:, 1:], x[:, None]],
+                                    axis=1)
+        h = jnp.einsum("bkq,kqf->bf", entry_buf, entry_k) + entry_b
+        skips = jnp.zeros((B, F))
+        new_bufs = []
+        for i, (_, d) in enumerate(specs):
+            buf = jnp.concatenate([layer_bufs[i][:, 1:], h[:, None]],
+                                  axis=1)
+            new_bufs.append(buf)
+            taps = buf[:, ::d]                       # (B, K, F)
+            g = (jnp.einsum("bkf,kfg->bg", taps, w_dil[i]) + b_dil[i] +
+                 cond_t[i])
+            filt, gate = jnp.split(g, 2, axis=-1)
+            z = jnp.tanh(filt) * jax.nn.sigmoid(gate)
+            h = h + z @ w_res[i] + b_res[i]
+            skips = skips + z @ w_skip[i] + b_skip[i]
+        out = jax.nn.relu(skips) @ w_p1 + b_p1
+        logits = jax.nn.relu(out) @ w_p2 + b_p2      # (B, Q)
+        key, sub = jax.random.split(key)
+        if temperature > 0.0:
+            nxt = jax.random.categorical(sub, logits / temperature,
+                                         axis=-1).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, entry_buf, tuple(new_bufs), key), (nxt, logits)
+
+    xs = jnp.moveaxis(cond_proj, 2, 0)               # (T, L, B, 2F)
+    _, (ids, logits) = jax.lax.scan(
+        step, (prev0, entry_buf0, layer_bufs0, rng), xs)
+    ids = jnp.moveaxis(ids, 0, 1)                    # (B, T)
+    return ids, mu_law_decode(ids, Q), jnp.moveaxis(logits, 0, 1)
 
 
 class WavenetEncoder(Encoder):

@@ -170,8 +170,28 @@ class Text2SpeechTacotron(Text2Speech):
 class Text2SpeechWavenet(Text2Speech):
     """WaveNet vocoder task model (reference
     `models/text2speech_wavenet.py`): loss-only eval; infer emits the
-    teacher-forced reconstruction (fast autoregressive generation is a
-    perf-round item)."""
+    teacher-forced reconstruction, ``generate`` runs true fast-WaveNet
+    autoregressive synthesis."""
+
+    def generate(self, state, conditioning=None, n_samples=16000,
+                 temperature: float = 0.0, rng=None):
+        """Autoregressive synthesis with per-layer queues (see
+        `encoders/wavenet_encoder.py::wavenet_generate`).
+
+        conditioning: optional (B, T_mel, F) mel features. Returns the
+        (B, n_samples) float waveform."""
+        from ..encoders.wavenet_encoder import wavenet_generate
+        ep = self.params["encoder_params"]
+        B = conditioning.shape[0] if conditioning is not None else 1
+        _, audio, _ = wavenet_generate(
+            state.params["enc"]["net"], n_samples,
+            blocks=ep["blocks"],
+            layers_per_block=ep["layers_per_block"],
+            kernel_size=ep["kernel_size"],
+            quantization_channels=ep["quantization_channels"],
+            conditioning=conditioning, batch_size=B,
+            temperature=temperature, rng=rng)
+        return np.asarray(audio)
 
     def _create_decoder(self):
         # encoder emits logits directly; FakeDecoder passes through

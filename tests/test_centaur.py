@@ -61,3 +61,35 @@ def test_centaur_train_step_and_infer(toy_lj):
     spec, lengths = out["outputs"]["decoder_output"]["outputs"]
     assert spec.shape[2] == 20
     assert np.all(np.asarray(lengths) >= 1)
+
+
+def test_centaur_windowed_monotonic_attention(toy_lj):
+    """window_size=1 / back_step_size=0 on a single head confines each
+    inference step's attention to exactly one encoder position — the
+    returned alignment rows must be one-hot (reference
+    `parts/transformer/attention_layer.py:160-181` forcing)."""
+    cfg = _centaur_config(toy_lj)
+    cfg["decoder_params"]["attention_heads"] = 1
+    cfg["decoder_params"]["window_size"] = 1
+    cfg["decoder_params"]["back_step_size"] = 0
+    model = Text2Speech(params=cfg, mode="train")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+
+    infer_model = Text2Speech(params=cfg, mode="infer")
+    infer_batch = dict(device_batch)
+    infer_batch.pop("target_tensors")
+    out = jax.jit(infer_model.eval_step)(state, infer_batch)
+    align = np.asarray(out["outputs"]["decoder_output"]["alignments"])
+    assert align.ndim == 3                      # (B, T_groups, S)
+    np.testing.assert_allclose(align.sum(-1), 1.0, rtol=1e-4)
+    assert np.all(align.max(axis=-1) > 0.999)
+
+    # without forcing, inference attention is generally soft
+    cfg2 = _centaur_config(toy_lj)
+    cfg2["decoder_params"]["attention_heads"] = 1
+    free_model = Text2Speech(params=cfg2, mode="infer")
+    out2 = jax.jit(free_model.eval_step)(state, infer_batch)
+    align2 = np.asarray(out2["outputs"]["decoder_output"]["alignments"])
+    assert align2.max(axis=-1).min() < 0.999

@@ -127,3 +127,47 @@ def test_wavenet_loss_decreases(toy_wavenet_data):
                                mode="train")
     result = trainer.train(model)
     assert float(result["last_metrics"]["loss"]) < 3.0
+
+
+def test_wavenet_fast_generation_matches_parallel(toy_wavenet_data):
+    """Fast-WaveNet queue generation == teacher-forcing the generated
+    sequence through the parallel conv net (exact same logits)."""
+    import jax
+    from openseq2seq_tpu.encoders.wavenet_encoder import wavenet_generate
+
+    model = Text2SpeechWavenet(params=_config(toy_wavenet_data),
+                               mode="train")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+
+    ep = model.params["encoder_params"]
+    mel = device_batch["source_tensors"][2][:, :8]    # (B, 8, 20)
+    n = 64
+    ids, audio, gen_logits = jax.jit(
+        lambda p, c: wavenet_generate(
+            p, n, blocks=ep["blocks"],
+            layers_per_block=ep["layers_per_block"],
+            kernel_size=ep["kernel_size"],
+            quantization_channels=ep["quantization_channels"],
+            conditioning=c, batch_size=2))(
+                state.params["enc"]["net"], mel)
+    assert ids.shape == (2, n) and audio.shape == (2, n)
+
+    # teacher-force the generated waveform through the parallel net
+    variables = {"params": state.params, **state.model_state}
+    par_batch = dict(device_batch)
+    par_batch["source_tensors"] = [np.asarray(audio),
+                                   np.full((2,), n, np.int32),
+                                   np.asarray(mel)]
+    out = model.module().apply(variables, par_batch, train=False)
+    par_logits = np.asarray(out["encoder_output"]["logits"])
+    np.testing.assert_allclose(np.asarray(gen_logits), par_logits,
+                               atol=2e-4, rtol=1e-3)
+    # and the mu-law round trip preserved the ids the net saw
+    np.testing.assert_array_equal(
+        np.asarray(out["encoder_output"]["labels"]), np.asarray(ids))
+
+    # model-level API
+    wav = model.generate(state, conditioning=mel, n_samples=32)
+    assert wav.shape == (2, 32) and np.all(np.isfinite(wav))
