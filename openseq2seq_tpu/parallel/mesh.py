@@ -12,6 +12,7 @@ config without API changes (the reference has no TP at all — SURVEY §2.2).
 """
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -75,6 +76,63 @@ def shard_batch(batch, mesh: Mesh):
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel parameter layouts (megatron-style; no reference
+# counterpart — OpenSeq2Seq has no TP at all, SURVEY §2.2)
+# ---------------------------------------------------------------------------
+# Matched against "/"-joined parameter paths. Column-parallel layers
+# (qkv / q / k / v projections, the ffn expansion) shard their OUTPUT
+# features so the following row-parallel layer (attention out / ffn
+# output) consumes the shard it owns and XLA inserts one psum per
+# block. Embeddings are vocab-sharded. GSPMD guarantees the math is
+# unchanged — specs only pick the layout.
+DEFAULT_TP_RULES = (
+    (r"(qkv|/q|/k|/v|filter)/kernel$", P(None, MODEL_AXIS)),
+    (r"(qkv|/q|/k|/v|filter)/bias$", P(MODEL_AXIS)),
+    (r"(out|output)/kernel$", P(MODEL_AXIS, None)),
+    (r"embedding/embedding$", P(MODEL_AXIS, None)),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        for attr in ("key", "name", "idx"):
+            if hasattr(k, attr):
+                parts.append(str(getattr(k, attr)))
+                break
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def tp_state_sharding(state, mesh: Mesh, rules=DEFAULT_TP_RULES):
+    """Per-leaf NamedSharding pytree for a TrainState: TP rules applied
+    by parameter name (optimizer moments mirror the param tree names,
+    so they pick up the same layout), everything else replicated.
+    Falls back to fully replicated when the model axis has size 1 or a
+    shape doesn't divide."""
+    msize = mesh.shape[MODEL_AXIS]
+
+    def spec_for(path, leaf):
+        if msize == 1 or not hasattr(leaf, "ndim") or leaf.ndim == 0:
+            return P()
+        name = _path_str(path)
+        for pat, spec in rules:
+            if re.search(pat, name):
+                for dim, ax in enumerate(spec):
+                    if ax == MODEL_AXIS and (
+                            dim >= leaf.ndim or
+                            leaf.shape[dim] % msize != 0):
+                        break
+                else:
+                    return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, l: NamedSharding(mesh, spec_for(p, l)), state)
 
 
 def eval_shard_bounds(total: int, num_workers: int, worker_id: int):

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import make_mesh, replicated_sharding, shard_batch
+from ..parallel.mesh import (make_mesh, replicated_sharding, shard_batch,
+                             tp_state_sharding)
 from ..utils.logging import deco_print
 from .checkpoint import CheckpointManager
 
@@ -51,10 +52,13 @@ def restore_state(model, checkpoint: Optional[str] = None):
         example_batch = dl.create_interactive_batch(
             (np.zeros(sr, np.float32), sr))
     state = model.init_state(example_batch)
-    state = jax.device_put(state, replicated_sharding(mesh))
+    # TP param layouts by name (no-op replication when the model axis
+    # has size 1); optimizer moments inherit the same specs
+    state_sharding = tp_state_sharding(state, mesh)
+    state = jax.device_put(state, state_sharding)
     if checkpoint:
         state = CheckpointManager.restore(checkpoint, state)
-        state = jax.device_put(state, replicated_sharding(mesh))
+        state = jax.device_put(state, state_sharding)
     elif model.params.get("load_model"):
         # transfer learning: partial restore of matching tensors
         from ..utils.config import _latest_checkpoint
@@ -62,7 +66,7 @@ def restore_state(model, checkpoint: Optional[str] = None):
             model.params["load_model"]
         params = CheckpointManager.restore_params_partial(base, state.params)
         state = state.replace(params=jax.device_put(
-            params, replicated_sharding(mesh)))
+            params, tp_state_sharding(state, mesh).params))
     return state
 
 

@@ -105,3 +105,51 @@ def test_graft_entry_compiles():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_tensor_parallel_matches_single_device(tmp_path):
+    """Megatron-style TP layouts (tp_state_sharding) are layout-only:
+    a (2 data x 4 model) mesh must reproduce the single-device loss and
+    grad norm, and the qkv/ffn kernels must actually be sharded over
+    the model axis."""
+    from openseq2seq_tpu.parallel.mesh import tp_state_sharding
+    from openseq2seq_tpu.test_utils import toy_nmt
+    from openseq2seq_tpu.models import Text2Text
+
+    data = toy_nmt.generate(str(tmp_path))
+
+    def build(mesh, bs):
+        cfg = toy_nmt.transformer_toy_config(data, num_epochs=1)
+        cfg["batch_size_per_gpu"] = bs
+        for k in ("attention_dropout", "relu_dropout",
+                  "layer_postprocess_dropout"):
+            cfg["encoder_params"][k] = 0.0
+            cfg["decoder_params"][k] = 0.0
+        return Text2Text(params=cfg, mode="train", mesh=mesh)
+
+    mesh1 = make_mesh(num_data=1, num_model=1, devices=jax.devices()[:1])
+    mesh_tp = make_mesh(num_data=2, num_model=4)
+    m1 = build(mesh1, 8)
+    mtp = build(mesh_tp, 4)
+    batch = next(iter(m1.get_data_layer().iterate_one_epoch()))
+    s1 = m1.init_state(batch)
+    stp = mtp.init_state(batch)
+
+    rng = jax.random.PRNGKey(0)
+    b1 = jax.device_put(batch, replicated_sharding(mesh1))
+    _, metrics1 = jax.jit(m1.train_step)(s1, b1, rng)
+
+    stp = jax.device_put(stp, tp_state_sharding(stp, mesh_tp))
+    # qkv kernel really lives sharded over the model axis
+    qkv = stp.params["enc"]["self_attns_0"]["qkv"]["kernel"]
+    assert "model" in jax.tree_util.tree_leaves_with_path(
+        [qkv.sharding.spec])[0][1] or "model" in str(qkv.sharding.spec)
+    assert qkv.sharding.spec != replicated_sharding(mesh_tp).spec
+    btp = shard_batch(batch, mesh_tp)
+    _, metrics_tp = jax.jit(mtp.train_step)(stp, btp, rng)
+
+    np.testing.assert_allclose(float(metrics1["loss"]),
+                               float(metrics_tp["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(metrics1["global_grad_norm"]),
+                               float(metrics_tp["global_grad_norm"]),
+                               rtol=1e-3)
