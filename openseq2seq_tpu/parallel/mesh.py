@@ -52,6 +52,8 @@ def mesh_from_config(config: Dict[str, Any]) -> Mesh:
     optional key; data axis gets the rest of the devices)."""
     num_model = int(config.get("num_model_partitions", 1))
     num_data = config.get("num_data_partitions", None)
+    if not num_data:          # 0 / None -> auto (all remaining devices)
+        num_data = None
     return make_mesh(num_data=num_data, num_model=num_model)
 
 

@@ -62,7 +62,14 @@ def get_base_config(argv) -> Tuple[argparse.Namespace, Dict[str, Any], type, Dic
     if base_model is None:
         raise ValueError("base_model class has to be defined in the config file")
 
-    # expose every scalar leaf of base_params as a CLI flag
+    # expose every scalar leaf of base_params as a CLI flag; also a few
+    # schema-optional top-level keys that configs commonly omit, so
+    # e.g. --num_model_partitions works without editing the config
+    for key, default in (("num_model_partitions", 1),
+                         ("num_data_partitions", 0),   # 0 = auto
+                         ("iter_size", 1),
+                         ("random_seed", 0)):
+        base_config.setdefault(key, default)
     override_parser = argparse.ArgumentParser()
     for path, value in flatten_dict(base_config).items():
         if isinstance(value, bool):
