@@ -10,8 +10,9 @@ artifact. ``export_inference_fn`` serializes the model's eval step
 runs on any JAX backend of the same or newer version — no Python model
 code needed at serving time.
 
-INT8 calibration (the TF-TRT extra) maps to quantization passes over
-the exported module and is planned with the quantization work.
+INT8 (the TF-TRT extra) lives in ``serving/quantize.py``: weight-only
+int8 export with per-channel scales plus TF-TRT-style activation-range
+calibration.
 """
 from __future__ import annotations
 
