@@ -428,6 +428,11 @@ class Model(abc.ABC):
             step, float(metrics["loss"]), float(metrics["learning_rate"])),
             offset=4)
 
+    def print_samples(self, input_values, output_values, step: int) -> None:
+        """Print a sample prediction from the current train batch every
+        ``print_samples_steps`` (the reference's PrintSamplesHook,
+        `utils/hooks.py:120-160`). Task models override."""
+
     def evaluate(self, input_values, output_values):
         """Accumulate per-batch eval results (host side, numpy)."""
         return []

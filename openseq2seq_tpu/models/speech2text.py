@@ -122,6 +122,22 @@ class Speech2Text(EncoderDecoderModel):
     def maybe_print_logs(self, metrics, step):
         super().maybe_print_logs(metrics, step)
 
+    def print_samples(self, input_values, output_values, step):
+        """First-sample target vs greedy prediction + sample WER
+        (reference `models/speech2text.py:maybe_print_logs`)."""
+        dec = output_values["outputs"]["decoder_output"]
+        if "outputs" not in dec:
+            return
+        hyp = self._decode_batch(dec["outputs"])[0]
+        labels, label_lens = input_values["target_tensors"]
+        ref = self.get_data_layer().decode_ids(
+            labels[0][:int(label_lens[0])])
+        wer = levenshtein(ref.split(), hyp.split()) / \
+            max(len(ref.split()), 1)
+        deco_print("Sample WER: {:.4f}".format(wer), offset=4)
+        deco_print("Sample target:     {}".format(ref), offset=4)
+        deco_print("Sample prediction: {}".format(hyp), offset=4)
+
     def _get_num_objects_per_step(self, batch):
         # audio frames processed (reference `models/speech2text.py:356-360`)
         return int(np.sum(np.asarray(batch["source_tensors"][1])))

@@ -58,6 +58,22 @@ class Text2Text(EncoderDecoderModel):
         return [dl.decode_ids(row[:int(n)])
                 for row, n in zip(np.asarray(ids), np.asarray(lengths))]
 
+    def print_samples(self, input_values, output_values, step):
+        """First-sample source/target/prediction (reference
+        `models/text2text.py:maybe_print_logs`)."""
+        dec_out = output_values["outputs"]["decoder_output"]
+        if "outputs" not in dec_out:
+            return
+        dl = self.get_data_layer()
+        x, x_len = input_values["source_tensors"][:2]
+        y, y_len = input_values["target_tensors"][:2]
+        src = dl.decode_ids(x[0][:int(x_len[0])], side="src")
+        ref = dl.decode_ids(y[0][:int(y_len[0])])
+        hyp = self._decode_batch(dec_out["outputs"])[0]
+        deco_print("Sample source:     {}".format(src), offset=4)
+        deco_print("Sample target:     {}".format(ref), offset=4)
+        deco_print("Sample prediction: {}".format(hyp), offset=4)
+
     def evaluate(self, input_values, output_values):
         valid = int(input_values.get(
             "batch_valid", input_values["source_tensors"][0].shape[0]))

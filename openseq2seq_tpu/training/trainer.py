@@ -134,6 +134,15 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
             step_times.append(time.time() - t0)
             train_model.maybe_print_logs(fetch_metrics, step)
 
+        print_samples_steps = params.get("print_samples_steps")
+        if print_samples_steps and step % print_samples_steps == 0:
+            # forward the current train batch once more and show a
+            # sample prediction (reference PrintSamplesHook)
+            sample_out = _jitted_eval_fn(train_model)(state, device_batch)
+            train_model.print_samples(
+                jax.tree_util.tree_map(np.asarray, batch),
+                jax.device_get(sample_out), step)
+
         if summary_writer and step % save_summaries_steps == 0:
             summary_writer.add_scalars(
                 step, {"train/{}".format(k): v

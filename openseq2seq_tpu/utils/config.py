@@ -68,7 +68,8 @@ def get_base_config(argv) -> Tuple[argparse.Namespace, Dict[str, Any], type, Dic
     for key, default in (("num_model_partitions", 1),
                          ("num_data_partitions", 0),   # 0 = auto
                          ("iter_size", 1),
-                         ("random_seed", 0)):
+                         ("random_seed", 0),
+                         ("print_samples_steps", 0)):  # 0 = off
         base_config.setdefault(key, default)
     override_parser = argparse.ArgumentParser()
     for path, value in flatten_dict(base_config).items():
