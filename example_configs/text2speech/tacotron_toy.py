@@ -33,7 +33,8 @@ base_params = {
     "eval_steps": 20,
     "save_checkpoint_steps": None,
     "save_summaries_steps": 10,
-    "summaries": ["learning_rate", "variables"],
+    "summaries": ["learning_rate", "variables", "gradients",
+                  "gradient_norm", "variable_norm"],
 
     "optimizer": "Adam",
     "optimizer_params": {"learning_rate": 1e-3},

@@ -398,6 +398,17 @@ class Model(abc.ABC):
         metrics["learning_rate"] = jnp.asarray(lr_schedule(state.step),
                                                jnp.float32)
         metrics["global_grad_norm"] = optax.global_norm(grads)
+        # per-gradient summaries when requested (reference 'gradients' /
+        # 'gradient_norm' summary modes, `optimizers/optimizers.py:289-330`)
+        wanted = self._params.get("summaries", ())
+        if "gradients" in wanted:
+            metrics["gradients"] = grads
+        if "gradient_norm" in wanted:
+            metrics["gradient_norm"] = jax.tree_util.tree_map(
+                jnp.linalg.norm, grads)
+        if "variable_norm" in wanted:
+            metrics["variable_norm"] = jax.tree_util.tree_map(
+                jnp.linalg.norm, new_params)
 
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   model_state=new_model_state,

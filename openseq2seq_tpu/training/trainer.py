@@ -144,16 +144,34 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
                 jax.device_get(sample_out), step)
 
         if summary_writer and step % save_summaries_steps == 0:
+            import jax.tree_util as jtu
+            fetched = jax.device_get(metrics)
+            grad_tree = fetched.pop("gradients", None)
+            gnorm_tree = fetched.pop("gradient_norm", None)
+            vnorm_tree = fetched.pop("variable_norm", None)
             summary_writer.add_scalars(
                 step, {"train/{}".format(k): v
-                       for k, v in jax.device_get(metrics).items()})
+                       for k, v in fetched.items()})
+
+            def _named(tree):
+                for path, leaf in jtu.tree_leaves_with_path(tree):
+                    yield ("/".join(str(getattr(p, "key", p))
+                                    for p in path), leaf)
+
             if "variables" in params.get("summaries", ()):
-                import jax.tree_util as jtu
-                for path, leaf in jtu.tree_leaves_with_path(state.params):
-                    name = "/".join(str(getattr(p, "key", p)) for p in path)
+                for name, leaf in _named(jax.device_get(state.params)):
                     summary_writer.add_histogram(
-                        step, "variables/{}".format(name),
-                        jax.device_get(leaf))
+                        step, "variables/{}".format(name), leaf)
+            if grad_tree is not None:
+                for name, leaf in _named(grad_tree):
+                    summary_writer.add_histogram(
+                        step, "gradients/{}".format(name), leaf)
+            for tree, tag in ((gnorm_tree, "gradient_norm"),
+                              (vnorm_tree, "variable_norm")):
+                if tree is not None:
+                    summary_writer.add_scalars(
+                        step, {"{}/{}".format(tag, n): float(v)
+                               for n, v in _named(tree)})
 
         if step == bench_start:
             jax.block_until_ready(state.params)
