@@ -12,9 +12,10 @@ Jasper-10x5 AMP training at ~32 utterances/sec per V100 (DGX-1 8xV100
 north-star target is >= 1.5.
 
 Setup mirrors the reference recipe (`example_configs/speech2text/
-jasper10x5_LibriSpeech_nvgrad_masks.py`; we use bs 64/chip —
-larger batches tile the MXU better and the v5e has the HBM for it,
-+4% over bs 32 measured on chip): 64 logfbank
+jasper10x5_LibriSpeech_nvgrad_masks.py`; we use bs 128/chip —
+larger batches tile the MXU better and the v5e has the HBM for it:
+measured 89.2 (bs32) -> 92.7 (bs64) -> 96.2 (bs128) utt/s/chip): 64
+logfbank
 features, bf16 ("mixed"), NovoGrad + LARC. Input: synthetic ~10s
 utterances (T=1000 frames @10ms) — pure step time, no host IO.
 """
@@ -39,7 +40,7 @@ def main():
     from openseq2seq_tpu.zoo import jasper_model_params
 
     n_chips = len(jax.devices())
-    batch_per_chip = 64
+    batch_per_chip = 128
     time_steps = 1000
 
     mesh = make_mesh(num_data=n_chips, num_model=1)
