@@ -14,7 +14,7 @@ steady state).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -6,7 +6,7 @@ Griffin-Lim phase reconstruction for synthesis
 our STFT/mel from ``ops/features.py``)."""
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

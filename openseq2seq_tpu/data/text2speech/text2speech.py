@@ -14,7 +14,7 @@ Batch contract (mirrors the reference's target triple):
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Dict, Iterator, List
 
 import numpy as np
 

@@ -11,7 +11,6 @@ path has the same asymptotics through its shape-invariant loop).
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Dict
 
 import flax.linen as nn

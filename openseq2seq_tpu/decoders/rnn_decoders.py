@@ -16,7 +16,7 @@ tensors so both the teacher-forced pass and the decode loop are single
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

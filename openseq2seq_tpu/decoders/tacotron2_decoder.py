@@ -17,7 +17,7 @@ lengths come from the first stop-token firing.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

@@ -9,10 +9,9 @@ params) are also accepted for config-shape parity.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .encoder import Encoder

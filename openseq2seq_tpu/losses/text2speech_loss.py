@@ -4,7 +4,6 @@ postnet-spec L1/L2 + stop-token sigmoid CE, all masked by spectrogram
 length; optional extra magnitude-spectrogram term for "both" output."""
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .loss import Loss

@@ -6,7 +6,6 @@ sentiment classification (accuracy metric, `utils/metrics.py:8-25`).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List
 
 import numpy as np
 

@@ -5,7 +5,6 @@ saving on eval/infer."""
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List
 
 import numpy as np
 

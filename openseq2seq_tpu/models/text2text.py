@@ -2,7 +2,7 @@
 (reference `open_seq2seq/models/text2text.py:58-230`)."""
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import List
 
 import numpy as np
 

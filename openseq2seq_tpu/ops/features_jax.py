@@ -19,8 +19,7 @@ overlapped with the input pipeline.
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ transformer/{common.py,embedding_layer.py,utils.py}`), flax-style.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import (make_mesh, replicated_sharding, shard_batch,

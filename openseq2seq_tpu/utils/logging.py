@@ -8,7 +8,6 @@ import os
 import subprocess
 import sys
 import time
-from typing import Optional
 
 
 def deco_print(line: str, offset: int = 0, start: str = "*** ", end: str = "\n"):

@@ -7,7 +7,6 @@ from __future__ import annotations
 import math
 from typing import Iterable, List, Sequence
 
-import numpy as np
 
 
 def levenshtein(a: Sequence, b: Sequence) -> int:
