@@ -39,6 +39,8 @@ class LMNet(nn.Module):
     use_cell_state: bool
     cell_type: str
     dtype_: Any
+    num_sampled: int = 0          # >0 and < vocab: emit the sampled-
+                                  # softmax bundle in train mode
 
     @nn.compact
     def __call__(self, x, lengths, train: bool):
@@ -80,17 +82,38 @@ class LMNet(nn.Module):
 
         if self.lm_mode:
             if self.weight_tied:
-                logits = jnp.einsum("btd,vd->btv",
-                                    h.astype(jnp.float32),
-                                    table.astype(jnp.float32))
+                weights = table.astype(jnp.float32)         # (V, E)
                 bias = self.param("softmax_bias", nn.initializers.zeros,
                                   (self.vocab_size,), jnp.float32)
-                logits = logits + bias
             else:
-                logits = nn.Dense(self.vocab_size, dtype=jnp.float32,
-                                  param_dtype=jnp.float32,
-                                  name="softmax")(h.astype(jnp.float32))
-            return {"logits": logits, "outputs": h, "src_length": lengths}
+                dense = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                                 param_dtype=jnp.float32, name="softmax")
+                weights = None
+                bias = None
+            sampling = (train and 0 < self.num_sampled < self.vocab_size)
+            out = {"outputs": h, "src_length": lengths}
+            if weights is None:
+                logits = dense(h.astype(jnp.float32))
+                if sampling:
+                    # Dense kernel is (E, V): hand the loss (V, E)
+                    weights = dense.variables["params"]["kernel"].T
+                    bias = dense.variables["params"]["bias"]
+            else:
+                logits = jnp.einsum("btd,vd->btv", h.astype(jnp.float32),
+                                    weights) + bias
+            out["logits"] = logits
+            if sampling:
+                # sampled-softmax bundle (reference
+                # `encoders/lm_encoders.py:375-381`): the loss computes
+                # the candidate-sampling estimator from these. The rng
+                # rides along so candidates are redrawn every step —
+                # fixed candidates leave real competitors unpenalized
+                # and full-softmax eval degrades badly.
+                out.update({"weights": weights, "bias": bias,
+                            "inputs": h.astype(jnp.float32),
+                            "num_sampled": self.num_sampled,
+                            "sample_rng": self.make_rng("dropout")})
+            return out
 
         # classification: gather last valid hidden state (and cell state
         # if requested)
@@ -186,7 +209,8 @@ class LMEncoder(Encoder):
                                         1.0),
             use_cell_state=p.get("use_cell_state", False),
             cell_type=cell_type,
-            dtype_=self.compute_dtype)
+            dtype_=self.compute_dtype,
+            num_sampled=p.get("num_sampled", 0))
 
         class LMEncoderModule(nn.Module):
             net: nn.Module

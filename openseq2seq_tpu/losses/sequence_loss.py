@@ -147,20 +147,80 @@ class PaddedCrossEntropyLossWithSmoothing(Loss):
 
 
 class BasicSampledSequenceLoss(BasicSequenceLoss):
-    """Config-compatible stand-in for the reference's sampled-softmax
-    loss (`losses/sequence_loss.py:312-454`).
+    """Sampled-softmax sequence loss (reference
+    `losses/sequence_loss.py:312-454` + `tf.nn.sampled_softmax_loss`).
 
-    The reference samples negatives to avoid materializing the full
-    (B*T, V) logits on GPU memory. On TPU the full softmax over even a
-    260k vocab is one well-tiled MXU matmul in bf16 and is typically
-    *faster* end-to-end than the gather-heavy candidate-sampling path,
-    so this class accepts ``hid_dim``/``num_sampled`` for config parity
-    and computes the exact softmax CE (the unsampled limit of the
-    reference's estimator)."""
+    When the decoder output carries the sampled-softmax bundle
+    (``weights`` (V, H), ``bias`` (V,), ``inputs`` (B, T, H),
+    ``num_sampled`` — the LM encoder emits it in train mode when
+    ``num_sampled`` < vocab), the candidate-sampling estimator runs:
+    ``num_sampled`` negatives drawn from the log-uniform (Zipf) base
+    distribution, expected-count correction subtracted from both true
+    and sampled logits, accidental hits masked, softmax CE over
+    [true | sampled]. Candidates are drawn with a key derived from the
+    target ids (the reference's sampler is stateful-random; ours is a
+    deterministic function of the batch, which keeps the step pure and
+    reproducible). Otherwise falls back to the exact full softmax —
+    note that on TPU the full (B*T, V) softmax is one well-tiled MXU
+    matmul and often *faster*; sampling mainly saves HBM on very large
+    vocabularies."""
 
     @staticmethod
     def get_optional_params():
         return dict(BasicSequenceLoss.get_optional_params(), **{
             "hid_dim": int,
             "num_sampled": int,
+            "sample_seed": int,
         })
+
+    def compute_loss(self, input_dict):
+        dec = input_dict["decoder_output"]
+        if "weights" not in dec:
+            return super().compute_loss(input_dict)
+
+        labels, lengths = input_dict["target_tensors"]
+        inputs = dec["inputs"].astype(jnp.float32)         # (B, T, H)
+        if self._offset:
+            labels = labels[:, 1:]
+            lengths = lengths - 1
+        inputs = inputs[:, :labels.shape[1], :]
+        B, T, H = inputs.shape
+        w = dec["weights"].astype(jnp.float32)             # (V, H)
+        b = dec["bias"].astype(jnp.float32)                # (V,)
+        V = self._params["tgt_vocab_size"]
+        S = int(dec["num_sampled"])
+
+        flat_in = inputs.reshape(-1, H)                    # (N, H)
+        flat_lab = labels.reshape(-1)                      # (N,)
+
+        # log-uniform (Zipf) base distribution over class ids
+        def log_q(ids):
+            k = ids.astype(jnp.float32)
+            return jnp.log((jnp.log(k + 2.0) - jnp.log(k + 1.0)) /
+                           jnp.log(float(V) + 1.0))
+
+        key = dec.get("sample_rng")
+        if key is None:
+            key = jax.random.PRNGKey(self._params.get("sample_seed", 0))
+        key = jax.random.fold_in(key, jnp.sum(flat_lab))
+        u = jax.random.uniform(key, (S,), minval=0.0, maxval=1.0)
+        sampled = jnp.clip(
+            jnp.floor(jnp.exp(u * jnp.log(float(V) + 1.0))) - 1.0,
+            0, V - 1).astype(jnp.int32)                    # (S,)
+
+        true_logit = (jnp.sum(flat_in * w[flat_lab], axis=-1) +
+                      b[flat_lab] - log_q(flat_lab))       # (N,)
+        samp_logits = (flat_in @ w[sampled].T + b[sampled] -
+                       log_q(sampled))                     # (N, S)
+        # remove accidental hits (a sampled negative == the true class)
+        hit = sampled[None, :] == flat_lab[:, None]
+        samp_logits = jnp.where(hit, -1e9, samp_logits)
+
+        cat = jnp.concatenate([true_logit[:, None], samp_logits], axis=1)
+        nll = (jax.nn.logsumexp(cat, axis=1) - cat[:, 0]).reshape(B, T)
+        mask = _valid_mask(labels.shape, lengths) if self._do_mask \
+            else jnp.ones_like(nll)
+        total = jnp.sum(nll * mask)
+        if self._avg_time:
+            return total / jnp.maximum(jnp.sum(mask), 1.0)
+        return total / self._params["batch_size"]

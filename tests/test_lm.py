@@ -132,3 +132,56 @@ def test_lm_generation(toy_wikitext, tmp_path):
     # the cycle continues: cc dd ee ...
     assert words[2] == "cc"
     assert words[3] == "dd"
+
+
+def test_sampled_softmax_estimator(toy_wikitext, tmp_path):
+    """num_sampled < vocab switches training to the candidate-sampling
+    estimator (reference sampled_softmax path): the train loss must
+    approximate the full-softmax CE and the model must still learn."""
+    import jax
+    from openseq2seq_tpu.losses import BasicSampledSequenceLoss
+
+    def cfg(num_sampled, tied=False):
+        c = _lm_config(toy_wikitext, str(tmp_path), num_epochs=2)
+        c["loss"] = BasicSampledSequenceLoss
+        c["loss_params"] = {}
+        c["encoder_params"]["num_sampled"] = num_sampled
+        c["encoder_params"]["weight_tied"] = tied
+        return c
+
+    # vocab is 10; sample 8 negatives -> close to full softmax
+    model = LSTMLM(params=cfg(8), mode="train")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    _, metrics = jax.jit(model.train_step)(state, device_batch,
+                                           jax.random.PRNGKey(0))
+    sampled_loss = float(metrics["loss"])
+    assert np.isfinite(sampled_loss)
+
+    full_model = LSTMLM(params=_lm_config(toy_wikitext, str(tmp_path)),
+                        mode="train")
+    fstate = full_model.init_state(batch)
+    _, fmetrics = jax.jit(full_model.train_step)(
+        fstate, device_batch, jax.random.PRNGKey(0))
+    full_loss = float(fmetrics["loss"])
+    # estimator over 8-of-10 classes tracks the exact CE closely
+    assert abs(sampled_loss - full_loss) / full_loss < 0.35, \
+        (sampled_loss, full_loss)
+
+    # weight-tied variant also runs; a few steps reduce the loss
+    model_t = LSTMLM(params=cfg(8, tied=True), mode="train")
+    st = model_t.init_state(batch)
+    step = jax.jit(model_t.train_step)
+    first = None
+    for i in range(30):
+        st, m = step(st, device_batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first, (float(m["loss"]), first)
+
+    # eval mode never uses sampling (full logits present, no bundle)
+    eval_model = LSTMLM(params=cfg(8), mode="eval")
+    out = jax.jit(eval_model.eval_step)(state, device_batch)
+    dec = out["outputs"]["decoder_output"]
+    assert "weights" not in dec and "logits" in dec
