@@ -189,3 +189,24 @@ def test_tacotron_gst_style_tokens(toy_lj):
         {"gst": state.params["enc"]})
     names = str(jax.tree_util.tree_structure(state.params))
     assert "style_tokens" in str(state.params)
+
+
+def test_tts_eval_emits_image_and_audio_summaries(toy_lj):
+    """finalize_evaluation returns the attention-plot image and the
+    Griffin-Lim audio summary tuples the trainer writes to TensorBoard
+    (reference tf.summary.image/audio, `models/text2speech.py:19-109`)."""
+    import jax
+    model = Text2SpeechTacotron(params=_config(toy_lj), mode="eval")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    out = jax.jit(model.eval_step)(state, device_batch)
+    res = model.evaluate(device_batch, jax.device_get(out))
+    metrics = model.finalize_evaluation([res])
+    assert "image/attention_alignment" in metrics
+    png, h, w = metrics["image/attention_alignment"]
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert "audio/synthesized" in metrics
+    wav, sr = metrics["audio/synthesized"]
+    assert sr == 22050 and len(wav) > 100
+    assert np.isfinite(wav).all() and np.abs(wav).max() <= 0.95
