@@ -145,9 +145,13 @@ class Model(abc.ABC):
         self._params.setdefault("regularizer_params", {})
 
         base_seed = self._params.get("random_seed", 0)
-        # per-worker seed offset (reference `models/model.py:308-313`)
+        # per-worker seed offset for the DATA pipeline (reference
+        # `models/model.py:308-313`); parameter init stays on the base
+        # seed so every process builds identical params — the SPMD
+        # replacement for the reference's rank-0 broadcast hook
+        # (`utils/hooks.py:15-55`)
         self._seed = base_seed + worker_id
-        self._rng = jax.random.PRNGKey(self._seed)
+        self._rng = jax.random.PRNGKey(base_seed)
 
         # ---------------- data layer -----------------
         dl_params = dict(self._params.get("data_layer_params", {}))
@@ -158,6 +162,14 @@ class Model(abc.ABC):
         if mesh is not None:
             num_data_shards = int(np.prod(
                 [mesh.shape[a] for a in mesh.axis_names if a == "data"]))
+        if num_workers > 1:
+            # multi-host: the mesh is global but each process feeds only
+            # its local portion of the batch (assembled in shard_batch)
+            if num_data_shards % num_workers != 0:
+                raise ValueError(
+                    "data axis ({}) must divide evenly across {} "
+                    "processes".format(num_data_shards, num_workers))
+            num_data_shards //= num_workers
         dl_params["batch_size"] = per_device * num_data_shards
         self._global_batch_size = dl_params["batch_size"] * num_workers
         if "dtype" not in dl_params:
@@ -395,7 +407,12 @@ class Model(abc.ABC):
         new_params = optax.apply_updates(state.params, updates)
 
         lr_schedule = get_lr_schedule_from_config(self._params)
-        metrics["learning_rate"] = jnp.asarray(lr_schedule(state.step),
+        # state.step counts MICRObatch steps; under iter_size>1 the
+        # optimizer (optax.MultiSteps) advances its inner schedule only
+        # on real updates, so report the lr actually applied
+        iter_size = int(self._params.get("iter_size", 1))
+        lr_step = state.step // iter_size if iter_size > 1 else state.step
+        metrics["learning_rate"] = jnp.asarray(lr_schedule(lr_step),
                                                jnp.float32)
         metrics["global_grad_norm"] = optax.global_norm(grads)
         # per-gradient summaries when requested (reference 'gradients' /

@@ -68,8 +68,30 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch (pytree of numpy arrays) with the batch
-    dim sharded over the data axis."""
+    dim sharded over the data axis.
+
+    Multi-host: each process holds only its LOCAL portion of the global
+    batch (the data layer shards by worker), so the global array is
+    assembled from the per-host shards via
+    ``host_local_array_to_global_array`` — the SPMD replacement for the
+    reference's per-rank Horovod feeding."""
     sharding = batch_sharding(mesh)
+    multihost = jax.process_count() > 1 and any(
+        d.process_index != jax.process_index()
+        for d in mesh.devices.flat)
+    if multihost:
+        from jax.experimental import multihost_utils as mhu
+
+        def put_global(x):
+            x = np.asarray(x)
+            if x.ndim == 0:
+                # host-side scalars (batch_valid) are consumed on the
+                # host and may differ per process; replicate locally
+                return x
+            return mhu.host_local_array_to_global_array(
+                x, mesh, P(DATA_AXIS))
+
+        return jax.tree_util.tree_map(put_global, batch)
 
     def put(x):
         x = np.asarray(x)

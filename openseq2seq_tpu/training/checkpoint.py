@@ -19,11 +19,14 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+from ..parallel import collective
 from ..utils.logging import deco_print
 
 
 def _tree_to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # multihost-safe fetch: issues collectives for non-addressable
+    # leaves, so it must run on every process (collective.fetch_host_tree)
+    return collective.fetch_host_tree(tree)
 
 
 class CheckpointManager:
@@ -35,40 +38,63 @@ class CheckpointManager:
         self.best_dir = os.path.join(logdir, "best_models")
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self._checkpointer = ocp.PyTreeCheckpointer()
-        self._best_loss = float("inf")
+        # best eval loss persists across restarts (improves on the
+        # reference, which reset it in memory every run)
+        self._best_loss = self._read_best_loss()
 
-    # ------------------------------------------------------------------
-    def save(self, state, step: int) -> str:
-        path = os.path.join(self.ckpt_dir, str(step))
-        tree = {"step": int(step),
+    def _best_loss_path(self) -> str:
+        return os.path.join(self.best_dir, "best_loss.txt")
+
+    def _read_best_loss(self) -> float:
+        try:
+            with open(self._best_loss_path()) as f:
+                return float(f.read().strip())
+        except (OSError, ValueError):
+            return float("inf")
+
+    @staticmethod
+    def _state_tree(state, step: int):
+        return {"step": int(step),
                 "params": _tree_to_numpy(state.params),
                 "model_state": _tree_to_numpy(state.model_state),
                 "opt_state": _tree_to_numpy(state.opt_state),
                 "loss_scale": _tree_to_numpy(state.loss_scale)
                 if state.loss_scale is not None else None}
+
+    # ------------------------------------------------------------------
+    def save(self, state, step: int) -> str:
+        path = os.path.join(self.ckpt_dir, str(step))
+        tree = self._state_tree(state, step)  # all processes (collectives)
+        # orbax is multihost-aware: every process must call save (it
+        # syncs internally) but only the primary host writes files —
+        # the reference's rank-0 CheckpointSaverHook gating
         self._checkpointer.save(path, tree, force=True)
-        self._gc()
+        if collective.is_master():
+            self._gc()
+        collective.barrier("ckpt_save_{}".format(step))
         return path
 
     def save_best(self, state, step: int, eval_loss: float) -> Optional[str]:
         if eval_loss >= self._best_loss:
             return None
         self._best_loss = eval_loss
-        os.makedirs(self.best_dir, exist_ok=True)
-        # keep a single best checkpoint
-        for name in os.listdir(self.best_dir):
-            shutil.rmtree(os.path.join(self.best_dir, name),
-                          ignore_errors=True)
+        tree = self._state_tree(state, step)  # all processes (collectives)
         path = os.path.join(self.best_dir, str(step))
-        tree = {"step": int(step),
-                "params": _tree_to_numpy(state.params),
-                "model_state": _tree_to_numpy(state.model_state),
-                "opt_state": _tree_to_numpy(state.opt_state),
-                "loss_scale": _tree_to_numpy(state.loss_scale)
-                if state.loss_scale is not None else None}
-        self._checkpointer.save(path, tree, force=True)
-        deco_print("Saving new best checkpoint (eval loss {:.4f})".format(
-            eval_loss), offset=4)
+        os.makedirs(self.best_dir, exist_ok=True)
+        if collective.is_master():
+            # keep a single best checkpoint
+            for name in os.listdir(self.best_dir):
+                full = os.path.join(self.best_dir, name)
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+        collective.barrier("ckpt_best_clean_{}".format(step))
+        self._checkpointer.save(path, tree, force=True)  # all processes
+        if collective.is_master():
+            with open(self._best_loss_path(), "w") as f:
+                f.write(repr(float(eval_loss)))
+            deco_print("Saving new best checkpoint (eval loss {:.4f})".format(
+                eval_loss), offset=4)
+        collective.barrier("ckpt_best_{}".format(step))
         return path
 
     def _gc(self):

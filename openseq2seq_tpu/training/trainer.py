@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
+from ..parallel import collective
 from ..parallel.mesh import (make_mesh, replicated_sharding, shard_batch,
                              tp_state_sharding)
 from ..utils.logging import deco_print
@@ -82,9 +83,12 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
     state = restore_state(train_model, checkpoint)
     start_step = int(state.step)
 
+    # host-side writes (summaries, prints) happen on process 0 only —
+    # reference rank-0 hook gating (`utils/funcs.py:45-95`)
+    is_master = collective.is_master()
     summary_writer = None
     save_summaries_steps = params.get("save_summaries_steps")
-    if logdir and save_summaries_steps:
+    if logdir and save_summaries_steps and is_master:
         from ..utils.tb_writer import SummaryWriter
         summary_writer = SummaryWriter(logdir)
 
@@ -131,10 +135,12 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
         if print_loss_steps and step % print_loss_steps == 0:
             fetch_metrics = jax.device_get(metrics)
             step_times.append(time.time() - t0)
-            train_model.maybe_print_logs(fetch_metrics, step)
+            if is_master:
+                train_model.maybe_print_logs(fetch_metrics, step)
 
         print_samples_steps = params.get("print_samples_steps")
-        if print_samples_steps and step % print_samples_steps == 0:
+        if print_samples_steps and is_master and \
+                step % print_samples_steps == 0:
             # forward the current train batch once more and show a
             # sample prediction (reference PrintSamplesHook)
             sample_out = _jitted_eval_fn(train_model)(state, device_batch)
@@ -224,6 +230,31 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
     return result
 
 
+def _eval_setup(model, state):
+    """Mesh + state for an eval/infer epoch.
+
+    Multi-process runs evaluate WITHOUT cross-host lockstep: workers may
+    own different numbers of eval batches (last worker takes the
+    remainder), so a global-mesh program would deadlock. Instead each
+    process copies the state onto a process-LOCAL mesh, evaluates its
+    own contiguous data shard, and the per-batch results are
+    host-gathered afterwards (reference Horovod eval had the same
+    per-rank independence, `utils/utils.py:95-263`)."""
+    mesh = _prepare(model)
+    if jax.process_count() == 1:
+        return mesh, state
+    local = jax.local_devices()
+    msize = mesh.shape.get("model", 1)
+    if msize > 1 and len(local) % msize == 0:
+        lmesh = make_mesh(num_data=len(local) // msize, num_model=msize,
+                          devices=local)
+    else:
+        lmesh = make_mesh(num_data=len(local), num_model=1, devices=local)
+    host_state = collective.fetch_host_tree(state)
+    state = jax.device_put(host_state, tp_state_sharding(host_state, lmesh))
+    return lmesh, state
+
+
 def _jitted_eval_fn(model):
     """Cache the jitted eval step on the model: a fresh jax.jit of a
     bound method would re-trace on every in-training evaluation."""
@@ -237,7 +268,7 @@ def _jitted_eval_fn(model):
 def evaluate_with_state(model, state, training_step=None) -> Dict[str, Any]:
     """One full eval epoch with an existing state (in-training eval,
     reference `utils/hooks.py:192-236` + `utils/utils.py:95-263`)."""
-    mesh = _prepare(model)
+    mesh, state = _eval_setup(model, state)
     eval_fn = _jitted_eval_fn(model)
     dl = model.get_data_layer()
     results = []
@@ -245,21 +276,28 @@ def evaluate_with_state(model, state, training_step=None) -> Dict[str, Any]:
         device_batch = shard_batch(batch, mesh)
         out = jax.device_get(eval_fn(state, device_batch))
         results.append(model.evaluate(batch, out))
+    # each process evaluated its own contiguous data shard; gather the
+    # per-batch results so WER/BLEU/etc. are GLOBAL (reference
+    # collect_if_horovod, `utils/utils.py:47-82`). Every process
+    # finalizes the same global list, keeping best-checkpoint decisions
+    # consistent across hosts.
+    results = collective.collect_results(results, mode="gather")
     return model.finalize_evaluation(results, training_step=training_step)
 
 
 def evaluate(model, checkpoint: Optional[str]) -> Dict[str, Any]:
     state = restore_state(model, checkpoint)
     metrics = evaluate_with_state(model, state)
-    deco_print("Evaluation results: {}".format(
-        {k: (round(v, 6) if isinstance(v, float) else v)
-         for k, v in metrics.items()}))
+    if collective.is_master():
+        deco_print("Evaluation results: {}".format(
+            {k: (round(v, 6) if isinstance(v, float) else v)
+             for k, v in metrics.items()}))
     return metrics
 
 
 def infer(model, checkpoint: Optional[str], output_file: str):
     state = restore_state(model, checkpoint)
-    mesh = _prepare(model)
+    mesh, state = _eval_setup(model, state)
     eval_fn = _jitted_eval_fn(model)
     dl = model.get_data_layer()
     results = []
@@ -267,5 +305,9 @@ def infer(model, checkpoint: Optional[str], output_file: str):
         device_batch = shard_batch(batch, mesh)
         out = jax.device_get(eval_fn(state, device_batch))
         results.append(model.infer(batch, out))
-    model.finalize_inference(results, output_file)
+    # gather each process's shard, write the output file once
+    results = collective.collect_results(results, mode="gather")
+    if collective.is_master():
+        model.finalize_inference(results, output_file)
+    collective.barrier("finalize_inference")
     return results

@@ -25,7 +25,18 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     args, base_config, base_model, config_module = get_base_config(argv)
 
-    if args.enable_logs and base_config.get("logdir"):
+    # multi-host SPMD: when launched under a multi-process coordinator
+    # (GKE/TPU pod env vars set), initialize the global runtime so every
+    # process sees the full device mesh (replaces the reference's
+    # hvd.init() + MPI barrier, `run.py:42-49`). Must run before any
+    # rank-gated host-side setup below.
+    if os.environ.get("COORDINATOR_ADDRESS") or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    num_workers = jax.process_count()
+    worker_id = jax.process_index()
+
+    if args.enable_logs and base_config.get("logdir") and worker_id == 0:
         enable_logs(base_config["logdir"])
 
     if args.benchmark:
@@ -35,16 +46,6 @@ def main(argv=None):
         config_module["base_params"] = base_config
 
     restore_checkpoint = check_logdir(args, base_config)
-
-    # multi-host SPMD: when launched under a multi-process coordinator
-    # (GKE/TPU pod env vars set), initialize the global runtime so every
-    # process sees the full device mesh (replaces the reference's
-    # hvd.init() + MPI barrier, `run.py:42-49`)
-    if os.environ.get("COORDINATOR_ADDRESS") or \
-            os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
-    num_workers = jax.process_count()
-    worker_id = jax.process_index()
 
     mode_configs = configs_for_modes(args, base_config, config_module)
     mesh = mesh_from_config(base_config)
