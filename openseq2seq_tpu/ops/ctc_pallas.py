@@ -1,22 +1,36 @@
-"""CTC loss as Pallas TPU kernels.
+"""CTC loss as fused Pallas TPU kernels.
 
 The pure-XLA CTC in ``ops/ctc.py`` lowers the alpha recursion to a
 ``lax.scan`` with T sequential steps — T kernel launches' worth of
 per-step overhead for tiny (B, S) updates. Here the whole forward
-(alpha) and backward (beta/gamma) recursions run *inside* single Pallas
-kernels: each program owns R batch rows (R chosen to fill the VPU's 8
-sublanes within the VMEM budget), the (R, S) state lives in VMEM, and
-each time step is a handful of VPU ops (roll + logaddexp + add), so the
-loop runs at register/VMEM speed with no inter-step launch cost.
+(alpha) and backward (beta/gamma) recursions run *inside* Pallas
+kernels at VMEM speed.
 
-Layout: label positions are padded to a multiple of 128 lanes; the
-emission matrix (B, T, S) is gathered outside the kernel (one XLA
-gather) and streamed in per-program; the vocab scatter of the gradient
-is one (T,S)x(S,V) MXU matmul outside the kernel.
+Fusion design (round 2): the kernels consume the (B, T, V) log-softmax
+directly. The emission matrix emit[b,t,s] = logprobs[b,t,ext[b,s]] is
+materialized only in VMEM, per chunk, via an exact one-hot MXU matmul
+(the one-hot weights are 0/1, exactly representable in every MXU pass,
+so HIGHEST precision reproduces fp32 bit-for-bit). Compared to round 1
+this removes both (B, T, S) fp32 HBM residuals (emit and alphas — 786 MB
+at bs256/T=1000/S=384) from the VJP: the only saved tensor is the
+(B, T, V) logprobs the model keeps anyway.
+
+  * forward: grid (B/R, T/TC); R=8 batch rows per program (fills the
+    VPU's fp32 sublanes), TC-frame logprob chunks streamed from HBM,
+    the (R, S) alpha column carried in VMEM scratch across chunks.
+    HBM traffic: read B*T*Vp + B*S*Vp instead of B*T*S floats (~5x
+    less at Jasper shapes).
+  * backward: grid (B,); per row, emit and the full (T, S) alpha
+    surface are RECOMPUTED into VMEM scratch (nothing saved from the
+    forward), then the beta recursion runs in reverse, overwriting the
+    alpha scratch with gradients in place; the vocab scatter back to
+    (T, V) is one trailing MXU matmul inside the kernel.
 
 API-compatible with :func:`openseq2seq_tpu.ops.ctc.ctc_loss` (same
-infeasible-row semantics); differentiable via ``jax.custom_vjp``.
-Falls back cleanly under ``interpret=True`` for CPU tests.
+infeasible-row semantics, reference `losses/ctc_loss.py:78-83`);
+differentiable via ``jax.custom_vjp``; ``interpret=True`` for CPU
+tests. Shapes whose scratch would overflow VMEM fall back to the XLA
+scan implementation.
 """
 from __future__ import annotations
 
@@ -28,28 +42,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
-_VMEM_BUDGET = 6 * 1024 * 1024    # blocks are double-buffered across
-                                  # grid steps: budget = ~16MB / 2 - slack
+_VMEM_BUDGET = 10 * 1024 * 1024   # leave headroom under the ~16MB/core
+_EXACT = jax.lax.Precision.HIGHEST  # 0/1 one-hot weights -> exact gather
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
-
-
-def _rows_per_program(B, T, S, arrays):
-    """Largest R dividing B whose blocks fit the budget; ``arrays`` =
-    number of (R,T,S) fp32 buffers resident at once.
-
-    R must be a multiple of 8 (the fp32 sublane count) or exactly 1:
-    the kernels slice full-array (B, S) refs at row offset
-    ``program_id * R``, and Mosaic rejects dynamic dim-0 indices it
-    cannot prove are 8-aligned ("cannot statically prove that index in
-    dimension 0 is a multiple of 8") — single-row slices lower through
-    a different path and are fine."""
-    for r in (32, 16, 8):
-        if B % r == 0 and arrays * r * T * S * 4 <= _VMEM_BUDGET:
-            return r
-    return 1
 
 
 def _logaddexp(a, b):
@@ -58,85 +56,131 @@ def _logaddexp(a, b):
 
 
 # ---------------------------------------------------------------------------
-# forward kernel: alpha recursion over R batch rows per program
+# forward kernel: emission gather (MXU) + alpha recursion, chunked over T
 # ---------------------------------------------------------------------------
-def _alpha_kernel(R, len_ref, extlen_ref, emit_ref, can_skip_ref,
-                  valid_ref, alphas_ref, nll_ref):
-    """emit (R, T, S); len/extlen (B, 1) int32 VMEM; masks (B, S);
-    alphas out (R, T, S); nll out (B, 1) fp32 VMEM."""
-    T = emit_ref.shape[1]
-    S = emit_ref.shape[2]
+def _alpha_kernel(R, TC, len_ref, extlen_ref, canskip_ref, valid_ref,
+                  lp_ref, oht_ref, nll_ref, alpha_scr, emit_scr):
+    """Blocks: lp (R, TC, Vp) at (b, tc); oht (R, Vp, S) at (b,) —
+    transposed one-hot of the extended label sequence. Full-array VMEM:
+    len/extlen/nll (B, 1), canskip/valid (B, S). Scratch: alpha (R, S)
+    carried across the T-chunk grid axis, emit (R, TC, S)."""
+    S = oht_ref.shape[2]
     b = pl.program_id(0)
-    row0 = b * R
+    tc = pl.program_id(1)
+    n_tc = pl.num_programs(1)
+    row0 = pl.multiple_of(b * R, R)
+
     length = len_ref[pl.ds(row0, R), :]                    # (R, 1)
     ext_len = extlen_ref[pl.ds(row0, R), :]                # (R, 1)
-    can_skip = can_skip_ref[pl.ds(row0, R), :]             # (R, S)
+    can_skip = canskip_ref[pl.ds(row0, R), :]              # (R, S)
     valid = valid_ref[pl.ds(row0, R), :]
     pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
 
-    # t = 0: alpha = emit[0] at s in {0, 1}, else -inf
-    init_mask = pos <= jnp.minimum(ext_len - 1, 1)
-    alpha0 = jnp.where(init_mask, emit_ref[:, 0, :], NEG)
-    alpha0 = jnp.where(valid > 0, alpha0, NEG)
-    alphas_ref[:, 0, :] = alpha0
+    # emission gather for this chunk: (TC, Vp) x (Vp, S) per row (exact)
+    for r in range(R):
+        emit_scr[r] = jnp.dot(lp_ref[r], oht_ref[r],
+                              preferred_element_type=jnp.float32,
+                              precision=_EXACT)
 
-    def step(t, alpha):
-        emit_t = emit_ref[:, t, :]
+    @pl.when(tc == 0)
+    def _init():
+        init_mask = pos <= jnp.minimum(ext_len - 1, 1)
+        alpha0 = jnp.where(init_mask, emit_scr[:, 0, :], NEG)
+        alpha_scr[:] = jnp.where(valid > 0, alpha0, NEG)
+
+    def step(tt, alpha):
+        t = tc * TC + tt
+        # dynamic t-slice must hit the scratch REF (Mosaic lowers ref
+        # indexing to memory ops; dynamic_slice on values is unsupported)
+        emit_t = jnp.where(valid > 0, emit_scr[:, tt, :], NEG)
         shift1 = jnp.where(pos >= 1, pltpu.roll(alpha, 1, 1), NEG)
         shift2 = jnp.where(pos >= 2, pltpu.roll(alpha, 2, 1), NEG)
         cand = _logaddexp(alpha, shift1)
         cand = jnp.where(can_skip > 0, _logaddexp(cand, shift2), cand)
         new = jnp.where(valid > 0, cand + emit_t, NEG)
         new = jnp.where(t < length, new, alpha)            # freeze pads
-        alphas_ref[:, t, :] = new
+        new = jnp.where(t == 0, alpha, new)  # t=0 is the init, not a step
         return new
 
-    alpha_last = jax.lax.fori_loop(1, T, step, alpha0)
+    alpha_scr[:] = jax.lax.fori_loop(0, TC, step, alpha_scr[:])
 
-    end_mask = jnp.logical_and(pos >= ext_len - 2, pos <= ext_len - 1)
-    score = jnp.where(end_mask, alpha_last, NEG)
-    m = jnp.max(score, axis=1, keepdims=True)              # (R, 1)
-    lse = m + jnp.log(jnp.sum(jnp.exp(score - m), axis=1,
-                              keepdims=True))
-    nll_ref[pl.ds(row0, R), :] = -lse
+    @pl.when(tc == n_tc - 1)
+    def _finalize():
+        alpha_last = alpha_scr[:]
+        end_mask = jnp.logical_and(pos >= ext_len - 2, pos <= ext_len - 1)
+        score = jnp.where(end_mask, alpha_last, NEG)
+        m = jnp.max(score, axis=1, keepdims=True)          # (R, 1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(score - m), axis=1,
+                                  keepdims=True))
+        nll_ref[pl.ds(row0, R), :] = -lse
 
 
 # ---------------------------------------------------------------------------
-# backward kernel: beta-hat recursion -> gamma = alpha + beta - logZ
+# backward kernel: full recompute (emit + alpha) in VMEM, then beta
+# recursion writing gamma-gradients in place, vocab scatter on the MXU
 # ---------------------------------------------------------------------------
-def _beta_kernel(R, len_ref, extlen_ref, nll_ref, emit_ref, can_skip_ref,
-                 valid_ref, alphas_ref, grad_ref):
-    T = emit_ref.shape[1]
-    S = emit_ref.shape[2]
+def _beta_kernel(T, len_ref, extlen_ref, nll_ref, canskip_ref, valid_ref,
+                 lp_ref, oht_ref, dlp_ref, emit_scr, ag_scr):
+    """Blocks: lp (1, T, Vp), oht (1, Vp, S), dlp out (1, T, Vp).
+    Scratch: emit (T, S), ag (T, S) — holds alphas during the forward
+    recompute, overwritten row-by-row with gradients during the beta
+    pass (alpha[t] is consumed exactly once, at time t)."""
+    S = oht_ref.shape[2]
     b = pl.program_id(0)
-    row0 = b * R
-    length = len_ref[pl.ds(row0, R), :]                    # (R, 1)
-    ext_len = extlen_ref[pl.ds(row0, R), :]
-    logz = -nll_ref[pl.ds(row0, R), :]                     # (R, 1)
-    can_skip = can_skip_ref[pl.ds(row0, R), :]
-    valid = valid_ref[pl.ds(row0, R), :]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+
+    length = len_ref[pl.ds(b, 1), :]                       # (1, 1)
+    ext_len = extlen_ref[pl.ds(b, 1), :]
+    logz = -nll_ref[pl.ds(b, 1), :]
+    can_skip = canskip_ref[pl.ds(b, 1), :]                 # (1, S)
+    valid = valid_ref[pl.ds(b, 1), :]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+
+    # emission recompute: one (T, Vp) x (Vp, S) MXU matmul (exact)
+    emit_scr[:] = jnp.dot(lp_ref[0], oht_ref[0],
+                          preferred_element_type=jnp.float32,
+                          precision=_EXACT)
+
+    def emit_at(t):
+        row = emit_scr[pl.ds(t, 1), :]                     # (1, S)
+        return jnp.where(valid > 0, row, NEG)
+
+    # ---- pass 1: alpha recursion into ag_scr ----
+    init_mask = pos <= jnp.minimum(ext_len - 1, 1)
+    alpha0 = jnp.where(init_mask, emit_at(0), NEG)
+    alpha0 = jnp.where(valid > 0, alpha0, NEG)
+    ag_scr[pl.ds(0, 1), :] = alpha0
+
+    def fwd_step(t, alpha):
+        shift1 = jnp.where(pos >= 1, pltpu.roll(alpha, 1, 1), NEG)
+        shift2 = jnp.where(pos >= 2, pltpu.roll(alpha, 2, 1), NEG)
+        cand = _logaddexp(alpha, shift1)
+        cand = jnp.where(can_skip > 0, _logaddexp(cand, shift2), cand)
+        new = jnp.where(valid > 0, cand + emit_at(t), NEG)
+        new = jnp.where(t < length, new, alpha)
+        ag_scr[pl.ds(t, 1), :] = new
+        return new
+
+    jax.lax.fori_loop(1, T, fwd_step, alpha0)
+
+    # ---- pass 2: beta recursion, gradients overwrite ag_scr ----
     # skip transition INTO s+2 is allowed when can_skip[s+2]
     can_skip_fwd = pltpu.roll(can_skip, S - 2, 1)
     can_skip_fwd = jnp.where(pos < S - 2, can_skip_fwd, 0.0)
-
-    # terminal beta at the last ACTIVE frame (t = length-1)
     end_mask = jnp.logical_and(pos >= ext_len - 2, pos <= ext_len - 1)
     beta_T = jnp.where(end_mask, 0.0, NEG)
 
     def write_grad(t, beta):
-        gamma = alphas_ref[:, t, :] + beta - logz
+        gamma = ag_scr[pl.ds(t, 1), :] + beta - logz
         g = -jnp.exp(jnp.maximum(gamma, -80.0))
         g = jnp.where(valid > 0, g, 0.0)
         g = jnp.where(t < length, g, 0.0)
-        grad_ref[:, t, :] = g
+        ag_scr[pl.ds(t, 1), :] = g
 
     write_grad(T - 1, jnp.where(length == T, beta_T, NEG))
-    # for padded frames t >= length, grad is 0 (handled in write_grad)
 
-    def step(i, beta):
+    def bwd_step(i, beta):
         t = T - 2 - i
-        nxt = beta + emit_ref[:, t + 1, :]
+        nxt = beta + emit_at(t + 1)
         shift1 = jnp.where(pos < S - 1, pltpu.roll(nxt, S - 1, 1), NEG)
         shift2 = jnp.where(pos < S - 2, pltpu.roll(nxt, S - 2, 1), NEG)
         cand = _logaddexp(nxt, shift1)
@@ -148,21 +192,30 @@ def _beta_kernel(R, len_ref, extlen_ref, nll_ref, emit_ref, can_skip_ref,
         write_grad(t, beta_t)
         return beta_t
 
-    jax.lax.fori_loop(0, T - 1, step,
+    jax.lax.fori_loop(0, T - 1, bwd_step,
                       jnp.where(length == T, beta_T, NEG))
 
+    # ---- vocab scatter: (T, S) x (S, Vp) via contraction on S ----
+    dlp_ref[0] = jax.lax.dot_general(
+        ag_scr[:], oht_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_EXACT)
+
 
 # ---------------------------------------------------------------------------
-# host-side wrapper with custom VJP
+# host-side preparation
 # ---------------------------------------------------------------------------
-def _prep(logprobs, logit_lengths, labels, label_lengths, blank_id):
+def _prep(logprobs, labels, label_lengths, blank_id):
+    """Small host-side tensors: padded transposed one-hot (B, Vp, S) of
+    the extended (blank-interleaved) label sequence, skip/valid masks,
+    extended lengths, and the Vp-padded logprobs."""
     B, T, V = logprobs.shape
     L = labels.shape[1]
-    S = 2 * L + 1
-    S_pad = _round_up(S, 128)
+    S = _round_up(2 * L + 1, 128)
+    Vp = _round_up(V, 128)
 
-    s_idx = jnp.arange(S_pad)
-    is_label = jnp.logical_and((s_idx % 2) == 1, s_idx < S)
+    s_idx = jnp.arange(S)
+    is_label = jnp.logical_and((s_idx % 2) == 1, s_idx < 2 * L + 1)
     label_idx = jnp.clip((s_idx - 1) // 2, 0, L - 1)
     ext = jnp.where(is_label[None, :], labels[:, label_idx], blank_id)
     ext_m2 = jnp.concatenate(
@@ -172,114 +225,142 @@ def _prep(logprobs, logit_lengths, labels, label_lengths, blank_id):
     ext_len = 2 * label_lengths + 1
     valid = (s_idx[None, :] < ext_len[:, None]).astype(jnp.float32)
 
-    emit = jnp.take_along_axis(
-        logprobs, ext[:, None, :].repeat(T, axis=1), axis=2)
-    emit = jnp.where(valid[:, None, :] > 0, emit, NEG)
-    onehot_ext = jax.nn.one_hot(ext, V, dtype=jnp.float32) * \
-        valid[:, :, None]                                  # (B, S_pad, V)
-    return emit, can_skip, valid, ext_len, onehot_ext, S_pad
+    # (B, Vp, S) one-hot, transposed for the in-kernel gather matmul
+    oht = (ext[:, None, :] ==
+           jnp.arange(Vp, dtype=ext.dtype)[None, :, None]
+           ).astype(jnp.float32)
+    lp_pad = logprobs if Vp == V else jnp.pad(
+        logprobs, ((0, 0), (0, 0), (0, Vp - V)))
+    return lp_pad, oht, can_skip, valid, ext_len, S, Vp
 
 
-def _scalar_specs(B):
-    return pl.BlockSpec((B, 1), lambda b: (0, 0),
+def _col(x):
+    return x.astype(jnp.int32)[:, None]
+
+
+def _scalar_spec(B):
+    return pl.BlockSpec((B, 1), lambda *_: (0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _run_forward(emit, can_skip, valid, logit_lengths, ext_len,
+def _mask_spec(B, S):
+    return pl.BlockSpec((B, S), lambda *_: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_chunks(T):
+    """(T_padded, TC): chunk T into sublane-aligned pieces."""
+    if T <= 128:
+        tp = _round_up(T, 8)
+        return tp, tp
+    return _round_up(T, 128), 128
+
+
+def _fits_vmem_fwd(R, TC, S, Vp):
+    # double-buffered lp blocks + oht block + emit/alpha scratch
+    need = 2 * R * TC * Vp * 4 + 2 * R * Vp * S * 4 + \
+        R * TC * S * 4 + R * S * 4
+    return need <= _VMEM_BUDGET
+
+
+def _fits_vmem_bwd(T, S, Vp):
+    need = 2 * T * S * 4 + 2 * T * Vp * 4 * 2 + Vp * S * 4 * 2
+    return need <= _VMEM_BUDGET
+
+
+def _run_forward(lp_pad, oht, can_skip, valid, logit_lengths, ext_len,
                  interpret):
-    B, T, S = emit.shape
-    R = _rows_per_program(B, T, S, arrays=2)
-    alphas, nll = pl.pallas_call(
-        functools.partial(_alpha_kernel, R),
-        grid=(B // R,),
+    B, T, Vp = lp_pad.shape
+    S = oht.shape[2]
+    Tp, TC = _fwd_chunks(T)
+    if Tp != T:
+        lp_pad = jnp.pad(lp_pad, ((0, 0), (0, Tp - T), (0, 0)))
+    R = 8 if (B % 8 == 0 and _fits_vmem_fwd(8, TC, S, Vp)) else 1
+    nll = pl.pallas_call(
+        functools.partial(_alpha_kernel, R, TC),
+        grid=(B // R, Tp // TC),
         in_specs=[
-            _scalar_specs(B),
-            _scalar_specs(B),
-            pl.BlockSpec((R, T, S), lambda b: (b, 0, 0),
+            _scalar_spec(B), _scalar_spec(B),
+            _mask_spec(B, S), _mask_spec(B, S),
+            pl.BlockSpec((R, TC, Vp), lambda b, tc: (b, tc, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda b: (0, 0),
+            pl.BlockSpec((R, Vp, S), lambda b, tc: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((R, T, S), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _scalar_specs(B),
+        out_specs=_scalar_spec(B),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((R, S), jnp.float32),
+            pltpu.VMEM((R, TC, S), jnp.float32),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(logit_lengths.astype(jnp.int32)[:, None],
-      ext_len.astype(jnp.int32)[:, None], emit, can_skip, valid)
-    return alphas, nll[:, 0]
+    )(_col(logit_lengths), _col(ext_len), can_skip, valid, lp_pad, oht)
+    return nll[:, 0]
 
 
-def _run_backward(emit, can_skip, valid, logit_lengths, ext_len, nll,
-                  alphas, interpret):
-    B, T, S = emit.shape
-    # R > 1 currently trips a Mosaic compiler crash in the reverse
-    # loop; R = 1 is validated on hardware (and already beats the XLA
-    # scan on the grad path)
-    R = 1
-    grad = pl.pallas_call(
-        functools.partial(_beta_kernel, R),
-        grid=(B // R,),
+def _run_backward(lp_pad, oht, can_skip, valid, logit_lengths, ext_len,
+                  nll, interpret):
+    B, T, Vp = lp_pad.shape
+    S = oht.shape[2]
+    Tp = _round_up(T, 8)
+    if Tp != T:
+        lp_pad = jnp.pad(lp_pad, ((0, 0), (0, Tp - T), (0, 0)))
+    dlp = pl.pallas_call(
+        functools.partial(_beta_kernel, Tp),
+        grid=(B,),
         in_specs=[
-            _scalar_specs(B),
-            _scalar_specs(B),
-            _scalar_specs(B),
-            pl.BlockSpec((R, T, S), lambda b: (b, 0, 0),
+            _scalar_spec(B), _scalar_spec(B), _scalar_spec(B),
+            _mask_spec(B, S), _mask_spec(B, S),
+            pl.BlockSpec((1, Tp, Vp), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, T, S), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, Vp, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, T, S), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, Tp, Vp), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, Vp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Tp, S), jnp.float32),
+            pltpu.VMEM((Tp, S), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(logit_lengths.astype(jnp.int32)[:, None],
-      ext_len.astype(jnp.int32)[:, None], nll[:, None], emit, can_skip,
-      valid, alphas)
-    return grad
+    )(_col(logit_lengths), _col(ext_len), nll[:, None].astype(jnp.float32),
+      can_skip, valid, lp_pad, oht)
+    return dlp[:, :T, :]
 
 
+# ---------------------------------------------------------------------------
+# custom VJP: the only large residual is the (B, T, V) logprobs
+# ---------------------------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _ctc_nll_from_logprobs(logprobs, logit_lengths, labels,
                            label_lengths, blank_id, interpret):
     """(B,) negative log likelihood from log-softmax probabilities."""
-    emit, can_skip, valid, ext_len, _, _ = _prep(
-        logprobs, logit_lengths, labels, label_lengths, blank_id)
-    _, nll = _run_forward(emit, can_skip, valid, logit_lengths, ext_len,
-                          interpret)
-    return nll
+    lp_pad, oht, can_skip, valid, ext_len, _, _ = _prep(
+        logprobs, labels, label_lengths, blank_id)
+    return _run_forward(lp_pad, oht, can_skip, valid, logit_lengths,
+                        ext_len, interpret)
 
 
 def _ctc_fwd(logprobs, logit_lengths, labels, label_lengths, blank_id,
              interpret):
-    emit, can_skip, valid, ext_len, onehot_ext, _ = _prep(
-        logprobs, logit_lengths, labels, label_lengths, blank_id)
-    alphas, nll = _run_forward(emit, can_skip, valid, logit_lengths,
-                               ext_len, interpret)
-    res = (emit, can_skip, valid, ext_len, onehot_ext, logit_lengths,
-           nll, alphas)
-    return nll, res
+    nll = _ctc_nll_from_logprobs(logprobs, logit_lengths, labels,
+                                 label_lengths, blank_id, interpret)
+    return nll, (logprobs, logit_lengths, labels, label_lengths, nll)
 
 
 def _ctc_bwd(blank_id, interpret, res, g):
-    (emit, can_skip, valid, ext_len, onehot_ext, logit_lengths, nll,
-     alphas) = res
-    demit = _run_backward(emit, can_skip, valid, logit_lengths, ext_len,
-                          nll, alphas, interpret)
-    # scatter extended positions back to vocab: one MXU matmul
-    dlogprobs = jnp.einsum("bts,bsv->btv", demit, onehot_ext)
-    dlogprobs = dlogprobs * g[:, None, None]
+    logprobs, logit_lengths, labels, label_lengths, nll = res
+    V = logprobs.shape[2]
+    lp_pad, oht, can_skip, valid, ext_len, _, _ = _prep(
+        logprobs, labels, label_lengths, blank_id)
+    dlp = _run_backward(lp_pad, oht, can_skip, valid, logit_lengths,
+                        ext_len, nll, interpret)
+    dlogprobs = dlp[:, :, :V] * g[:, None, None]
     return (dlogprobs, None, None, None)
 
 
@@ -292,16 +373,28 @@ def ctc_loss_pallas(logits, logit_lengths, labels, label_lengths,
                     average_across_batch: bool = True,
                     interpret: bool = False):
     """Drop-in replacement for :func:`ops.ctc.ctc_loss` backed by the
-    Pallas kernels. ``interpret=True`` runs the kernels in interpreter
-    mode (for CPU tests)."""
+    fused Pallas kernels. ``interpret=True`` runs the kernels in
+    interpreter mode (for CPU tests). Shapes whose per-row scratch
+    would overflow VMEM fall back to the XLA scan implementation."""
     B, T, V = logits.shape
     if blank_id < 0:
         blank_id = V + blank_id
+    L = labels.shape[1]
+    S = _round_up(2 * L + 1, 128)
+    Vp = _round_up(V, 128)
+    if not (_fits_vmem_bwd(_round_up(T, 8), S, Vp) and
+            _fits_vmem_fwd(1, _fwd_chunks(T)[1], S, Vp)):
+        from .ctc import ctc_loss
+        return ctc_loss(
+            logits, logit_lengths, labels, label_lengths,
+            blank_id=blank_id,
+            ignore_longer_outputs_than_inputs=(
+                ignore_longer_outputs_than_inputs),
+            average_across_batch=average_across_batch)
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = _ctc_nll_from_logprobs(logprobs, logit_lengths, labels,
                                  label_lengths, blank_id, interpret)
     if ignore_longer_outputs_than_inputs:
-        L = labels.shape[1]
         lbl_prev = jnp.concatenate(
             [jnp.full((B, 1), -1, labels.dtype), labels[:, :-1]], axis=1)
         in_range = jnp.arange(L)[None, :] < label_lengths[:, None]
