@@ -37,13 +37,17 @@ def _las_jca_config(toy):
         "ctc_decoder_params": {"use_language_model": False},
         "attn_decoder_params": {
             "tgt_emb_size": 32,
-            "attention_layer_size": 32,
-            "attention_type": "bahdanau",
-            "core_cell": "lstm",
-            "core_cell_params": {"num_units": 32},
-            "decoder_layers": 1,
-            "decoder_use_skip_connections": False,
-            "batch_size": 10,
+            "attention_params": {
+                "attention_dim": 32,
+                "attention_type": "chorowski",
+                "use_coverage": True,
+                "num_heads": 1,
+                "plot_attention": False,
+            },
+            "rnn_type": "lstm",
+            "hidden_dim": 32,
+            "num_layers": 1,
+            "dropout_keep_prob": 0.9,
         },
         "beam_search_params": {"beam_width": 2},
         "language_model_params": {},
@@ -99,3 +103,76 @@ def test_speech_commands_layer(tmp_path, toy_speech_data):
     x, x_len = batch["source_tensors"]
     assert x.shape[0] == 2 and x.shape[2] == 32
     assert set(np.asarray(batch["target_tensors"][0]).tolist()) <= {0, 1}
+
+
+def _las_config(toy, num_epochs=1):
+    """Pure-LAS model: LAS encoder + reference-schema LAS decoder +
+    sequence CE (no CTC head)."""
+    from openseq2seq_tpu.losses import BasicSequenceLoss
+    base_params, _ = w2l_test_config(toy["csv"], toy["vocab"],
+                                     num_epochs=num_epochs)
+    base_params["data_layer_params"]["autoregressive"] = True
+    base_params["encoder"] = ListenAttendSpellEncoder
+    base_params["encoder_params"] = {
+        "convnet_layers": [
+            {"type": "conv1d", "repeat": 1, "kernel_size": [7],
+             "stride": [2], "num_channels": 48, "padding": "SAME"},
+        ],
+        "recurrent_layers": [
+            {"type": "lstm", "num_units": 48, "pool": 2},
+        ],
+        "activation_fn": "relu",
+        "dropout_keep_prob": 1.0,
+    }
+    base_params["decoder"] = ListenAttendSpellDecoder
+    base_params["decoder_params"] = {
+        "GO_SYMBOL": 9,
+        "END_SYMBOL": 10,
+        "tgt_emb_size": 48,
+        "attention_params": {
+            "attention_dim": 48,
+            "attention_type": "chorowski",
+            "use_coverage": False,
+            "num_heads": 2,
+            "plot_attention": True,
+        },
+        "rnn_type": "lstm",
+        "hidden_dim": 48,
+        "num_layers": 1,
+        "pos_embedding": True,
+        "dropout_keep_prob": 1.0,
+        "beam_width": 2,
+    }
+    base_params["loss"] = BasicSequenceLoss
+    base_params["loss_params"] = {}
+    base_params["optimizer_params"] = {"learning_rate": 1e-3}
+    return base_params
+
+
+def test_las_train_step_and_alignments(toy_speech_data):
+    model = Speech2Text(params=_las_config(toy_speech_data),
+                        mode="train")
+    dl = model.get_data_layer()
+    batch = next(iter(dl.iterate_one_epoch()))
+    state = model.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    new_state, metrics = jax.jit(model.train_step)(
+        state, device_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # plot_attention surfaces per-step alignments over memory positions
+    out = jax.jit(model.eval_step)(state, device_batch)
+    align = np.asarray(out["outputs"]["decoder_output"]["alignments"])
+    assert align.ndim == 3
+    np.testing.assert_allclose(align.sum(-1), 1.0, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_las_toy_convergence(toy_speech_data):
+    """The speller must learn the 10-utterance toy set (loss falls well
+    below the initial CE; reference-style convergence bar)."""
+    from openseq2seq_tpu.training import trainer
+    model = Speech2Text(params=_las_config(toy_speech_data,
+                                           num_epochs=150),
+                        mode="train")
+    result = trainer.train(model)
+    assert result["last_metrics"]["loss"] < 0.5
