@@ -1,0 +1,76 @@
+"""DeepSpeech2-medium on full LibriSpeech (reference
+`example_configs/speech2text/ds2_medium_4gpus.py`)."""
+import os
+
+import jax
+
+from openseq2seq_tpu.data.speech2text import Speech2TextDataLayer
+from openseq2seq_tpu.decoders import FullyConnectedCTCDecoder
+from openseq2seq_tpu.encoders import DeepSpeech2Encoder
+from openseq2seq_tpu.losses import CTCLoss
+from openseq2seq_tpu.models import Speech2Text
+
+_DATA = os.environ.get("LIBRISPEECH_DIR", "/data/librispeech")
+
+base_model = Speech2Text
+base_params = {
+    "random_seed": 0,
+    "num_epochs": 50,
+    "logdir": os.environ.get("OS2S_LOGDIR", "ds2_log_folder"),
+    "batch_size_per_gpu": 32,
+    "print_loss_steps": 10,
+    "save_summaries_steps": 100,
+    "eval_steps": 5000,
+    "save_checkpoint_steps": 1000,
+
+    "optimizer": "Momentum",
+    "optimizer_params": {"learning_rate": 0.001, "momentum": 0.9},
+    "lr_policy": "poly_decay",
+    "lr_policy_params": {"power": 0.5, "decay_steps": 150000},
+    "larc_params": {"larc_eta": 0.001},
+    "dtype": "mixed",
+
+    "encoder": DeepSpeech2Encoder,
+    "encoder_params": {
+        "conv_layers": [
+            {"kernel_size": [11, 41], "stride": [2, 2],
+             "num_channels": 32, "padding": "SAME"},
+            {"kernel_size": [11, 21], "stride": [1, 2],
+             "num_channels": 64, "padding": "SAME"},
+            {"kernel_size": [11, 21], "stride": [1, 2],
+             "num_channels": 96, "padding": "SAME"},
+        ],
+        "num_rnn_layers": 3,
+        "rnn_cell_dim": 1024,
+        "use_cudnn_rnn": True,
+        "rnn_type": "cudnn_gru",
+        "rnn_unidirectional": False,
+        "row_conv": False,
+        "n_hidden": 1024,
+        "dropout_keep_prob": 0.5,
+        "activation_fn": jax.nn.relu,
+    },
+    "decoder": FullyConnectedCTCDecoder,
+    "decoder_params": {"use_language_model": False},
+    "loss": CTCLoss,
+    "loss_params": {},
+    "data_layer": Speech2TextDataLayer,
+    "data_layer_params": {
+        "num_audio_features": 160,
+        "input_type": "spectrogram",
+        "vocab_file": os.path.join(_DATA, "vocab.txt"),
+        "dataset_files": [
+            os.path.join(_DATA, "librivox-train-clean-100.csv"),
+            os.path.join(_DATA, "librivox-train-clean-360.csv"),
+            os.path.join(_DATA, "librivox-train-other-500.csv"),
+        ],
+        "max_duration": 16.7,
+        "sample_freq": 16000,
+    },
+}
+eval_params = {
+    "data_layer_params": {
+        "dataset_files": [os.path.join(_DATA, "librivox-dev-clean.csv")],
+        "shuffle": False,
+    },
+}

@@ -1,0 +1,71 @@
+"""Single-chip DeepSpeech2-small on LibriSpeech clean-100 (reference
+`example_configs/speech2text/ds2_small_1gpu.py`)."""
+import os
+
+import jax
+
+from openseq2seq_tpu.data.speech2text import Speech2TextDataLayer
+from openseq2seq_tpu.decoders import FullyConnectedCTCDecoder
+from openseq2seq_tpu.encoders import DeepSpeech2Encoder
+from openseq2seq_tpu.losses import CTCLoss
+from openseq2seq_tpu.models import Speech2Text
+
+_DATA = os.environ.get("LIBRISPEECH_DIR", "/data/librispeech")
+
+base_model = Speech2Text
+base_params = {
+    "random_seed": 0,
+    "num_epochs": 12,
+    "logdir": os.environ.get("OS2S_LOGDIR", "ds2_log_folder"),
+    "batch_size_per_gpu": 32,
+    "print_loss_steps": 10,
+    "save_summaries_steps": 100,
+    "eval_steps": 500,
+    "save_checkpoint_steps": 500,
+
+    "optimizer": "Adam",
+    "optimizer_params": {"learning_rate": 1e-4},
+    "lr_policy": "exp_decay",
+    "lr_policy_params": {"decay_steps": 5000, "decay_rate": 0.9,
+                         "use_staircase_decay": True,
+                         "begin_decay_at": 0, "min_lr": 0.0},
+    "dtype": "float32",
+
+    "encoder": DeepSpeech2Encoder,
+    "encoder_params": {
+        "conv_layers": [
+            {"kernel_size": [11, 41], "stride": [2, 2],
+             "num_channels": 32, "padding": "SAME"},
+        ],
+        "num_rnn_layers": 2,
+        "rnn_cell_dim": 512,
+        "use_cudnn_rnn": True,
+        "rnn_type": "cudnn_gru",
+        "rnn_unidirectional": False,
+        "row_conv": False,
+        "n_hidden": 512,
+        "dropout_keep_prob": 0.9,
+        "activation_fn": jax.nn.relu,
+    },
+    "decoder": FullyConnectedCTCDecoder,
+    "decoder_params": {"use_language_model": False},
+    "loss": CTCLoss,
+    "loss_params": {},
+    "data_layer": Speech2TextDataLayer,
+    "data_layer_params": {
+        "num_audio_features": 96,
+        "input_type": "spectrogram",
+        "vocab_file": os.path.join(_DATA, "vocab.txt"),
+        "dataset_files": [
+            os.path.join(_DATA, "librivox-train-clean-100.csv"),
+        ],
+        "max_duration": 16.7,
+        "sample_freq": 16000,
+    },
+}
+eval_params = {
+    "data_layer_params": {
+        "dataset_files": [os.path.join(_DATA, "librivox-dev-clean.csv")],
+        "shuffle": False,
+    },
+}

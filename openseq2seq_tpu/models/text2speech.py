@@ -166,6 +166,13 @@ class Text2SpeechTacotron(Text2Speech):
     `models/text2speech_tacotron.py`)."""
 
 
+class Text2SpeechCentaur(Text2Speech):
+    """Named subclass for config parity (reference
+    `models/text2speech_centaur.py`): Centaur's decoder-encoder
+    alignments ride the same ``alignments`` output the base evaluate()
+    plots (`decoders/centaur_decoder.py` merges attention blocks)."""
+
+
 class Text2SpeechWavenet(Text2Speech):
     """WaveNet vocoder task model (reference
     `models/text2speech_wavenet.py`): loss-only eval; infer emits the
