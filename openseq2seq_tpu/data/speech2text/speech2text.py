@@ -85,6 +85,7 @@ class Speech2TextDataLayer(DataLayer):
             "max_batch_pad_time": int,
             "sort_by_duration": bool,
             "map_parallel_calls": int,
+            "featurize_on_device": bool,
         })
 
     def __init__(self, params, model, num_workers=1, worker_id=0):
@@ -118,6 +119,18 @@ class Speech2TextDataLayer(DataLayer):
                 p["char2idx"]["</S>"] = self.end_index
             p["idx2char"] = {i: w for w, i in p["char2idx"].items()}
         self.target_pad_value = 0
+
+        if p.get("featurize_on_device", False):
+            # raw-audio batches; the model runs ops/features_jax inside
+            # the jitted step (BASELINE north star: librosa pipeline
+            # moved on-device). Host-side augmentation/caching paths
+            # don't apply to raw audio.
+            if p["input_type"] != "logfbank":
+                raise ValueError("featurize_on_device supports "
+                                 "input_type='logfbank' only")
+            if p.get("augmentation"):
+                raise ValueError("featurize_on_device does not support "
+                                 "host-side augmentation")
 
         p.setdefault("min_duration", -1.0)
         p.setdefault("max_duration", -1.0)
@@ -198,6 +211,22 @@ class Speech2TextDataLayer(DataLayer):
         return get_speech_features_from_file(wav_path, self.params,
                                              rng=self._rng)
 
+    def _load_audio(self, wav_path: str):
+        """Raw-audio path for ``featurize_on_device``: returns the float
+        signal (N,) and its duration in seconds."""
+        from scipy.io import wavfile
+        sample_freq, signal = wavfile.read(wav_path)
+        want = self.params.get("sample_freq", sample_freq)
+        if sample_freq != want:
+            raise ValueError(
+                "The sampling frequency set in params {} does not match "
+                "the frequency {} read from file {}".format(
+                    want, sample_freq, wav_path))
+        if signal.ndim > 1:
+            signal = signal.mean(axis=1)
+        signal = np.asarray(signal, np.float32)
+        return signal, len(signal) / float(sample_freq)
+
     def _encode_transcript(self, text: str) -> np.ndarray:
         if self.sp is not None:
             ids = self.sp.EncodeAsIds(text)
@@ -226,10 +255,15 @@ class Speech2TextDataLayer(DataLayer):
             workers = 1
         from concurrent.futures import ThreadPoolExecutor
 
+        on_device = p.get("featurize_on_device", False)
+
         def load(global_idx):
             row = self._files[global_idx]
             try:
-                features, duration = self._featurize(row[0])
+                if on_device:
+                    features, duration = self._load_audio(row[0])
+                else:
+                    features, duration = self._featurize(row[0])
             except (OSError, ValueError) as e:
                 return ("error", global_idx, e)
             return ("ok", global_idx, features, duration, row)
@@ -264,17 +298,33 @@ class Speech2TextDataLayer(DataLayer):
         if pad_batch_to is not None:
             examples = examples + [examples[-1]] * (pad_batch_to - valid)
         pad_to = max(p["pad_to"], 1)
-        T = self.pad_to_multiple(max(e["x"].shape[0] for e in examples), pad_to)
-        F = examples[0]["x"].shape[1]
         B = len(examples)
-        x = np.zeros((B, T, F), dtype=np.float32)
-        x_len = np.zeros((B,), dtype=np.int32)
         ids = np.zeros((B,), dtype=np.int32)
-        for i, e in enumerate(examples):
-            t = e["x"].shape[0]
-            x[i, :t] = e["x"]
-            x_len[i] = t
-            ids[i] = e["idx"]
+        x_len = np.zeros((B,), dtype=np.int32)
+        if examples[0]["x"].ndim == 1:
+            # raw-audio batches (featurize_on_device): pad the sample
+            # axis to a multiple of hop*pad_to so the on-device frame
+            # count stays 8-aligned
+            hop = int(p.get("window_stride", 10e-3) *
+                      p.get("sample_freq", 16000))
+            N = self.pad_to_multiple(
+                max(e["x"].shape[0] for e in examples), hop * pad_to)
+            x = np.zeros((B, N), dtype=np.float32)
+            for i, e in enumerate(examples):
+                n = e["x"].shape[0]
+                x[i, :n] = e["x"]
+                x_len[i] = n
+                ids[i] = e["idx"]
+        else:
+            T = self.pad_to_multiple(
+                max(e["x"].shape[0] for e in examples), pad_to)
+            F = examples[0]["x"].shape[1]
+            x = np.zeros((B, T, F), dtype=np.float32)
+            for i, e in enumerate(examples):
+                t = e["x"].shape[0]
+                x[i, :t] = e["x"]
+                x_len[i] = t
+                ids[i] = e["idx"]
         batch = {
             "source_tensors": [x, x_len],
             "source_ids": ids,
@@ -296,6 +346,22 @@ class Speech2TextDataLayer(DataLayer):
         """Featurize a raw (signal, sample_rate) pair or a wav path into a
         batch-of-one (streaming ASR contract, reference
         `speech2text.py:326-380`)."""
+        if self.params.get("featurize_on_device", False):
+            if isinstance(model_in, str):
+                signal, _ = self._load_audio(model_in)
+            else:
+                signal = np.asarray(model_in[0], np.float32)
+            hop = int(self.params.get("window_stride", 10e-3) *
+                      self.params.get("sample_freq", 16000))
+            pad_to = max(self.params["pad_to"], 1)
+            n = self.pad_to_multiple(len(signal), hop * pad_to)
+            x = np.zeros((1, n), dtype=np.float32)
+            x[0, :len(signal)] = signal
+            return {
+                "source_tensors": [x, np.asarray([len(signal)], np.int32)],
+                "source_ids": np.zeros((1,), np.int32),
+                "batch_valid": np.int32(1),
+            }
         if isinstance(model_in, str):
             features, _ = self._featurize(model_in)
         else:

@@ -21,6 +21,50 @@ class Speech2Text(EncoderDecoderModel):
             self.get_data_layer().params["tgt_vocab_size"]
         return super()._create_decoder()
 
+    def build_module(self):
+        base = super().build_module()
+        dlp = self.get_data_layer().params
+        if not dlp.get("featurize_on_device", False):
+            return base
+
+        # on-device featurization (VERDICT r1 #4 / BASELINE north star):
+        # the data layer feeds padded raw-audio batches; the log-mel
+        # front end runs inside the jitted step (XLA TPU FFT + one MXU
+        # filterbank matmul, `ops/features_jax.py`), replacing the
+        # reference's host tf.py_func featurizer
+        # (`docs/speech-commands.rst:28`).
+        import math
+
+        import flax.linen as nn
+
+        from ..ops.features_jax import logmel_features
+
+        sr = int(dlp.get("sample_freq", 16000))
+        win = int(dlp.get("window_size", 20e-3) * sr)
+        hop = int(dlp.get("window_stride", 10e-3) * sr)
+        n_fft = int(dlp.get("num_fft", 0) or 2 ** math.ceil(
+            math.log2(dlp.get("window_size", 20e-3) * sr)))
+        num_features = int(dlp["num_audio_features"])
+        # host default is norm_per_feature=False (`ops/features.py:164`)
+        norm_pf = bool(dlp.get("norm_per_feature", False))
+
+        class DeviceFeaturizedForward(nn.Module):
+            inner: nn.Module
+
+            @nn.compact
+            def __call__(self, batch: Dict[str, Any], train: bool):
+                audio, audio_len = batch["source_tensors"]
+                feats, feat_len = logmel_features(
+                    audio, audio_len, sample_freq=sr,
+                    num_features=num_features, n_fft=n_fft,
+                    hop_length=hop, win_length=win,
+                    norm_per_feature=norm_pf)
+                new_batch = dict(batch)
+                new_batch["source_tensors"] = [feats, feat_len]
+                return self.inner(new_batch, train)
+
+        return DeviceFeaturizedForward(inner=base)
+
     def _create_loss(self):
         loss_cls = self._params.get("loss")
         if loss_cls is not None:
@@ -140,4 +184,11 @@ class Speech2Text(EncoderDecoderModel):
 
     def _get_num_objects_per_step(self, batch):
         # audio frames processed (reference `models/speech2text.py:356-360`)
-        return int(np.sum(np.asarray(batch["source_tensors"][1])))
+        lengths = np.asarray(batch["source_tensors"][1])
+        if batch["source_tensors"][0].ndim == 2:
+            # raw-audio batches (featurize_on_device): samples -> frames
+            hop = int(self.get_data_layer().params.get(
+                "window_stride", 10e-3) *
+                self.get_data_layer().params.get("sample_freq", 16000))
+            return int(np.sum(1 + lengths // hop))
+        return int(np.sum(lengths))
