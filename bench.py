@@ -88,13 +88,35 @@ def main():
     loss = float(jax.device_get(metrics["loss"]))
     assert np.isfinite(loss)
 
-    print(json.dumps({
+    # MFU: model FLOPs/step (XLA cost analysis) / wall / chip peak.
+    # v5e peak: 197 TFLOP/s bf16 (public TPU v5e spec).
+    mfu = None
+    try:
+        cost = step_fn.lower(state, device_batch,
+                             rng).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops * n_steps / wall / (197e12 * n_chips)
+    except Exception:
+        pass
+
+    result = {
         "metric": "jasper10x5_train_utt_per_sec_per_chip",
         "value": round(utt_per_sec_per_chip, 3),
         "unit": "utt/s/chip",
         "vs_baseline": round(utt_per_sec_per_chip /
                              V100_BASELINE_UTT_PER_SEC, 3),
-    }))
+        "baseline_citation": (
+            "NVIDIA DeepLearningExamples PyTorch/SpeechRecognition/"
+            "Jasper README: DGX-1 8x V100 16G AMP ~260 seq/s total "
+            "=> ~32 utt/s per V100 (assumed; OpenSeq2Seq itself "
+            "publishes only scaling plots)"),
+    }
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

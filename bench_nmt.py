@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark: Transformer-big NMT training throughput on the available
+chip(s).
+
+Prints ONE JSON line:
+  {"metric": "transformer_big_train_tokens_per_sec_per_chip",
+   "value": N, "unit": "tokens/s/chip", "vs_baseline": N / 25000.0}
+
+Baseline: the reference publishes only scaling plots for its
+transformer (`docs/sources/source/machine-translation/
+transformer_scaling.png`). The per-V100 figure used here comes from
+public NVIDIA/fairseq Transformer-big WMT En-De training numbers:
+~190-200k source+target tokens/s on a DGX-1 (8x V100 16G, fp16)
+=> ~25k tokens/s per V100 (NVIDIA DeepLearningExamples
+PyTorch/Translation/Transformer README table). vs_baseline is
+tokens/sec/chip vs that assumed 25k/V100.
+
+Setup mirrors transformer-big (`example_configs/text2text/en-de/
+transformer-big.py`: 6+6 layers, d_model 1024, 16 heads, ffn 4096,
+32k shared vocab), bf16 "mixed", sequence length 64+64 (typical WMT
+bucketed batch shape), tokens counted as source+target like the
+reference's objects/sec (`models/text2text.py:227-230`).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+V100_BASELINE_TOKENS_PER_SEC = 25000.0
+
+
+def main():
+    import jax
+    from openseq2seq_tpu.data.synthetic import SyntheticTextDataLayer
+    from openseq2seq_tpu.decoders import TransformerDecoder
+    from openseq2seq_tpu.encoders import TransformerEncoder
+    from openseq2seq_tpu.losses import PaddedCrossEntropyLossWithSmoothing
+    from openseq2seq_tpu.models import Text2Text
+    from openseq2seq_tpu.parallel.mesh import (make_mesh,
+                                               replicated_sharding,
+                                               shard_batch)
+
+    n_chips = len(jax.devices())
+    batch_per_chip = 64
+    seq_len = 64
+    d_model = 1024
+
+    mesh = make_mesh(num_data=n_chips, num_model=1)
+    params = {
+        "random_seed": 0,
+        "max_steps": 1000000,
+        "batch_size_per_gpu": batch_per_chip,
+        "print_loss_steps": None,
+        "optimizer": "NovoGrad",
+        "optimizer_params": {"beta1": 0.95, "beta2": 0.99,
+                             "weight_decay": 1e-4},
+        "lr_policy": "transformer_policy",
+        "lr_policy_params": {"learning_rate": 2.0, "warmup_steps": 8000,
+                             "d_model": d_model},
+        "dtype": "mixed",
+        "encoder": TransformerEncoder,
+        "encoder_params": {
+            "encoder_layers": 6,
+            "hidden_size": d_model,
+            "num_heads": 16,
+            "attention_dropout": 0.1,
+            "filter_size": 4 * d_model,
+            "relu_dropout": 0.3,
+            "layer_postprocess_dropout": 0.3,
+            "remove_padding": True,
+        },
+        "decoder": TransformerDecoder,
+        "decoder_params": {
+            "EOS_ID": 1,
+            "GO_SYMBOL": 2,
+            "layer_postprocess_dropout": 0.3,
+            "num_hidden_layers": 6,
+            "hidden_size": d_model,
+            "num_heads": 16,
+            "attention_dropout": 0.1,
+            "relu_dropout": 0.3,
+            "filter_size": 4 * d_model,
+            "beam_size": 4,
+            "alpha": 0.6,
+            "extra_decode_length": 50,
+        },
+        "loss": PaddedCrossEntropyLossWithSmoothing,
+        "loss_params": {"label_smoothing": 0.1},
+        "data_layer": SyntheticTextDataLayer,
+        "data_layer_params": {
+            "src_vocab_size": 32768,
+            "tgt_vocab_size": 32768,
+            "src_length": seq_len,
+            "tgt_length": seq_len,
+            "num_batches": 4,
+        },
+    }
+    model = Text2Text(params=params, mode="train", mesh=mesh)
+    dl = model.get_data_layer()
+    batch = next(iter(dl.iterate_one_epoch()))
+    tokens_per_step = model.get_num_objects_per_step(batch)
+    state = model.init_state(batch)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    device_batch = shard_batch(batch, mesh)
+    step_fn = jax.jit(model.train_step, donate_argnums=(0,))
+    rng = jax.random.PRNGKey(0)
+
+    for _ in range(3):
+        state, metrics = step_fn(state, device_batch, rng)
+    float(jax.device_get(metrics["loss"]))
+
+    n_steps = 20
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, metrics = step_fn(state, device_batch, rng)
+    float(jax.device_get(metrics["loss"]))
+    wall = time.time() - t0
+
+    tokens_per_sec_per_chip = n_steps * tokens_per_step / wall / n_chips
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss)
+
+    print(json.dumps({
+        "metric": "transformer_big_train_tokens_per_sec_per_chip",
+        "value": round(tokens_per_sec_per_chip, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tokens_per_sec_per_chip /
+                             V100_BASELINE_TOKENS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,3 +69,58 @@ class SyntheticSpeechDataLayer(DataLayer):
         idx2char = self._params["idx2char"]
         return "".join(idx2char.get(int(i), "")
                        for i in np.asarray(ids).tolist() if int(i) >= 0)
+
+
+class SyntheticTextDataLayer(DataLayer):
+    """Random parallel-text batches with constant shapes, for NMT
+    throughput benchmarking (same role as SyntheticSpeechDataLayer)."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(DataLayer.get_required_params(), **{
+            "src_vocab_size": int,
+            "tgt_vocab_size": int,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(DataLayer.get_optional_params(), **{
+            "src_length": int,
+            "tgt_length": int,
+            "num_batches": int,
+        })
+
+    def __init__(self, params, model, num_workers=1, worker_id=0):
+        super().__init__(params, model, num_workers, worker_id)
+        p = self._params
+        p.setdefault("src_length", 64)
+        p.setdefault("tgt_length", 64)
+        p.setdefault("num_batches", 100)
+        p.setdefault("batch_size", 8)
+
+    def get_size_in_samples(self) -> int:
+        return self._params["num_batches"] * self._params["batch_size"]
+
+    def iterate_one_epoch(self) -> Iterator[Dict[str, Any]]:
+        p = self._params
+        B = p["batch_size"]
+        Ts, Tt = p["src_length"], p["tgt_length"]
+        rng = np.random.RandomState(
+            1 if self._params.get("mode") == "train" else 2)
+        # ids 4.. leave room for PAD/EOS/GO specials (text2text.py:14-34)
+        x = rng.randint(4, p["src_vocab_size"],
+                        size=(B, Ts)).astype(np.int32)
+        y = rng.randint(4, p["tgt_vocab_size"],
+                        size=(B, Tt)).astype(np.int32)
+        y[:, 0] = 2          # GO
+        y[:, -1] = 1         # EOS
+        batch = {"source_tensors": [x, np.full((B,), Ts, np.int32)],
+                 "target_tensors": [y, np.full((B,), Tt, np.int32)],
+                 "source_ids": np.arange(B, dtype=np.int32),
+                 "batch_valid": np.int32(B)}
+        for _ in range(p["num_batches"]):
+            yield batch
+
+    def decode_ids(self, ids):
+        return " ".join(str(int(i)) for i in np.asarray(ids).tolist()
+                        if int(i) >= 0)

@@ -122,7 +122,8 @@ def _unflatten_tree(flat):
 def export_inference_fn_int8(model, state, example_batch,
                              path: str | None = None,
                              pattern: str = DEFAULT_QUANT_PATTERN,
-                             min_size: int = 4096):
+                             min_size: int = 4096,
+                             act_ranges: Dict[str, float] | None = None):
     """Like ``export.export_inference_fn`` but with int8 weights.
 
     A closed-over constant gets eagerly dequantized during tracing (ops
@@ -131,7 +132,13 @@ def export_inference_fn_int8(model, state, example_batch,
     takes the quantized params as an *argument* — dequantization is
     staged and XLA fuses it into each kernel's first consumer — and the
     single artifact file carries {program, int8 weights, scales} in one
-    npz container. Returns (blob_bytes, report)."""
+    npz container. Returns (blob_bytes, report).
+
+    ``act_ranges``: per-Dense input absmax from
+    `int8_exec.calibrate_dense_inputs`. When given, calibrated Dense
+    layers execute as int8 x int8 -> int32 MXU matmuls in the exported
+    program (activations quantized on the fly against the static
+    ranges) — the TF-TRT INT8-engine equivalent."""
     import io
     from jax import export as jax_export
 
@@ -139,11 +146,24 @@ def export_inference_fn_int8(model, state, example_batch,
         jax.device_get(state.params), pattern, min_size=min_size)
     model_state = jax.device_get(state.model_state)
 
-    def serve(qp, batch):
-        variables = {"params": dequantize_params(qp), **model_state}
-        return model.module().apply(
-            variables, batch, train=False,
-            rngs={"dropout": jax.random.PRNGKey(0)})
+    if act_ranges:
+        from .int8_exec import make_int8_interceptor
+        import flax.linen as nn
+
+        def serve(qp, batch):
+            interceptor = make_int8_interceptor(act_ranges, qparams=qp)
+            with nn.intercept_methods(interceptor):
+                variables = {"params": dequantize_params(qp),
+                             **model_state}
+                return model.module().apply(
+                    variables, batch, train=False,
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+    else:
+        def serve(qp, batch):
+            variables = {"params": dequantize_params(qp), **model_state}
+            return model.module().apply(
+                variables, batch, train=False,
+                rngs={"dropout": jax.random.PRNGKey(0)})
 
     exported = jax_export.export(jax.jit(serve))(
         qparams, jax.device_get(example_batch))
