@@ -132,6 +132,15 @@ class Speech2TextDataLayer(DataLayer):
                 raise ValueError("featurize_on_device does not support "
                                  "host-side augmentation")
 
+        if (p["mode"] == "eval" and not p.get("augmentation") and
+                not p.get("dither", 0) and
+                not p.get("featurize_on_device", False)):
+            # in-training evaluation re-featurizes the whole eval set
+            # every interval; deterministic eval features are cached by
+            # default (reference grew ``cache_features`` for exactly
+            # this, `speech_utils.py:42-90` — here it's on by default)
+            p.setdefault("cache_features", True)
+
         p.setdefault("min_duration", -1.0)
         p.setdefault("max_duration", -1.0)
         p.setdefault("window_size", 20e-3)

@@ -66,8 +66,34 @@ def main(argv=None):
         trainer.infer(models["infer"], restore_checkpoint,
                       args.infer_output_file)
     elif args.mode == "interactive_infer":
-        raise SystemExit("interactive_infer is used programmatically; see "
-                         "openseq2seq_tpu/apps/frame_asr.py")
+        _interactive_repl(models["interactive_infer"], restore_checkpoint)
+
+
+def _interactive_repl(model, checkpoint):
+    """Tiny stdin REPL for interactive inference: each line is a wav
+    path, the transcription is printed (the reference drives this mode
+    from notebooks / frame_asr.py; streaming apps should use
+    openseq2seq_tpu/apps/frame_asr.py)."""
+    state = trainer.restore_state(model, checkpoint)
+    import jax as _jax
+    eval_fn = _jax.jit(model.eval_step)
+    dl = model.get_data_layer()
+    deco_print("Interactive inference. Enter a wav path per line "
+               "(Ctrl-D to quit).")
+    while True:
+        try:
+            line = input("wav> ").strip()
+        except EOFError:
+            break
+        if not line:
+            continue
+        try:
+            batch = dl.create_interactive_batch(line)
+            out = _jax.device_get(eval_fn(state, batch))
+            for _, text in model.infer(batch, out):
+                print(text)
+        except Exception as e:  # keep the REPL alive on bad input
+            print("error: {}".format(e))
 
 
 if __name__ == "__main__":

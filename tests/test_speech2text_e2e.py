@@ -47,9 +47,9 @@ def test_convergence(toy_speech_data):
     eval_model = _build(toy_speech_data, "eval", num_epochs=150)
     result = trainer.train(train_model, eval_model=None)
     final_loss = float(result["last_metrics"]["loss"])
-    assert final_loss < 2.0, "loss did not converge: {}".format(final_loss)
+    assert final_loss < 1.0, "loss did not converge: {}".format(final_loss)
     metrics = trainer.evaluate_with_state(eval_model, result["state"])
-    assert metrics["Eval WER"] < 0.25, metrics
+    assert metrics["Eval WER"] < 0.1, metrics  # reference bar (<0.1)
 
 
 @pytest.mark.slow
