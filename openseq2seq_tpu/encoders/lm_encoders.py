@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .encoder import Encoder
-from ..parts.rnns.rnn import LSTM, GRU
+from ..parts.rnns.rnn import FLSTM, GRU, LSTM, LayerNormLSTM, SLSTM
 
 
 class LMNet(nn.Module):
@@ -41,6 +41,9 @@ class LMNet(nn.Module):
     dtype_: Any
     num_sampled: int = 0          # >0 and < vocab: emit the sampled-
                                   # softmax bundle in train mode
+    fact_size: int = 0            # flstm bottleneck
+    num_proj: int = 0             # flstm output projection
+    recurrent_weight_keep_prob: float = 1.0   # weight-drop LN LSTM
 
     @nn.compact
     def __call__(self, x, lengths, train: bool):
@@ -68,13 +71,32 @@ class LMNet(nn.Module):
             size = self.hidden_size if not (is_last and self.lm_mode and
                                             self.weight_tied) \
                 else self.emb_size
+            name = "rnn{}".format(i + 1)
             if self.cell_type == "gru":
                 h, state = GRU(size, dtype=self.dtype_,
-                               name="rnn{}".format(i + 1))(h, lengths)
+                               name=name)(h, lengths)
                 states.append((state, state))
+            elif self.cell_type == "slstm":
+                h, state = SLSTM(size, dtype=self.dtype_,
+                                 name=name)(h, lengths)
+                states.append(state)
+            elif self.cell_type == "flstm":
+                h, state = FLSTM(size,
+                                 fact_size=self.fact_size or size // 2,
+                                 num_proj=self.num_proj,
+                                 dtype=self.dtype_, name=name)(h, lengths)
+                states.append(state)
+            elif self.cell_type == "layernorm_lstm":
+                h, state = LayerNormLSTM(
+                    size,
+                    recurrent_weight_keep_prob=(
+                        self.recurrent_weight_keep_prob),
+                    train=train, dtype=self.dtype_,
+                    name=name)(h, lengths)
+                states.append(state)
             else:
                 h, state = LSTM(size, dtype=self.dtype_,
-                                name="rnn{}".format(i + 1))(h, lengths)
+                                name=name)(h, lengths)
                 states.append(state)
             if out_keep < 1.0:
                 h = nn.Dropout(rate=1.0 - out_keep, broadcast_dims=(1,),
@@ -190,8 +212,24 @@ class LMEncoder(Encoder):
         p = self._params
         core_params = p.get("core_cell_params", {})
         hidden = core_params.get("num_units", p["emb_size"])
-        cell_type = "gru" if "gru" in str(
-            p.get("cudnn_rnn_type", "lstm")).lower() else "lstm"
+        # core_cell selects the recurrent cell: a string, or (reference
+        # config parity) a class whose NAME matches the reference cells
+        # (`parts/rnns/{flstm,slstm}.py`, WeightDropLayerNormBasicLSTMCell)
+        core = p.get("core_cell")
+        core_name = (core if isinstance(core, str)
+                     else getattr(core, "__name__", "")) or ""
+        core_name = core_name.lower()
+        if "slstm" in core_name:
+            cell_type = "slstm"
+        elif "flstm" in core_name:
+            cell_type = "flstm"
+        elif "layernorm" in core_name or "layer_norm" in core_name:
+            cell_type = "layernorm_lstm"
+        elif "gru" in core_name or "gru" in str(
+                p.get("cudnn_rnn_type", "")).lower():
+            cell_type = "gru"
+        else:
+            cell_type = "lstm"
         lm_mode = p.get("lm_mode", True)
         net = LMNet(
             vocab_size=p["vocab_size"],
@@ -210,7 +248,11 @@ class LMEncoder(Encoder):
             use_cell_state=p.get("use_cell_state", False),
             cell_type=cell_type,
             dtype_=self.compute_dtype,
-            num_sampled=p.get("num_sampled", 0))
+            num_sampled=p.get("num_sampled", 0),
+            fact_size=core_params.get("fact_size", 0),
+            num_proj=core_params.get("num_proj", 0),
+            recurrent_weight_keep_prob=p.get(
+                "recurrent_weight_keep_prob", 1.0))
 
         class LMEncoderModule(nn.Module):
             net: nn.Module

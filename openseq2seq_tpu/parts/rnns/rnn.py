@@ -190,3 +190,202 @@ class GLSTM(nn.Module):
             outs.append(out)
             states.append(st)
         return jnp.concatenate(outs, axis=-1), states
+
+
+class SLSTM(nn.Module):
+    """Simplified LSTM (reference `parts/rnns/slstm.py:BasicSLSTMCell`):
+    the gate pre-activations depend ONLY on the inputs — the recurrent
+    term is dropped from the gate matmul — so the whole gate computation
+    hoists out of the scan as one batched matmul; the recursion is just
+    the elementwise cell-state update (very TPU-friendly)."""
+    hidden_size: int
+    forget_bias: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths, initial_state: Optional[Tuple] = None):
+        B, T, D = x.shape
+        H = self.hidden_size
+        mask = _time_mask(lengths, T)
+        gates = nn.DenseGeneral(4 * H, dtype=self.dtype,
+                                param_dtype=jnp.float32,
+                                name="input_proj")(x)      # (B,T,4H)
+        if initial_state is None:
+            h0 = jnp.zeros((B, H), self.dtype)
+            c0 = jnp.zeros((B, H), jnp.float32)
+        else:
+            h0, c0 = initial_state
+
+        def step(carry, inp):
+            h, c = carry
+            g, m = inp
+            i, j, f, o = jnp.split(g.astype(jnp.float32), 4, axis=-1)
+            c_new = (c * jax.nn.sigmoid(f + self.forget_bias) +
+                     jax.nn.sigmoid(i) * jnp.tanh(j))
+            h_new = (jnp.tanh(c_new) * jax.nn.sigmoid(o)).astype(self.dtype)
+            m = m[:, None]
+            h = h_new * m.astype(self.dtype) + h * (1 - m).astype(self.dtype)
+            c = c_new * m + c * (1 - m)
+            return (h, c), h
+
+        xs = (jnp.moveaxis(gates, 1, 0), jnp.moveaxis(mask, 1, 0))
+        (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), xs)
+        out = jnp.moveaxis(ys, 0, 1)
+        out = out * _time_mask(lengths, T)[:, :, None].astype(out.dtype)
+        return out, (h_last, c_last)
+
+
+class FLSTM(nn.Module):
+    """Factorized LSTM (reference `parts/rnns/flstm.py:FLSTMCell`,
+    Kuchaiev & Ginsburg ICLR'17): [x, h] -> bias-free bottleneck of
+    ``fact_size`` -> 4H gates; optional output projection to
+    ``num_proj``. The input half of the bottleneck matmul hoists out of
+    the scan."""
+    hidden_size: int
+    fact_size: int
+    num_proj: int = 0
+    forget_bias: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths, initial_state: Optional[Tuple] = None):
+        B, T, D = x.shape
+        H = self.hidden_size
+        F = self.fact_size
+        out_dim = self.num_proj or H
+        mask = _time_mask(lengths, T)
+
+        x_fact = nn.DenseGeneral(F, use_bias=False, dtype=self.dtype,
+                                 param_dtype=jnp.float32,
+                                 name="first_gemm_x")(x)   # (B,T,F)
+        W1h = self.param("first_gemm_h", nn.initializers.orthogonal(),
+                         (out_dim, F), jnp.float32)
+        W2 = self.param("second_gemm", nn.initializers.xavier_uniform(),
+                        (F, 4 * H), jnp.float32)
+        b2 = self.param("second_gemm_bias", nn.initializers.zeros,
+                        (4 * H,), jnp.float32)
+        W_proj = None
+        if self.num_proj:
+            W_proj = self.param("projection",
+                                nn.initializers.xavier_uniform(),
+                                (H, self.num_proj), jnp.float32)
+        if initial_state is None:
+            h0 = jnp.zeros((B, out_dim), self.dtype)
+            c0 = jnp.zeros((B, H), jnp.float32)
+        else:
+            h0, c0 = initial_state
+        W1h_c = W1h.astype(self.dtype)
+        W2_c = W2.astype(self.dtype)
+
+        def step(carry, inp):
+            h, c = carry
+            xf, m = inp
+            fact = xf + h @ W1h_c
+            gates = (fact @ W2_c).astype(jnp.float32) + b2
+            i, j, f, o = jnp.split(gates, 4, axis=-1)
+            c_new = (jax.nn.sigmoid(f + self.forget_bias) * c +
+                     jax.nn.sigmoid(i) * jnp.tanh(j))
+            m_out = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            if W_proj is not None:
+                m_out = m_out @ W_proj
+            h_new = m_out.astype(self.dtype)
+            mm = m[:, None]
+            h = h_new * mm.astype(self.dtype) + h * (1 - mm).astype(self.dtype)
+            c = c_new * mm + c * (1 - mm)
+            return (h, c), h
+
+        xs = (jnp.moveaxis(x_fact, 1, 0), jnp.moveaxis(mask, 1, 0))
+        (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), xs)
+        out = jnp.moveaxis(ys, 0, 1)
+        out = out * _time_mask(lengths, T)[:, :, None].astype(out.dtype)
+        return out, (h_last, c_last)
+
+
+class LayerNormLSTM(nn.Module):
+    """Layer-norm LSTM with optional DropConnect on the recurrent
+    kernel (reference ``WeightDropLayerNormBasicLSTMCell``, used by the
+    AWD LM/transfer configs): each gate's pre-activation is layer-
+    normalized; when training, a single recurrent-weight dropout mask is
+    sampled per call (DropConnect), matching the AWD-LSTM recipe."""
+    hidden_size: int
+    forget_bias: float = 1.0
+    recurrent_weight_keep_prob: float = 1.0
+    norm_epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x, lengths, initial_state: Optional[Tuple] = None):
+        B, T, D = x.shape
+        H = self.hidden_size
+        mask = _time_mask(lengths, T)
+        # bias-free input projection: LN adds the offset
+        x_proj = nn.DenseGeneral(4 * H, use_bias=False, dtype=self.dtype,
+                                 param_dtype=jnp.float32,
+                                 name="input_proj")(x)
+        W_h = self.param("recurrent_kernel", nn.initializers.orthogonal(),
+                         (H, 4 * H), jnp.float32)
+        ln_scale = self.param("ln_scale", nn.initializers.ones,
+                              (4, H), jnp.float32)
+        ln_bias = self.param("ln_bias", nn.initializers.zeros,
+                             (4, H), jnp.float32)
+        keep = self.recurrent_weight_keep_prob
+        if self.train and keep < 1.0:
+            drop_rng = self.make_rng("dropout")
+            wmask = jax.random.bernoulli(drop_rng, keep, W_h.shape)
+            W_h = jnp.where(wmask, W_h / keep, 0.0)
+        W_h_c = W_h.astype(self.dtype)
+        if initial_state is None:
+            h0 = jnp.zeros((B, H), self.dtype)
+            c0 = jnp.zeros((B, H), jnp.float32)
+        else:
+            h0, c0 = initial_state
+
+        def ln(v, idx):
+            mu = jnp.mean(v, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(v - mu), axis=-1, keepdims=True)
+            v = (v - mu) * jax.lax.rsqrt(var + self.norm_epsilon)
+            return v * ln_scale[idx] + ln_bias[idx]
+
+        def step(carry, inp):
+            h, c = carry
+            xp, m = inp
+            gates = (xp + h @ W_h_c).astype(jnp.float32)
+            i, j, f, o = jnp.split(gates, 4, axis=-1)
+            i, j, f, o = ln(i, 0), ln(j, 1), ln(f, 2), ln(o, 3)
+            c_new = (jax.nn.sigmoid(f + self.forget_bias) * c +
+                     jax.nn.sigmoid(i) * jnp.tanh(j))
+            h_new = (jax.nn.sigmoid(o) * jnp.tanh(c_new)).astype(self.dtype)
+            mm = m[:, None]
+            h = h_new * mm.astype(self.dtype) + h * (1 - mm).astype(self.dtype)
+            c = c_new * mm + c * (1 - mm)
+            return (h, c), h
+
+        xs = (jnp.moveaxis(x_proj, 1, 0), jnp.moveaxis(mask, 1, 0))
+        (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), xs)
+        out = jnp.moveaxis(ys, 0, 1)
+        out = out * _time_mask(lengths, T)[:, :, None].astype(out.dtype)
+        return out, (h_last, c_last)
+
+
+class TemporalConvolutionalLayer(nn.Module):
+    """Causal (left-padded) 1-D convolution (reference
+    `parts/cnns/tcn.py:8`): pads (kernel-1)*dilation zeros on the left
+    so output t sees inputs <= t only."""
+    filters: int
+    kernel_size: int
+    strides: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pads = (self.kernel_size - 1) * self.dilation
+        x = jnp.pad(x, ((0, 0), (pads, 0), (0, 0)))
+        return nn.Conv(self.filters, (self.kernel_size,),
+                       strides=(self.strides,),
+                       kernel_dilation=(self.dilation,),
+                       padding="VALID", use_bias=self.use_bias,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="conv")(x)
