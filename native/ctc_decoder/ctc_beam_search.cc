@@ -51,12 +51,36 @@ int CharTrie::Step(int node, char ch) const {
 // ---------------------------------------------------------------------------
 // Scorer
 // ---------------------------------------------------------------------------
+namespace {
+// UTF-8 codepoint count (for character-LM detection)
+inline size_t CodepointCount(const std::string& s) {
+  size_t n = 0;
+  for (unsigned char c : s)
+    if ((c & 0xC0) != 0x80) ++n;
+  return n;
+}
+}  // namespace
+
 bool Scorer::Load(const std::string& arpa_path, double alpha, double beta,
                   bool build_trie) {
   alpha_ = alpha;
   beta_ = beta;
   if (!lm_.Load(arpa_path)) return false;
-  if (build_trie) {
+  // character-based LM detection (reference scorer.cpp: every vocab
+  // entry is a single character)
+  bool any = false;
+  char_based_ = true;
+  for (const auto& kv : lm_.vocab()) {
+    const std::string& w = kv.first;
+    if (w == "<s>" || w == "</s>" || w == "<unk>") continue;
+    any = true;
+    if (CodepointCount(w) != 1) {
+      char_based_ = false;
+      break;
+    }
+  }
+  if (!any) char_based_ = false;
+  if (build_trie && !char_based_) {
     for (const auto& kv : lm_.vocab()) {
       const std::string& w = kv.first;
       if (w == "<s>" || w == "</s>" || w == "<unk>") continue;
@@ -237,6 +261,20 @@ bool StreamingDecoder::Extend(Beam* proto, int ch, double* add,
                               int child) {
   const CharTrie* trie = scorer_ ? scorer_->trie() : nullptr;
   char c = alphabet_[ch];
+  if (scorer_ != nullptr && scorer_->is_character_based()) {
+    // character LM: every emitted character is scored; context is the
+    // character history (reference scorer.h:60-89, no trie/space logic)
+    int cid;
+    *add += scorer_->ScoreWord(contexts_[proto->ctx],
+                               std::string(1, c), &cid);
+    std::vector<int> ctx = contexts_[proto->ctx];
+    ctx.push_back(cid);
+    int max_ctx = scorer_->lm_order() - 1;
+    if ((int)ctx.size() > max_ctx && max_ctx >= 0)
+      ctx.erase(ctx.begin(), ctx.end() - max_ctx);
+    proto->ctx = InternContext(std::move(ctx));
+    return true;
+  }
   if (c == ' ') {
     if (scorer_ != nullptr) {
       std::string word = PartialWord(*proto);
@@ -272,7 +310,7 @@ BeamResult StreamingDecoder::Best() const {
   BeamResult best{-1e300, "", {}};
   for (const Beam& b : beams_) {
     double score = Total(b.lp_b, b.lp_nb);
-    if (scorer_ != nullptr) {
+    if (scorer_ != nullptr && !scorer_->is_character_based()) {
       std::string tail = PartialWord(b);
       if (!tail.empty()) {
         int wid;

@@ -51,11 +51,16 @@ class Scorer {
                    int* word_id) const;
   const CharTrie* trie() const { return has_trie_ ? &trie_ : nullptr; }
   int lm_order() const { return lm_.order(); }
+  // Mandarin-style character LM: every LM vocab entry is one character
+  // (one UTF-8 codepoint); scoring applies per emitted char, no space
+  // segmentation and no trie (reference decoders/scorer.h:60-89).
+  bool is_character_based() const { return char_based_; }
 
  private:
   NGramLM lm_;
   CharTrie trie_;
   bool has_trie_ = false;
+  bool char_based_ = false;
   double alpha_ = 0.0;
   double beta_ = 0.0;
 };

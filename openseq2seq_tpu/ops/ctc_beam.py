@@ -70,8 +70,14 @@ class CharTrie:
 
 
 class Scorer:
-    """Word-level LM scorer (reference `decoders/scorer.{h,cpp}`):
-    score(word|ctx) = alpha * ln P_lm + beta, natural-log domain."""
+    """Word- or character-level LM scorer (reference
+    `decoders/scorer.{h,cpp}`): score(token|ctx) = alpha * ln P_lm +
+    beta, natural-log domain.
+
+    Character-based LMs (Mandarin-style; reference
+    ``Scorer::is_character_based``, `scorer.h:60`) are auto-detected:
+    when every LM vocabulary entry is a single character, scoring
+    applies per emitted character (no space segmentation, no trie)."""
 
     def __init__(self, alpha: float, beta: float, model_path: str,
                  vocabulary: Optional[Sequence[str]] = None,
@@ -79,9 +85,15 @@ class Scorer:
         self.alpha = alpha
         self.beta = beta
         self.lm = ArpaLM(model_path)
-        words = trie_vocab if trie_vocab is not None else \
-            sorted(self.lm.vocab - {"<s>", "</s>", "<unk>"})
-        self.trie = CharTrie.from_words(words) if words else None
+        content = self.lm.vocab - {"<s>", "</s>", "<unk>"}
+        self.is_character_based = bool(content) and all(
+            len(w) == 1 for w in content)
+        if self.is_character_based:
+            self.trie = None
+        else:
+            words = trie_vocab if trie_vocab is not None else \
+                sorted(content)
+            self.trie = CharTrie.from_words(words) if words else None
         del vocabulary  # reference API slot (char list); unused here
 
     def score_word(self, word: str, context: Sequence[str]) -> float:
@@ -200,7 +212,8 @@ def ctc_beam_search_decoder(probs: np.ndarray,
     results = []
     for prefix, pb in beams.items():
         score = pb.total
-        if ext_scorer is not None:
+        if ext_scorer is not None and \
+                not getattr(ext_scorer, "is_character_based", False):
             # score the trailing partial word + sentence end
             ctx = list(word_ctx[prefix])
             text = "".join(alphabet[i] for i in prefix)
@@ -220,9 +233,16 @@ def ctc_beam_search_decoder(probs: np.ndarray,
 def _maybe_score_word(logp, ext_prefix, ctx, cid, space_ids, alphabet,
                       scorer, trie):
     """Apply LM word score when a space closes a word; apply the trie
-    constraint on the in-progress word."""
+    constraint on the in-progress word. Character-based LMs score every
+    emitted character instead (reference `scorer.h:60`)."""
     if scorer is None:
         return logp, ctx
+    if getattr(scorer, "is_character_based", False):
+        ch = alphabet[cid]
+        logp += scorer.score_word(ch, list(ctx))
+        new = ctx + (ch,)
+        max_ctx = max(scorer.lm.order - 1, 0)
+        return logp, new[-max_ctx:] if max_ctx else ()
     if cid in space_ids:
         # word completed: everything since the previous space
         chars = [alphabet[i] for i in ext_prefix[:-1]]

@@ -213,3 +213,58 @@ def test_native_streaming(native):
     dec.reset()
     assert dec.decode(_probs_from_path([2], peak=0.95)
                       .astype(np.float32)) == "b"
+
+
+@pytest.fixture(scope="module")
+def char_lm(tmp_path_factory):
+    """Character-level ARPA (every vocab entry is one char) — the
+    Mandarin-style mode of the reference scorer (`scorer.h:60-89`)."""
+    out = tmp_path_factory.mktemp("charlm") / "char.arpa"
+    corpus = [list("acat"), list("acab"), list("acat"),
+              list("batcat"), list("atab")]  # no spaces: ARPA tokens
+                                             # are whitespace-delimited
+    build_arpa(corpus, str(out), order=3)
+    return str(out)
+
+
+def test_character_lm_detection_and_scoring(char_lm, toy_lm):
+    sc = Scorer(alpha=1.2, beta=0.3, model_path=char_lm)
+    assert sc.is_character_based
+    assert sc.trie is None           # no vocabulary constraint
+    sw = Scorer(alpha=1.2, beta=0.3, model_path=toy_lm)
+    assert not sw.is_character_based
+
+    # acoustically ambiguous 't' vs 'b' after "a ca": the char LM
+    # prefers the higher-count continuation "a cat"
+    chars = {c: i for i, c in enumerate(ALPHABET)}
+    path = [chars[c] for c in "aca"]
+    T = len(path) + 1
+    probs = np.full((T, 6), 0.02)
+    for t, k in enumerate(path):
+        probs[t, k] = 0.9
+    probs[-1, chars["t"]] = 0.45     # tie between 't' and 'b'
+    probs[-1, chars["b"]] = 0.45
+    probs = probs / probs.sum(-1, keepdims=True)
+    no_lm = ctc_beam_search_decoder(probs, ALPHABET, beam_size=16)
+    with_lm = ctc_beam_search_decoder(probs, ALPHABET, beam_size=16,
+                                      ext_scorer=sc)
+    assert with_lm[0][1] == "acat"
+    assert no_lm[0][1] in ("acat", "acab")
+
+
+def test_native_matches_python_character_lm(native, char_lm):
+    scorer_py = Scorer(alpha=1.2, beta=0.3, model_path=char_lm)
+    assert scorer_py.is_character_based
+    scorer_nat = native.NativeScorer(alpha=1.2, beta=0.3,
+                                     arpa_path=char_lm)
+    rng = np.random.RandomState(3)
+    for trial in range(4):
+        T = rng.randint(5, 14)
+        logits = rng.randn(T, 6) * 2
+        probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        py = ctc_beam_search_decoder(probs, ALPHABET, beam_size=16,
+                                     ext_scorer=scorer_py)
+        nat = native.decode(probs, ALPHABET, beam_size=16,
+                            scorer=scorer_nat)
+        assert nat[0][1] == py[0][1], "trial {}".format(trial)
+        assert nat[0][0] == pytest.approx(py[0][0], rel=1e-3)
