@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .encoder import Encoder
@@ -33,6 +34,24 @@ class TransformerEncoderModule(nn.Module):
     layer_postprocess_dropout: float
     pad_embeddings_2_eight: bool
     dtype_: Any
+    sp_mesh: Any = None     # sequence parallelism: shard the residual
+                            # stream's TIME axis over the mesh "model"
+                            # axis (Megatron-SP); GSPMD inserts the
+                            # all-gathers attention needs and keeps
+                            # LN/dropout/FFN elementwise work sharded
+
+    def _sp(self, x):
+        if self.sp_mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        msize = self.sp_mesh.shape.get("model", 1)
+        if msize <= 1 or x.shape[1] % msize != 0:
+            # time axis must divide the model axis; configs enable
+            # pad_lengths_to_eight for this — otherwise fall back to
+            # the unconstrained layout (semantics are identical)
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.sp_mesh, P("data", "model", None)))
 
     def setup(self):
         self.embedding = SharedEmbedding(
@@ -67,15 +86,15 @@ class TransformerEncoderModule(nn.Module):
         pos = get_position_encoding(T, self.hidden_size)
         x = x + jnp.asarray(pos, self.dtype_)[None, :, :]
         drop = lambda h: self.post_drop(h, deterministic=not train)  # noqa: E731
-        x = drop(x)
+        x = self._sp(drop(x))
 
         for i in range(self.encoder_layers):
             h = self.sa_norms[i](x)
             h, _ = self.self_attns[i](h, bias=bias, train=train)
-            x = x + drop(h)
+            x = self._sp(x + drop(h))
             h = self.ffn_norms[i](x)
             h = self.ffns[i](h, train=train)
-            x = x + drop(h)
+            x = self._sp(x + drop(h))
         x = self.out_norm(x)
 
         return {"outputs": x,
@@ -107,6 +126,7 @@ class TransformerEncoder(Encoder):
         return dict(Encoder.get_optional_params(), **{
             "pad_embeddings_2_eight": bool,
             "norm_params": dict,
+            "sequence_parallel": bool,
         })
 
     def make_module(self):
@@ -121,4 +141,8 @@ class TransformerEncoder(Encoder):
             relu_dropout=p["relu_dropout"],
             layer_postprocess_dropout=p["layer_postprocess_dropout"],
             pad_embeddings_2_eight=p.get("pad_embeddings_2_eight", False),
-            dtype_=self.compute_dtype)
+            dtype_=self.compute_dtype,
+            sp_mesh=(self._model.mesh
+                     if (p.get("sequence_parallel", False) and
+                         self._model is not None and
+                         self._model.mesh is not None) else None))

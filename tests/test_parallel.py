@@ -153,3 +153,49 @@ def test_tensor_parallel_matches_single_device(tmp_path):
     np.testing.assert_allclose(float(metrics1["global_grad_norm"]),
                                float(metrics_tp["global_grad_norm"]),
                                rtol=1e-3)
+
+
+def test_sequence_parallel_matches_single_device(tmp_path):
+    """Megatron-SP: with `sequence_parallel` the encoder's residual
+    stream is sharded along TIME over the model axis; like TP this is
+    layout-only — a (2 data x 4 model) dp+tp+sp step must reproduce the
+    single-device loss/grad norm."""
+    from openseq2seq_tpu.parallel.mesh import tp_state_sharding
+    from openseq2seq_tpu.test_utils import toy_nmt
+    from openseq2seq_tpu.models import Text2Text
+
+    data = toy_nmt.generate(str(tmp_path))
+
+    def build(mesh, bs, sp):
+        cfg = toy_nmt.transformer_toy_config(data, num_epochs=1)
+        cfg["batch_size_per_gpu"] = bs
+        for k in ("attention_dropout", "relu_dropout",
+                  "layer_postprocess_dropout"):
+            cfg["encoder_params"][k] = 0.0
+            cfg["decoder_params"][k] = 0.0
+        cfg["encoder_params"]["sequence_parallel"] = sp
+        # SP shards the time axis over the model axis: pad T to 8
+        cfg["data_layer_params"]["pad_lengths_to_eight"] = True
+        return Text2Text(params=cfg, mode="train", mesh=mesh)
+
+    mesh1 = make_mesh(num_data=1, num_model=1, devices=jax.devices()[:1])
+    mesh_sp = make_mesh(num_data=2, num_model=4)
+    m1 = build(mesh1, 8, sp=False)
+    msp = build(mesh_sp, 4, sp=True)
+    batch = next(iter(m1.get_data_layer().iterate_one_epoch()))
+    s1 = m1.init_state(batch)
+    ssp = msp.init_state(batch)
+
+    rng = jax.random.PRNGKey(0)
+    b1 = jax.device_put(batch, replicated_sharding(mesh1))
+    _, metrics1 = jax.jit(m1.train_step)(s1, b1, rng)
+
+    ssp = jax.device_put(ssp, tp_state_sharding(ssp, mesh_sp))
+    bsp = shard_batch(batch, mesh_sp)
+    _, metrics_sp = jax.jit(msp.train_step)(ssp, bsp, rng)
+
+    np.testing.assert_allclose(float(metrics1["loss"]),
+                               float(metrics_sp["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(metrics1["global_grad_norm"]),
+                               float(metrics_sp["global_grad_norm"]),
+                               rtol=1e-3)
