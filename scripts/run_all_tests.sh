@@ -16,8 +16,20 @@ TOY_LOG=$(mktemp -d)
 OS2S_TOY_LOGDIR="$TOY_LOG/asr" python run.py \
     --config_file=example_configs/speech2text/w2lplus_toy.py \
     --mode=train_eval --num_epochs 60 --eval_steps 30
+OS2S_TOY_LOGDIR="$TOY_LOG/asr_ondevice" python run.py \
+    --config_file=example_configs/speech2text/w2lplus_toy_ondevice.py \
+    --mode=train_eval --num_epochs 60 --eval_steps 30
+OS2S_TOY_LOGDIR="$TOY_LOG/ds2" python run.py \
+    --config_file=example_configs/speech2text/ds2_toy_config.py \
+    --mode=train --num_epochs 20
 OS2S_TOY_NMT_LOGDIR="$TOY_LOG/nmt" python run.py \
     --config_file=example_configs/text2text/nmt_reversal_toy.py \
+    --mode=train --num_epochs 10
+OS2S_TOY_NMT_LOGDIR="$TOY_LOG/nmt_rnn" python run.py \
+    --config_file=example_configs/text2text/nmt_reversal_toy_rnn.py \
+    --mode=train --num_epochs 10
+OS2S_TOY_NMT_LOGDIR="$TOY_LOG/nmt_cc" python run.py \
+    --config_file=example_configs/text2text/nmt_reversal_toy_convs2s.py \
     --mode=train --num_epochs 10
 OS2S_TOY_LOGDIR="$TOY_LOG/tts" python run.py \
     --config_file=example_configs/text2speech/tacotron_toy.py \
