@@ -84,6 +84,7 @@ class Scorer:
                  trie_vocab: Optional[Sequence[str]] = None):
         self.alpha = alpha
         self.beta = beta
+        self.model_path = model_path
         self.lm = ArpaLM(model_path)
         content = self.lm.vocab - {"<s>", "</s>", "<unk>"}
         self.is_character_based = bool(content) and all(
@@ -312,14 +313,37 @@ class BeamDecoder:
         self.cutoff_top_n = cutoff_top_n
         self.scorer = ext_scorer
         self.blank_id = blank_id
+        # the C++ StreamingDecoder keeps beam state across chunks
+        # (O(chunk) per call); the Python fallback re-decodes the
+        # accumulated history (O(total) per call). Dispatch to native
+        # when the library is built, rebuilding the scorer there.
+        self._native = None
+        native = _get_native()
+        if native is not None:
+            try:
+                nat_scorer = None
+                if ext_scorer is not None:
+                    nat_scorer = native.NativeScorer(
+                        alpha=ext_scorer.alpha, beta=ext_scorer.beta,
+                        arpa_path=ext_scorer.model_path)
+                self._native = native.NativeStreamingDecoder(
+                    alphabet, beam_size, cutoff_prob, cutoff_top_n,
+                    -1 if blank_id is None else blank_id, nat_scorer)
+            except Exception:
+                self._native = None
         self.reset()
 
     def reset(self):
         self._frames: List[np.ndarray] = []
         self._frame_offset = 0
+        if self._native is not None:
+            self._native.reset()
 
     def decode(self, probs_chunk: np.ndarray) -> str:
         """Feed a (T, V) chunk; returns the current best transcript."""
+        if self._native is not None:
+            return self._native.decode(
+                np.asarray(probs_chunk, np.float32))
         self._frames.append(np.asarray(probs_chunk))
         probs = np.concatenate(self._frames, axis=0)
         self._best = ctc_beam_search_decoder(
@@ -330,6 +354,8 @@ class BeamDecoder:
 
     def get_word_timestamps(self) -> List[Tuple[str, int, int]]:
         """[(word, start_frame, end_frame)] of the current best beam."""
+        if self._native is not None:
+            return self._native.get_word_timestamps()
         if not getattr(self, "_best", None):
             return []
         _, text, times = self._best[0]
