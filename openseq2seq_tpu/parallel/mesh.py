@@ -49,11 +49,20 @@ def make_mesh(num_data: Optional[int] = None,
 
 def mesh_from_config(config: Dict[str, Any]) -> Mesh:
     """Build the mesh a model config asks for (``num_model_partitions``
-    optional key; data axis gets the rest of the devices)."""
+    optional key; data axis gets the rest of the devices).
+
+    ``num_gpus`` (reference config key) caps the data axis when
+    ``num_data_partitions`` isn't given — a reference config asking for
+    4 of 8 devices gets 4."""
     num_model = int(config.get("num_model_partitions", 1))
     num_data = config.get("num_data_partitions", None)
     if not num_data:          # 0 / None -> auto (all remaining devices)
         num_data = None
+        num_gpus = int(config.get("num_gpus", 0) or 0)
+        if num_gpus > 0:
+            import jax
+            avail = len(jax.devices()) // num_model
+            num_data = min(num_gpus, max(avail, 1))
     return make_mesh(num_data=num_data, num_model=num_model)
 
 

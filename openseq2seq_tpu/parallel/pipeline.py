@@ -1,0 +1,138 @@
+"""Pipeline parallelism over a ``pipe`` mesh axis (beyond reference
+parity — OpenSeq2Seq has data parallelism only, SURVEY §2.2).
+
+GPipe-style schedule as a single SPMD program: each pipe shard holds
+ONE stage's parameters (a pytree stacked on a leading stage axis and
+sharded over ``pipe``); activations flow stage-to-stage with
+``lax.ppermute`` over the ICI ring while microbatches stream through —
+the standard TPU pipelining recipe (one program, no host
+orchestration). The bubble fraction is (S-1)/(M+S-1) for S stages and
+M microbatches.
+
+``pipeline_apply`` is shape-preserving and composes with data
+parallelism: give the mesh a ("data", "pipe") layout and shard the
+batch over "data" as usual.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PIPE_AXIS = "pipe"
+DATA_AXIS = "data"
+
+
+def make_pipeline_mesh(num_stages: int, num_data: Optional[int] = None,
+                       devices: Optional[Sequence] = None) -> Mesh:
+    """A ("data", "pipe") mesh with ``pipe`` minor so stage-to-stage
+    ppermute rides neighboring ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if num_data is None:
+        num_data = len(devices) // num_stages
+    need = num_data * num_stages
+    if need > len(devices):
+        raise ValueError("pipeline mesh {}x{} needs {} devices, have "
+                         "{}".format(num_data, num_stages, need,
+                                     len(devices)))
+    grid = np.array(devices[:need]).reshape(num_data, num_stages)
+    return Mesh(grid, (DATA_AXIS, PIPE_AXIS))
+
+
+def stack_stage_params(per_stage_params: Sequence[Any], mesh: Mesh):
+    """Stack S per-stage pytrees on a leading stage axis and place the
+    result sharded over the pipe axis (each device keeps only its
+    stage's slice in memory)."""
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves, axis=0), *per_stage_params)
+    sharding = NamedSharding(mesh, P(PIPE_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(
+            mesh, P(*((PIPE_AXIS,) + (None,) * (x.ndim - 1))))),
+        stacked), sharding
+
+
+def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
+                   stacked_params: Any,
+                   x: jax.Array,
+                   *,
+                   mesh: Mesh,
+                   num_microbatches: int):
+    """Run ``x`` through S pipelined stages.
+
+    stage_fn(params_slice, h) -> h' must be shape-preserving (the
+    homogeneous-stage contract, e.g. k transformer layers).
+    ``stacked_params`` leaves carry a leading stage axis of size S
+    (see :func:`stack_stage_params`). ``x`` is (B, ...) with B
+    divisible by num_microbatches (per data shard).
+    """
+    S = mesh.shape[PIPE_AXIS]
+    M = num_microbatches
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    param_specs = jax.tree_util.tree_map(
+        lambda l: P(*((PIPE_AXIS,) + (None,) * (l.ndim - 1))),
+        stacked_params)
+    x_spec = P(DATA_AXIS) if DATA_AXIS in mesh.axis_names else P()
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(param_specs, x_spec), out_specs=x_spec)
+    def run(params, xl):
+        # params leaves: (1, ...) local stage slice
+        local = jax.tree_util.tree_map(lambda l: l[0], params)
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        b = xl.shape[0] // M
+        mb = xl.reshape((M, b) + xl.shape[1:])
+        # the carry becomes pipe-varying after ppermute/axis_index;
+        # mark the zero inits accordingly (new shard_map VMA typing)
+        def _vary(z):
+            try:
+                return jax.lax.pcast(z, PIPE_AXIS, to="varying")
+            except (AttributeError, TypeError):  # older jax
+                return jax.lax.pvary(z, PIPE_AXIS)
+
+        out = _vary(jnp.zeros_like(mb))
+        state = _vary(jnp.zeros_like(mb[0]))
+        perm = [(i, i + 1) for i in range(S - 1)]
+
+        def tick(t, carry):
+            state, out = carry
+            # stage 0 ingests microbatch t (zeros once drained)
+            feed_idx = jnp.minimum(t, M - 1)
+            feed = jax.lax.dynamic_index_in_dim(mb, feed_idx, 0,
+                                                keepdims=False)
+            feed = jnp.where(t < M, feed, jnp.zeros_like(feed))
+            inp = jnp.where(stage == 0, feed, state)
+            y = stage_fn(local, inp)
+            # last stage emits microbatch t-(S-1)
+            emit_idx = jnp.clip(t - (S - 1), 0, M - 1)
+            emit = jnp.logical_and(stage == S - 1, t >= S - 1)
+            cur = jax.lax.dynamic_index_in_dim(out, emit_idx, 0,
+                                               keepdims=False)
+            out = jax.lax.dynamic_update_index_in_dim(
+                out, jnp.where(emit, y, cur), emit_idx, 0)
+            # hand activations to the next stage over the ICI ring
+            state = jax.lax.ppermute(y, PIPE_AXIS, perm)
+            return state, out
+
+        _, out = jax.lax.fori_loop(0, M + S - 1, tick, (state, out))
+        # every pipe shard computed only its own stage; the final
+        # activations live on the LAST shard — mask + psum broadcasts
+        # them so the output is replicated over pipe
+        if S > 1:
+            out = jax.lax.psum(
+                jnp.where(stage == S - 1, out, jnp.zeros_like(out)),
+                PIPE_AXIS)
+        return out.reshape(xl.shape)
+
+    return run(stacked_params, x)

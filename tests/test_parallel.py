@@ -199,3 +199,49 @@ def test_sequence_parallel_matches_single_device(tmp_path):
     np.testing.assert_allclose(float(metrics1["global_grad_norm"]),
                                float(metrics_sp["global_grad_norm"]),
                                rtol=1e-3)
+
+
+def test_pipeline_parallel_matches_sequential():
+    """GPipe-style pipeline over a ("data", "pipe") mesh: S=4 stacked
+    MLP stages streamed with M=4 microbatches must reproduce the
+    sequential stage-by-stage application exactly."""
+    import jax.numpy as jnp
+    from openseq2seq_tpu.parallel.pipeline import (make_pipeline_mesh,
+                                                   pipeline_apply,
+                                                   stack_stage_params)
+
+    S, B, D, M = 4, 8, 16, 4
+    rng = np.random.RandomState(0)
+    per_stage = [{"w": jnp.asarray(rng.randn(D, D) / np.sqrt(D),
+                                   jnp.float32),
+                  "b": jnp.asarray(rng.randn(D) * 0.1, jnp.float32)}
+                 for _ in range(S)]
+    x = jnp.asarray(rng.randn(B, D), jnp.float32)
+
+    def stage_fn(p, h):
+        return jax.nn.relu(h @ p["w"] + p["b"])
+
+    # sequential reference
+    ref = x
+    for p in per_stage:
+        ref = stage_fn(p, ref)
+
+    mesh = make_pipeline_mesh(num_stages=S, num_data=2)
+    stacked, _ = stack_stage_params(per_stage, mesh)
+    out = jax.jit(lambda sp, xx: pipeline_apply(
+        stage_fn, sp, xx, mesh=mesh, num_microbatches=M))(stacked, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # params really live sharded over the pipe axis
+    assert "pipe" in str(stacked["w"].sharding.spec)
+
+    # and it differentiates (training viability): grads flow to every
+    # stage's weights through the ppermute chain
+    def loss(sp, xx):
+        return jnp.sum(pipeline_apply(stage_fn, sp, xx, mesh=mesh,
+                                      num_microbatches=M) ** 2)
+
+    g = jax.jit(jax.grad(loss))(stacked, x)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.abs(np.asarray(leaf)).max() > 0
