@@ -204,18 +204,34 @@ class Speech2TextDataLayer(DataLayer):
             import hashlib
             cache_dir = p.get("cache_format", "") or \
                 os.path.join(os.path.dirname(wav_path), ".feature_cache")
-            os.makedirs(cache_dir, exist_ok=True)
-            key = hashlib.md5("{}:{}:{}:{}".format(
+            # the key covers EVERY featurization-affecting param —
+            # a stale cache must never survive a config change
+            key = hashlib.md5("|".join(str(x) for x in (
                 wav_path, p["input_type"], p["num_audio_features"],
-                p.get("window_stride", 10e-3)).encode()).hexdigest()
+                p.get("window_stride", 10e-3),
+                p.get("window_size", 20e-3),
+                p.get("num_fft", None), p.get("window", "hanning"),
+                p.get("norm_per_feature", False), p.get("gain", None),
+                p.get("dither", 0.0), p.get("backend", "librosa"),
+                p.get("sample_freq", 16000),
+                p.get("features_mean") is not None,
+            )).encode()).hexdigest()
             cache_path = os.path.join(cache_dir, key + ".npz")
-            if os.path.exists(cache_path) and \
-                    not p.get("cache_regenerate", False):
-                blob = np.load(cache_path)
-                return blob["features"], float(blob["duration"])
+            try:
+                if os.path.exists(cache_path) and \
+                        not p.get("cache_regenerate", False):
+                    blob = np.load(cache_path)
+                    return blob["features"], float(blob["duration"])
+            except OSError:
+                pass          # broken cache entry: recompute
             features, duration = get_speech_features_from_file(
                 wav_path, p, rng=self._rng)
-            np.savez(cache_path, features=features, duration=duration)
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                np.savez(cache_path, features=features,
+                         duration=duration)
+            except OSError:
+                pass          # read-only dataset dir: serve uncached
             return features, duration
         return get_speech_features_from_file(wav_path, self.params,
                                              rng=self._rng)

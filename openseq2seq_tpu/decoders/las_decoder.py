@@ -103,17 +103,22 @@ class LASDecoderModule(nn.Module):
             dec_pos = self.param("DecoderPositionEmbeddingMatrix",
                                  nn.initializers.normal(0.02),
                                  (_MAX_POS, D), jnp.float32)
-            memory = memory + jax.lax.dynamic_slice_in_dim(
-                enc_pos, 0, min(S, _MAX_POS), 0)[None, :S]
+            pe = enc_pos[:min(S, _MAX_POS)]
+            if S > _MAX_POS:      # long memories: positions past the
+                pe = jnp.pad(pe, ((0, S - _MAX_POS), (0, 0)))  # table
+            memory = memory + pe[None, :, :]                   # get none
 
         # per-head attention params: projected keys + query/score vecs,
-        # location conv filters, and the head's attention output layer
+        # location conv filters, and the head's attention output layer.
+        # Keys are stacked (B, NH, S, A) — batch-leading so the beam
+        # search can tile/gather them through its cache.
         heads = []
+        head_keys = []
         for i in range(NH):
+            head_keys.append(nn.Dense(A, dtype=jnp.float32,
+                                      param_dtype=jnp.float32,
+                                      name="att{}_keys".format(i))(memory))
             head = {
-                "keys": nn.Dense(A, dtype=jnp.float32,
-                                 param_dtype=jnp.float32,
-                                 name="att{}_keys".format(i))(memory),
                 "q": self.param("att{}_q".format(i), init, (H, A),
                                 jnp.float32),
                 "v": self.param("att{}_v".format(i),
@@ -135,14 +140,16 @@ class LASDecoderModule(nn.Module):
                     "att{}_loc_proj".format(i), init,
                     (_LOC_FILTERS, A), jnp.float32)
             heads.append(head)
+        keys_all = jnp.stack(head_keys, axis=1)            # (B,NH,S,A)
 
-        def attend(h_top, aligns_prev):
+        def attend(h_top, aligns_prev, memory_, keys_, mem_mask_):
             """Per-head attention; returns (attention vec (B, NH*H),
-            aligns (B, NH, S))."""
+            aligns (B, NH, S)). memory_/keys_/mem_mask_ are passed
+            explicitly (the beam search tiles them through its cache)."""
             outs, aligns = [], []
             for i, head in enumerate(heads):
                 q = (h_top @ head["q"])[:, None, :]        # (B,1,A)
-                e = q + head["keys"] + head["b"]
+                e = q + keys_[:, i] + head["b"]
                 if self._location:
                     loc_in = aligns_prev[:, i, :, None]    # (B,S,1)
                     f = jax.lax.conv_general_dilated(
@@ -151,9 +158,9 @@ class LASDecoderModule(nn.Module):
                         dimension_numbers=("NWC", "WIO", "NWC"))
                     e = e + f @ head["loc_proj"]
                 scores = jnp.einsum("bsa,a->bs", jnp.tanh(e), head["v"])
-                scores = jnp.where(mem_mask, scores, _NEG)
+                scores = jnp.where(mem_mask_, scores, _NEG)
                 align = jax.nn.softmax(scores, axis=-1)
-                ctx = jnp.einsum("bs,bse->be", align, memory)
+                ctx = jnp.einsum("bs,bse->be", align, memory_)
                 att = jnp.concatenate([h_top, ctx], -1) @ head["out_w"] \
                     + head["out_b"]
                 outs.append(att)
@@ -181,7 +188,7 @@ class LASDecoderModule(nn.Module):
                             (V,), jnp.float32)
 
         def cell_step(states, att_prev, aligns_state, token_emb,
-                      dropout_rng=None):
+                      memory_, keys_, mem_mask_, dropout_rng=None):
             """One speller step. aligns_state: (B, NH, S) — previous
             alignment, or the coverage accumulator when use_coverage."""
             x = jnp.concatenate([token_emb, att_prev], axis=-1)
@@ -194,7 +201,8 @@ class LASDecoderModule(nn.Module):
                     mask = jax.random.bernoulli(dr, keep, h.shape)
                     h = jnp.where(mask, h / keep, 0.0)
                 new_states.append(state_i)
-            att, aligns = attend(h, aligns_state)
+            att, aligns = attend(h, aligns_state, memory_, keys_,
+                                 mem_mask_)
             new_aligns = aligns_state + aligns if self.use_coverage \
                 else aligns
             return new_states, att, aligns, new_aligns
@@ -220,7 +228,10 @@ class LASDecoderModule(nn.Module):
             embs = jnp.take(embedding, dec_in, axis=0)     # (B,T,D)
             if self.pos_embedding:
                 T = embs.shape[1]
-                embs = embs + dec_pos[None, :T]
+                pe = dec_pos[:min(T, _MAX_POS)]
+                if T > _MAX_POS:
+                    pe = jnp.pad(pe, ((0, T - _MAX_POS), (0, 0)))
+                embs = embs + pe[None, :, :]
             drop_rng = self.make_rng("dropout") if (train and keep < 1.0) \
                 else None
 
@@ -230,7 +241,8 @@ class LASDecoderModule(nn.Module):
                 rng_t = (jax.random.fold_in(drop_rng, t)
                          if drop_rng is not None else None)
                 states, att, aligns, aligns_state = cell_step(
-                    list(states), att, aligns_state, e_t, rng_t)
+                    list(states), att, aligns_state, e_t,
+                    memory, keys_all, mem_mask, rng_t)
                 logits = logits_of(
                     att, jax.random.fold_in(rng_t, 999)
                     if rng_t is not None else None)
@@ -251,18 +263,26 @@ class LASDecoderModule(nn.Module):
             out.update(self._decode(B, S, embedding, dec_pos
                                     if self.pos_embedding else None,
                                     cell_step, logits_of, init_states,
-                                    init_att, init_aligns))
+                                    init_att, init_aligns, memory,
+                                    keys_all, mem_mask))
         return out
 
     # ------------------------------------------------------------------
     def _decode(self, B, S, embedding, dec_pos, cell_step, logits_of,
-                init_states, init_att, init_aligns):
+                init_states, init_att, init_aligns, memory, keys_all,
+                mem_mask):
         max_len = min(S + 10, _MAX_POS)
 
         init_cache = {
             "states": [list(s) for s in init_states],
             "att": init_att,
             "aligns": init_aligns,
+            # encoder-side tensors ride the cache so the beam search
+            # tiles them per beam and gathers consistently (same
+            # pattern as rnn_decoders.py)
+            "memory": memory,
+            "keys": keys_all,
+            "mem_mask": mem_mask,
         }
 
         def symbols_to_logits_fn(ids, pos, cache):
@@ -272,7 +292,8 @@ class LASDecoderModule(nn.Module):
                     dec_pos, jnp.minimum(pos, _MAX_POS - 1), 1, 0)
             states = [tuple(s) for s in cache["states"]]
             states, att, _, aligns_state = cell_step(
-                states, cache["att"], cache["aligns"], token_emb)
+                states, cache["att"], cache["aligns"], token_emb,
+                cache["memory"], cache["keys"], cache["mem_mask"])
             logits = logits_of(att)
             new_cache = dict(cache)
             new_cache.update({"states": [list(s) for s in states],

@@ -297,6 +297,26 @@ def ctc_greedy_decoder(probs: np.ndarray, alphabet: Sequence[str],
     return "".join(out)
 
 
+def group_word_timestamps(text: str, times: Sequence[int]
+                          ) -> List[Tuple[str, int, int]]:
+    """[(word, start_frame, end_frame)] from per-character emission
+    frames (shared by the Python and native streaming decoders)."""
+    words, start, cur, prev_t = [], None, [], -1
+    for ch, t in zip(text, times):
+        if ch == " ":
+            if cur:
+                words.append(("".join(cur), start, prev_t))
+            cur, start = [], None
+        else:
+            if start is None:
+                start = t
+            cur.append(ch)
+            prev_t = t
+    if cur:
+        words.append(("".join(cur), start, prev_t))
+    return words
+
+
 class BeamDecoder:
     """Stateful streaming decoder with word timestamps (reference
     `decoders/ctc_beam_search_decoder.h` BeamDecoder): feed probability
@@ -359,20 +379,7 @@ class BeamDecoder:
         if not getattr(self, "_best", None):
             return []
         _, text, times = self._best[0]
-        words, start, cur = [], None, []
-        for ch, t in zip(text, times):
-            if ch == " ":
-                if cur:
-                    words.append(("".join(cur), start, prev_t))
-                cur, start = [], None
-            else:
-                if start is None:
-                    start = t
-                cur.append(ch)
-                prev_t = t
-        if cur:
-            words.append(("".join(cur), start, prev_t))
-        return words
+        return group_word_timestamps(text, times)
 
 
 # ---------------------------------------------------------------------------

@@ -191,21 +191,9 @@ class NativeStreamingDecoder:
         return self._last[0]
 
     def get_word_timestamps(self):
+        from .ctc_beam import group_word_timestamps
         text, times = getattr(self, "_last", ("", []))
-        words, start, cur, prev_t = [], None, [], -1
-        for ch, t in zip(text, times):
-            if ch == " ":
-                if cur:
-                    words.append(("".join(cur), start, prev_t))
-                cur, start = [], None
-            else:
-                if start is None:
-                    start = t
-                cur.append(ch)
-                prev_t = t
-        if cur:
-            words.append(("".join(cur), start, prev_t))
-        return words
+        return group_word_timestamps(text, times)
 
     def __del__(self):
         if getattr(self, "_ptr", None):

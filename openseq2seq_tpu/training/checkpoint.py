@@ -46,11 +46,25 @@ class CheckpointManager:
         return os.path.join(self.best_dir, "best_loss.txt")
 
     def _read_best_loss(self) -> float:
-        try:
-            with open(self._best_loss_path()) as f:
-                return float(f.read().strip())
-        except (OSError, ValueError):
-            return float("inf")
+        """Best eval loss persisted by a previous run of THIS logdir.
+        Only honored when a best checkpoint actually exists (a stale
+        marker file alone must not suppress fresh saves), and the
+        master's value is broadcast so every process takes the same
+        save_best branches (they gate a collective orbax save)."""
+        def read_local() -> float:
+            try:
+                has_ckpt = any(n.isdigit() for n in
+                               os.listdir(self.best_dir))
+                if not has_ckpt:
+                    return float("inf")
+                with open(self._best_loss_path()) as f:
+                    return float(f.read().strip())
+            except (OSError, ValueError):
+                return float("inf")
+
+        if collective.process_count() > 1:
+            return collective.gather_object(read_local())[0]
+        return read_local()
 
     @staticmethod
     def _state_tree(state, step: int):

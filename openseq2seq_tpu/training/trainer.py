@@ -139,10 +139,13 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
                 train_model.maybe_print_logs(fetch_metrics, step)
 
         print_samples_steps = params.get("print_samples_steps")
-        if print_samples_steps and is_master and \
-                step % print_samples_steps == 0:
+        if print_samples_steps and step % print_samples_steps == 0 and \
+                jax.process_count() == 1:
             # forward the current train batch once more and show a
-            # sample prediction (reference PrintSamplesHook)
+            # sample prediction (reference PrintSamplesHook). Multi-host
+            # runs skip this: a global-mesh eval dispatched from one
+            # process would deadlock the pod, and running it everywhere
+            # just to print on one host isn't worth a second forward.
             sample_out = _jitted_eval_fn(train_model)(state, device_batch)
             train_model.print_samples(
                 jax.tree_util.tree_map(np.asarray, batch),

@@ -176,3 +176,21 @@ def test_las_toy_convergence(toy_speech_data):
                         mode="train")
     result = trainer.train(model)
     assert result["last_metrics"]["loss"] < 0.5
+
+
+def test_las_beam_infer(toy_speech_data):
+    """Regression: beam_width>1 inference must run (the beam search
+    tiles encoder memory/keys/mask through its cache)."""
+    cfg = _las_config(toy_speech_data)
+    cfg["decoder_params"]["beam_width"] = 3
+    train_model = Speech2Text(params=cfg, mode="train")
+    batch = next(iter(train_model.get_data_layer().iterate_one_epoch()))
+    state = train_model.init_state(batch)
+
+    infer_model = Speech2Text(params=dict(cfg), mode="infer")
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    device_batch.pop("target_tensors")
+    out = jax.jit(infer_model.eval_step)(state, device_batch)
+    ids, lengths = out["outputs"]["decoder_output"]["outputs"]
+    assert np.asarray(ids).shape[0] == 10
+    assert np.all(np.asarray(lengths) >= 0)
