@@ -20,7 +20,7 @@ from .encoder import Encoder
 from ..parts.transformer.attention import SelfAttention
 from ..parts.transformer.common import (SharedEmbedding, get_padding_bias,
                                         get_position_encoding)
-from ..parts.transformer.ffn import FeedForwardNetwork
+from ..parts.transformer.ffn import FeedForwardNetwork, MoEFeedForward
 
 
 class TransformerEncoderModule(nn.Module):
@@ -34,6 +34,9 @@ class TransformerEncoderModule(nn.Module):
     layer_postprocess_dropout: float
     pad_embeddings_2_eight: bool
     dtype_: Any
+    moe_num_experts: int = 0     # >0: switch-MoE FFNs (expert
+                                 # parallelism over the model axis)
+    moe_loss_weight: float = 0.01
     sp_mesh: Any = None     # sequence parallelism: shard the residual
                             # stream's TIME axis over the mesh "model"
                             # axis (Megatron-SP); GSPMD inserts the
@@ -62,10 +65,19 @@ class TransformerEncoderModule(nn.Module):
             hidden_size=self.hidden_size, num_heads=self.num_heads,
             attention_dropout=self.attention_dropout, dtype=self.dtype_)
             for _ in range(self.encoder_layers)]
-        self.ffns = [FeedForwardNetwork(
-            hidden_size=self.hidden_size, filter_size=self.filter_size,
-            relu_dropout=self.relu_dropout, dtype=self.dtype_)
-            for _ in range(self.encoder_layers)]
+        if self.moe_num_experts > 0:
+            self.ffns = [MoEFeedForward(
+                hidden_size=self.hidden_size,
+                filter_size=self.filter_size,
+                num_experts=self.moe_num_experts,
+                relu_dropout=self.relu_dropout, dtype=self.dtype_)
+                for _ in range(self.encoder_layers)]
+        else:
+            self.ffns = [FeedForwardNetwork(
+                hidden_size=self.hidden_size,
+                filter_size=self.filter_size,
+                relu_dropout=self.relu_dropout, dtype=self.dtype_)
+                for _ in range(self.encoder_layers)]
         self.sa_norms = [nn.LayerNorm(dtype=self.dtype_,
                                       param_dtype=jnp.float32)
                          for _ in range(self.encoder_layers)]
@@ -88,20 +100,28 @@ class TransformerEncoderModule(nn.Module):
         drop = lambda h: self.post_drop(h, deterministic=not train)  # noqa: E731
         x = self._sp(drop(x))
 
+        moe_aux = 0.0
         for i in range(self.encoder_layers):
             h = self.sa_norms[i](x)
             h, _ = self.self_attns[i](h, bias=bias, train=train)
             x = self._sp(x + drop(h))
             h = self.ffn_norms[i](x)
             h = self.ffns[i](h, train=train)
+            if self.moe_num_experts > 0:
+                h, aux = h
+                moe_aux = moe_aux + aux
             x = self._sp(x + drop(h))
         x = self.out_norm(x)
 
-        return {"outputs": x,
-                "inputs": ids,
-                "src_length": lengths,
-                "attention_bias": bias,
-                "embedding_table": self.embedding.table()}
+        out = {"outputs": x,
+               "inputs": ids,
+               "src_length": lengths,
+               "attention_bias": bias,
+               "embedding_table": self.embedding.table()}
+        if self.moe_num_experts > 0:
+            out["moe_aux_loss"] = (self.moe_loss_weight * moe_aux /
+                                   self.encoder_layers)
+        return out
 
 
 class TransformerEncoder(Encoder):
@@ -127,6 +147,8 @@ class TransformerEncoder(Encoder):
             "pad_embeddings_2_eight": bool,
             "norm_params": dict,
             "sequence_parallel": bool,
+            "moe_num_experts": int,
+            "moe_loss_weight": float,
         })
 
     def make_module(self):
@@ -142,6 +164,8 @@ class TransformerEncoder(Encoder):
             layer_postprocess_dropout=p["layer_postprocess_dropout"],
             pad_embeddings_2_eight=p.get("pad_embeddings_2_eight", False),
             dtype_=self.compute_dtype,
+            moe_num_experts=p.get("moe_num_experts", 0),
+            moe_loss_weight=p.get("moe_loss_weight", 0.01),
             sp_mesh=(self._model.mesh
                      if (p.get("sequence_parallel", False) and
                          self._model is not None and

@@ -49,7 +49,8 @@ class Text2Text(EncoderDecoderModel):
             "decoder_output": outputs["decoder_output"],
             "target_tensors": [y[:, 1:], y_len - 1],
         }
-        return self._loss_computator.compute_loss(input_dict)
+        loss = self._loss_computator.compute_loss(input_dict)
+        return loss + self._aux_losses(outputs)
 
     # ------------------------------------------------------------------
     def _decode_batch(self, output_values) -> List[str]:

@@ -126,6 +126,9 @@ DEFAULT_TP_RULES = (
     (r"(qkv|/q|/k|/v|filter)/bias$", P(MODEL_AXIS)),
     (r"(out|output)/kernel$", P(MODEL_AXIS, None)),
     (r"embedding/embedding$", P(MODEL_AXIS, None)),
+    # expert parallelism: MoE expert stacks shard on the expert dim
+    (r"experts_w[12]$", P(MODEL_AXIS, None, None)),
+    (r"experts_b[12]$", P(MODEL_AXIS, None)),
 )
 
 

@@ -245,3 +245,61 @@ def test_pipeline_parallel_matches_sequential():
     g = jax.jit(jax.grad(loss))(stacked, x)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.abs(np.asarray(leaf)).max() > 0
+
+
+def test_expert_parallel_moe_matches_single_device(tmp_path):
+    """Switch-MoE FFN with experts sharded over the model axis (expert
+    parallelism): layout-only vs single-device, router aux loss flows
+    into training, and training still converges mechanics-wise."""
+    from openseq2seq_tpu.parallel.mesh import tp_state_sharding
+    from openseq2seq_tpu.test_utils import toy_nmt
+    from openseq2seq_tpu.models import Text2Text
+
+    data = toy_nmt.generate(str(tmp_path))
+
+    def build(mesh, bs):
+        cfg = toy_nmt.transformer_toy_config(data, num_epochs=1)
+        cfg["batch_size_per_gpu"] = bs
+        for k in ("attention_dropout", "relu_dropout",
+                  "layer_postprocess_dropout"):
+            cfg["encoder_params"][k] = 0.0
+            cfg["decoder_params"][k] = 0.0
+        cfg["encoder_params"]["moe_num_experts"] = 4
+        return Text2Text(params=cfg, mode="train", mesh=mesh)
+
+    mesh1 = make_mesh(num_data=1, num_model=1, devices=jax.devices()[:1])
+    mesh_ep = make_mesh(num_data=2, num_model=4)
+    m1 = build(mesh1, 8)
+    mep = build(mesh_ep, 4)
+    batch = next(iter(m1.get_data_layer().iterate_one_epoch()))
+    s1 = m1.init_state(batch)
+    sep = mep.init_state(batch)
+
+    # expert stacks really live sharded over the model axis
+    sep = jax.device_put(sep, tp_state_sharding(sep, mesh_ep))
+    w1 = sep.params["enc"]["ffns_0"]["experts_w1"]
+    assert "model" in str(w1.sharding.spec)
+
+    rng = jax.random.PRNGKey(0)
+    b1 = jax.device_put(batch, replicated_sharding(mesh1))
+    _, metrics1 = jax.jit(m1.train_step)(s1, b1, rng)
+    bep = shard_batch(batch, mesh_ep)
+    _, metrics_ep = jax.jit(mep.train_step)(sep, bep, rng)
+
+    np.testing.assert_allclose(float(metrics1["loss"]),
+                               float(metrics_ep["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(metrics1["global_grad_norm"]),
+                               float(metrics_ep["global_grad_norm"]),
+                               rtol=1e-3)
+
+    # MoE really changes the loss math vs the dense FFN (aux + routing)
+    cfg_dense = toy_nmt.transformer_toy_config(data, num_epochs=1)
+    cfg_dense["batch_size_per_gpu"] = 8
+    for k in ("attention_dropout", "relu_dropout",
+              "layer_postprocess_dropout"):
+        cfg_dense["encoder_params"][k] = 0.0
+        cfg_dense["decoder_params"][k] = 0.0
+    md = Text2Text(params=cfg_dense, mode="train", mesh=mesh1)
+    sd = md.init_state(batch)
+    _, metrics_d = jax.jit(md.train_step)(sd, b1, rng)
+    assert float(metrics_d["loss"]) != float(metrics1["loss"])
