@@ -206,6 +206,11 @@ class Speech2TextDataLayer(DataLayer):
                 os.path.join(os.path.dirname(wav_path), ".feature_cache")
             # the key covers EVERY featurization-affecting param —
             # a stale cache must never survive a config change
+            def _stat(name):
+                v = p.get(name)
+                return (hashlib.md5(np.ascontiguousarray(v).tobytes())
+                        .hexdigest() if v is not None else "none")
+
             key = hashlib.md5("|".join(str(x) for x in (
                 wav_path, p["input_type"], p["num_audio_features"],
                 p.get("window_stride", 10e-3),
@@ -214,7 +219,7 @@ class Speech2TextDataLayer(DataLayer):
                 p.get("norm_per_feature", False), p.get("gain", None),
                 p.get("dither", 0.0), p.get("backend", "librosa"),
                 p.get("sample_freq", 16000),
-                p.get("features_mean") is not None,
+                _stat("features_mean"), _stat("features_std_dev"),
             )).encode()).hexdigest()
             cache_path = os.path.join(cache_dir, key + ".npz")
             try:
@@ -222,14 +227,17 @@ class Speech2TextDataLayer(DataLayer):
                         not p.get("cache_regenerate", False):
                     blob = np.load(cache_path)
                     return blob["features"], float(blob["duration"])
-            except OSError:
-                pass          # broken cache entry: recompute
+            except Exception:
+                pass   # truncated/corrupt cache entry: recompute
             features, duration = get_speech_features_from_file(
                 wav_path, p, rng=self._rng)
             try:
                 os.makedirs(cache_dir, exist_ok=True)
-                np.savez(cache_path, features=features,
-                         duration=duration)
+                # atomic write: a crash mid-save must not leave a
+                # poisoned entry behind
+                tmp = cache_path + ".tmp{}".format(os.getpid())
+                np.savez(tmp, features=features, duration=duration)
+                os.replace(tmp, cache_path)
             except OSError:
                 pass          # read-only dataset dir: serve uncached
             return features, duration

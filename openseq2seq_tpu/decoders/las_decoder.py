@@ -277,13 +277,15 @@ class LASDecoderModule(nn.Module):
             "states": [list(s) for s in init_states],
             "att": init_att,
             "aligns": init_aligns,
-            # encoder-side tensors ride the cache so the beam search
-            # tiles them per beam and gathers consistently (same
-            # pattern as rnn_decoders.py)
-            "memory": memory,
-            "keys": keys_all,
-            "mem_mask": mem_mask,
         }
+        # encoder-side tensors are beam-INVARIANT: tile them once to
+        # the beam-flattened batch (B*K, ...) and close over them —
+        # carrying them in the cache would re-gather the full (S, E)
+        # memory every decode step for no value change
+        K = max(self.beam_width, 1)
+        memory_t = jnp.repeat(memory, K, axis=0)
+        keys_t = jnp.repeat(keys_all, K, axis=0)
+        mem_mask_t = jnp.repeat(mem_mask, K, axis=0)
 
         def symbols_to_logits_fn(ids, pos, cache):
             token_emb = jnp.take(embedding, ids[:, 0], axis=0)
@@ -293,7 +295,7 @@ class LASDecoderModule(nn.Module):
             states = [tuple(s) for s in cache["states"]]
             states, att, _, aligns_state = cell_step(
                 states, cache["att"], cache["aligns"], token_emb,
-                cache["memory"], cache["keys"], cache["mem_mask"])
+                memory_t, keys_t, mem_mask_t)
             logits = logits_of(att)
             new_cache = dict(cache)
             new_cache.update({"states": [list(s) for s in states],
@@ -301,8 +303,9 @@ class LASDecoderModule(nn.Module):
             return logits, new_cache
 
         if self.is_initializing():
-            symbols_to_logits_fn(jnp.zeros((B, 1), jnp.int32), 0,
-                                 init_cache)
+            # every decoder param is created eagerly in __call__ before
+            # _decode, so init needs no trace of the decode loop (whose
+            # closures are already beam-tiled to B*K)
             zeros = jnp.zeros((B, max_len), jnp.int32)
             return {"outputs": [zeros, jnp.zeros((B,), jnp.int32)]}
 

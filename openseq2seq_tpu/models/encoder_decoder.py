@@ -89,12 +89,4 @@ class EncoderDecoderModel(Model):
             "decoder_output": outputs["decoder_output"],
             "target_tensors": batch.get("target_tensors"),
         }
-        loss = self._loss_computator.compute_loss(input_dict)
-        return loss + self._aux_losses(outputs)
-
-    @staticmethod
-    def _aux_losses(outputs):
-        """Auxiliary regularizers surfaced by modules through the
-        encoder output (e.g. the MoE load-balancing loss)."""
-        enc = outputs.get("encoder_output") or {}
-        return enc.get("moe_aux_loss", 0.0)
+        return self._loss_computator.compute_loss(input_dict)

@@ -280,6 +280,16 @@ class Model(abc.ABC):
             )
         return self._tx
 
+    def auxiliary_losses(self, outputs) -> jax.Array:
+        """Auxiliary regularizers surfaced by modules through the
+        forward outputs (e.g. the MoE load-balancing loss) — added at
+        this single choke point so every task model gets them."""
+        enc = outputs.get("encoder_output") if isinstance(outputs, dict) \
+            else None
+        if isinstance(enc, dict):
+            return enc.get("moe_aux_loss", jnp.float32(0.0))
+        return jnp.float32(0.0)
+
     def regularization_loss(self, params) -> jax.Array:
         """L1/L2 penalty over kernel parameters — the TF variable
         regularizers' moral equivalent (always fp32, matching
@@ -354,6 +364,7 @@ class Model(abc.ABC):
         else:
             outputs, new_state = out, model_state
         loss = self.compute_loss(outputs, batch).astype(jnp.float32)
+        loss = loss + self.auxiliary_losses(outputs)
         loss = loss + self.regularization_loss(params)
         return loss, (outputs, new_state)
 

@@ -49,8 +49,7 @@ class Text2Text(EncoderDecoderModel):
             "decoder_output": outputs["decoder_output"],
             "target_tensors": [y[:, 1:], y_len - 1],
         }
-        loss = self._loss_computator.compute_loss(input_dict)
-        return loss + self._aux_losses(outputs)
+        return self._loss_computator.compute_loss(input_dict)
 
     # ------------------------------------------------------------------
     def _decode_batch(self, output_values) -> List[str]:

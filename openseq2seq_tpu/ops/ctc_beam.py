@@ -85,6 +85,7 @@ class Scorer:
         self.alpha = alpha
         self.beta = beta
         self.model_path = model_path
+        self.custom_trie_vocab = trie_vocab
         self.lm = ArpaLM(model_path)
         content = self.lm.vocab - {"<s>", "</s>", "<unk>"}
         self.is_character_based = bool(content) and all(
@@ -339,7 +340,11 @@ class BeamDecoder:
         # when the library is built, rebuilding the scorer there.
         self._native = None
         native = _get_native()
-        if native is not None:
+        if native is not None and (
+                ext_scorer is None or
+                getattr(ext_scorer, "custom_trie_vocab", None) is None):
+            # a custom trie vocabulary only exists Python-side; keep
+            # the Python path so the constraint isn't silently dropped
             try:
                 nat_scorer = None
                 if ext_scorer is not None:

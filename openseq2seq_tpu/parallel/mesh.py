@@ -59,8 +59,9 @@ def mesh_from_config(config: Dict[str, Any]) -> Mesh:
     if not num_data:          # 0 / None -> auto (all remaining devices)
         num_data = None
         num_gpus = int(config.get("num_gpus", 0) or 0)
-        if num_gpus > 0:
-            import jax
+        if num_gpus > 0 and jax.process_count() == 1:
+            # single-host only: a device-prefix mesh on a pod would
+            # exclude other hosts' devices and desync shard_batch
             avail = len(jax.devices()) // num_model
             num_data = min(num_gpus, max(avail, 1))
     return make_mesh(num_data=num_data, num_model=num_model)

@@ -51,11 +51,10 @@ def stack_stage_params(per_stage_params: Sequence[Any], mesh: Mesh):
     stage's slice in memory)."""
     stacked = jax.tree_util.tree_map(
         lambda *leaves: jnp.stack(leaves, axis=0), *per_stage_params)
-    sharding = NamedSharding(mesh, P(PIPE_AXIS))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(
             mesh, P(*((PIPE_AXIS,) + (None,) * (x.ndim - 1))))),
-        stacked), sharding
+        stacked)
 
 
 def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
@@ -74,6 +73,13 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
     """
     S = mesh.shape[PIPE_AXIS]
     M = num_microbatches
+    dsize = mesh.shape.get(DATA_AXIS, 1)
+    per_shard = x.shape[0] // dsize
+    if per_shard % M != 0 or per_shard == 0:
+        raise ValueError(
+            "pipeline_apply: per-data-shard batch {} must be divisible "
+            "by num_microbatches {} (global batch {}, data shards "
+            "{})".format(per_shard, M, x.shape[0], dsize))
 
     try:
         from jax import shard_map

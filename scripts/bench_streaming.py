@@ -7,8 +7,8 @@ Prints one JSON line:
    "p90": ..., "p99": ..., "rtf": real-time-factor, "unit": "ms/frame"}
 
 Real-time budget: a 0.2 s frame must finish in < 200 ms (rtf < 1).
-Trains the toy model first if no checkpoint is given — the latency is
-dominated by the fixed-shape forward pass, not model quality.
+Without --checkpoint the model runs with random init — latency is
+shape-dependent only, so the numbers are identical to a trained model.
 
 Run on CPU: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     python scripts/bench_streaming.py

@@ -194,3 +194,18 @@ def test_las_beam_infer(toy_speech_data):
     ids, lengths = out["outputs"]["decoder_output"]["outputs"]
     assert np.asarray(ids).shape[0] == 10
     assert np.all(np.asarray(lengths) >= 0)
+
+
+def test_las_infer_mode_init(toy_speech_data):
+    """Regression: init_state directly on an INFER-mode LAS model (the
+    run.py eval/infer path) with beam_width>1 must build cleanly."""
+    cfg = _las_config(toy_speech_data)
+    cfg["decoder_params"]["beam_width"] = 3
+    m = Speech2Text(params=cfg, mode="infer")
+    batch = next(iter(m.get_data_layer().iterate_one_epoch()))
+    batch.pop("target_tensors", None)
+    state = m.init_state(batch)
+    out = jax.jit(m.eval_step)(
+        state, jax.tree_util.tree_map(np.asarray, batch))
+    assert np.asarray(
+        out["outputs"]["decoder_output"]["outputs"][0]).shape[0] == 10

@@ -227,7 +227,7 @@ def test_pipeline_parallel_matches_sequential():
         ref = stage_fn(p, ref)
 
     mesh = make_pipeline_mesh(num_stages=S, num_data=2)
-    stacked, _ = stack_stage_params(per_stage, mesh)
+    stacked = stack_stage_params(per_stage, mesh)
     out = jax.jit(lambda sp, xx: pipeline_apply(
         stage_fn, sp, xx, mesh=mesh, num_microbatches=M))(stacked, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
