@@ -46,6 +46,7 @@ class TransformerDecoderModule(nn.Module):
     go_symbol: int
     dtype_: Any
     mode: str
+    norm_params: Any = None
 
     def setup(self):
         L = self.num_hidden_layers
@@ -61,8 +62,8 @@ class TransformerDecoderModule(nn.Module):
             hidden_size=self.hidden_size, filter_size=self.filter_size,
             relu_dropout=self.relu_dropout, dtype=self.dtype_)
             for _ in range(L)]
-        ln = lambda: nn.LayerNorm(dtype=self.dtype_,  # noqa: E731
-                                  param_dtype=jnp.float32)
+        from ..parts.transformer.common import make_norm
+        ln = lambda: make_norm(self.norm_params, self.dtype_)  # noqa: E731
         self.sa_norms = [ln() for _ in range(L)]
         self.ca_norms = [ln() for _ in range(L)]
         self.ffn_norms = [ln() for _ in range(L)]
@@ -76,7 +77,7 @@ class TransformerDecoderModule(nn.Module):
         drop = lambda h: self.post_drop(h, deterministic=not train)  # noqa: E731
         new_self_caches = []
         for i in range(self.num_hidden_layers):
-            h = self.sa_norms[i](x)
+            h = self.sa_norms[i](x, train=train)
             h, new_c = self.self_attns[i](
                 h, bias=self_bias, train=train,
                 cache=None if caches is None else caches["self"][i],
@@ -84,16 +85,16 @@ class TransformerDecoderModule(nn.Module):
             new_self_caches.append(new_c)
             x = x + drop(h)
 
-            h = self.ca_norms[i](x)
+            h = self.ca_norms[i](x, train=train)
             h = self.cross_attns[i](
                 h, memory=memory, bias=enc_bias, train=train,
                 kv_cache=None if caches is None else caches["cross"][i])
             x = x + drop(h)
 
-            h = self.ffn_norms[i](x)
+            h = self.ffn_norms[i](x, train=train)
             h = self.ffns[i](h, train=train)
             x = x + drop(h)
-        return self.out_norm(x), new_self_caches
+        return self.out_norm(x, train=train), new_self_caches
 
     def __call__(self, input_dict: Dict[str, Any], train: bool):
         enc = input_dict["encoder_output"]
@@ -234,4 +235,5 @@ class TransformerDecoder(Decoder):
             eos_id=p["EOS_ID"],
             go_symbol=p.get("GO_SYMBOL", 2),
             dtype_=dtype,
-            mode=self._mode)
+            mode=self._mode,
+            norm_params=p.get("norm_params"))

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .encoder import Encoder
 from ..parts.transformer.attention import SelfAttention
 from ..parts.transformer.common import (SharedEmbedding, get_padding_bias,
-                                        get_position_encoding)
+                                        get_position_encoding, make_norm)
 from ..parts.transformer.ffn import FeedForwardNetwork, MoEFeedForward
 
 
@@ -37,6 +37,8 @@ class TransformerEncoderModule(nn.Module):
     moe_num_experts: int = 0     # >0: switch-MoE FFNs (expert
                                  # parallelism over the model axis)
     moe_loss_weight: float = 0.01
+    norm_params: Any = None      # {"type": "batch_norm", ...} selects
+                                 # the Transformer_BatchNorm variant
     sp_mesh: Any = None     # sequence parallelism: shard the residual
                             # stream's TIME axis over the mesh "model"
                             # axis (Megatron-SP); GSPMD inserts the
@@ -78,14 +80,10 @@ class TransformerEncoderModule(nn.Module):
                 filter_size=self.filter_size,
                 relu_dropout=self.relu_dropout, dtype=self.dtype_)
                 for _ in range(self.encoder_layers)]
-        self.sa_norms = [nn.LayerNorm(dtype=self.dtype_,
-                                      param_dtype=jnp.float32)
-                         for _ in range(self.encoder_layers)]
-        self.ffn_norms = [nn.LayerNorm(dtype=self.dtype_,
-                                       param_dtype=jnp.float32)
-                          for _ in range(self.encoder_layers)]
-        self.out_norm = nn.LayerNorm(dtype=self.dtype_,
-                                     param_dtype=jnp.float32)
+        mknorm = lambda: make_norm(self.norm_params, self.dtype_)  # noqa: E731
+        self.sa_norms = [mknorm() for _ in range(self.encoder_layers)]
+        self.ffn_norms = [mknorm() for _ in range(self.encoder_layers)]
+        self.out_norm = mknorm()
         self.post_drop = nn.Dropout(rate=self.layer_postprocess_dropout)
 
     def __call__(self, input_dict: Dict[str, Any], train: bool):
@@ -102,16 +100,16 @@ class TransformerEncoderModule(nn.Module):
 
         moe_aux = 0.0
         for i in range(self.encoder_layers):
-            h = self.sa_norms[i](x)
+            h = self.sa_norms[i](x, train=train)
             h, _ = self.self_attns[i](h, bias=bias, train=train)
             x = self._sp(x + drop(h))
-            h = self.ffn_norms[i](x)
+            h = self.ffn_norms[i](x, train=train)
             h = self.ffns[i](h, train=train)
             if self.moe_num_experts > 0:
                 h, aux = h
                 moe_aux = moe_aux + aux
             x = self._sp(x + drop(h))
-        x = self.out_norm(x)
+        x = self.out_norm(x, train=train)
 
         out = {"outputs": x,
                "inputs": ids,
@@ -166,6 +164,7 @@ class TransformerEncoder(Encoder):
             dtype_=self.compute_dtype,
             moe_num_experts=p.get("moe_num_experts", 0),
             moe_loss_weight=p.get("moe_loss_weight", 0.01),
+            norm_params=p.get("norm_params"),
             sp_mesh=(self._model.mesh
                      if (p.get("sequence_parallel", False) and
                          self._model is not None and

@@ -128,3 +128,38 @@ class PreNormResidual(nn.Module):
         if extra is not None:
             return out, extra
         return out
+
+
+class TransformerNorm(nn.Module):
+    """Pre/post-process normalization selected by the config's
+    ``norm_params`` (reference `parts/transformer/common.py:11-106`):
+    the default layer norm, or the Transformer_BatchNorm variant
+    (channel batch norm with running stats, optional center/scale)."""
+    kind: str = "layernorm_L2"
+    momentum: float = 0.95
+    epsilon: float = 1e-4
+    center_scale: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.kind == "batch_norm":
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=self.momentum,
+                                epsilon=self.epsilon,
+                                use_bias=self.center_scale,
+                                use_scale=self.center_scale,
+                                dtype=self.dtype,
+                                param_dtype=jnp.float32)(x)
+        return nn.LayerNorm(dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            epsilon=1e-6)(x)
+
+
+def make_norm(norm_params, dtype):
+    p = norm_params or {}
+    return TransformerNorm(kind=p.get("type", "layernorm_L2"),
+                           momentum=p.get("momentum", 0.95),
+                           epsilon=p.get("epsilon", 1e-4),
+                           center_scale=p.get("center_scale", True),
+                           dtype=dtype)

@@ -70,3 +70,33 @@ def test_reversal_convergence_and_bleu(toy_data):
     eval_model = _build(toy_data, "eval", num_epochs=100)
     metrics = trainer.evaluate_with_state(eval_model, result["state"])
     assert metrics["Eval BLEU"] > 80.0, metrics
+
+
+def test_transformer_batch_norm_variant(tmp_path):
+    """norm_params {"type": "batch_norm"} swaps layer norm for the
+    Transformer_BatchNorm variant: running stats live in batch_stats
+    and get updated by training (reference transformer-bn.py)."""
+    import jax
+    import numpy as np
+    from openseq2seq_tpu.models import Text2Text
+    from openseq2seq_tpu.test_utils import toy_nmt
+
+    data = toy_nmt.generate(str(tmp_path))
+    cfg = toy_nmt.transformer_toy_config(data, num_epochs=1)
+    norm = {"type": "batch_norm", "momentum": 0.95, "epsilon": 1e-5,
+            "center_scale": False}
+    cfg["encoder_params"]["norm_params"] = norm
+    cfg["decoder_params"]["norm_params"] = norm
+    model = Text2Text(params=cfg, mode="train")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    assert "batch_stats" in state.model_state
+    stats0 = jax.tree_util.tree_leaves(
+        state.model_state["batch_stats"])[0]
+    db = jax.tree_util.tree_map(np.asarray, batch)
+    new_state, metrics = jax.jit(model.train_step)(
+        state, db, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    stats1 = jax.tree_util.tree_leaves(
+        new_state.model_state["batch_stats"])[0]
+    assert not np.allclose(np.asarray(stats0), np.asarray(stats1))
