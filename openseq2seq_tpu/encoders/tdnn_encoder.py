@@ -25,6 +25,7 @@ from typing import Any, Callable, Dict, List, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .encoder import Encoder
 
@@ -184,6 +185,10 @@ class TDNNNet(nn.Module):
                 if keep < 1.0:
                     x = nn.Dropout(rate=1.0 - keep,
                                    deterministic=not train)(x)
+            # block-boundary remat anchor: under the model's
+            # remat="blocks" policy only these activations are saved
+            # for the backward pass (no-op otherwise)
+            x = checkpoint_name(x, "block_boundary")
         if self.use_conv_mask:
             x = _mask_time(x, lengths)
         return x, lengths

@@ -102,7 +102,10 @@ class Model(abc.ABC):
             "profile_dir": str,           # jax.profiler trace output
             "use_xla_jit": bool,          # accepted for config parity;
                                           # everything is jitted anyway
-            "remat": bool,                # activation rematerialization
+            "remat": None,                # activation rematerialization:
+                                          # True (whole forward) or
+                                          # "blocks" (save only tagged
+                                          # block-boundary activations)
         }
 
     def __init__(self, params: Dict[str, Any], mode: str = "train",
@@ -352,12 +355,20 @@ class Model(abc.ABC):
                                 rngs={"dropout": dropout_rng},
                                 mutable=mutable)
 
-        if train and self._params.get("remat", False):
+        remat = self._params.get("remat", False)
+        if train and remat:
             # rematerialize the forward pass during backprop: trades
             # recompute FLOPs for activation HBM, enabling larger
             # per-chip batches (the TPU replacement for the reference's
-            # memory-driven batch limits)
-            forward = jax.checkpoint(forward)
+            # memory-driven batch limits). remat="blocks" keeps only
+            # activations encoders tagged with checkpoint_name(
+            # "block_boundary") — bounding the backward's live set to
+            # one block's temporaries instead of the whole forward's.
+            policy = None
+            if remat == "blocks":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "block_boundary")
+            forward = jax.checkpoint(forward, policy=policy)
         out = forward(variables, batch)
         if train:
             outputs, new_state = out

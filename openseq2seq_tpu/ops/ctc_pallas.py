@@ -20,11 +20,15 @@ at bs256/T=1000/S=384) from the VJP: the only saved tensor is the
     the (R, S) alpha column carried in VMEM scratch across chunks.
     HBM traffic: read B*T*Vp + B*S*Vp instead of B*T*S floats (~5x
     less at Jasper shapes).
-  * backward: grid (B,); per row, emit and the full (T, S) alpha
-    surface are RECOMPUTED into VMEM scratch (nothing saved from the
-    forward), then the beta recursion runs in reverse, overwriting the
-    alpha scratch with gradients in place; the vocab scatter back to
-    (T, V) is one trailing MXU matmul inside the kernel.
+  * backward: grid (B/R, T/TC) with the T axis iterated in REVERSE via
+    the block index maps; R=8 rows per program. The forward (when taken
+    under ``jax.grad``) additionally saves tiny (B, T/TC, S) alpha
+    checkpoints at chunk boundaries; the backward recomputes each
+    chunk's alphas from its checkpoint into VMEM, runs the beta
+    recursion within the chunk (the ``z = beta + emit`` carry crosses
+    chunk boundaries in scratch), overwrites the alpha scratch with
+    gradients in place, and scatters to (TC, V) with a trailing MXU
+    matmul per row.
 
 API-compatible with :func:`openseq2seq_tpu.ops.ctc.ctc_loss` (same
 infeasible-row semantics, reference `losses/ctc_loss.py:78-83`);
@@ -58,12 +62,20 @@ def _logaddexp(a, b):
 # ---------------------------------------------------------------------------
 # forward kernel: emission gather (MXU) + alpha recursion, chunked over T
 # ---------------------------------------------------------------------------
-def _alpha_kernel(R, TC, len_ref, extlen_ref, canskip_ref, valid_ref,
-                  lp_ref, oht_ref, nll_ref, alpha_scr, emit_scr):
+def _alpha_kernel(R, TC, with_ckpt, len_ref, extlen_ref, canskip_ref,
+                  valid_ref, lp_ref, oht_ref, nll_ref, *rest):
     """Blocks: lp (R, TC, Vp) at (b, tc); oht (R, Vp, S) at (b,) —
     transposed one-hot of the extended label sequence. Full-array VMEM:
     len/extlen/nll (B, 1), canskip/valid (B, S). Scratch: alpha (R, S)
-    carried across the T-chunk grid axis, emit (R, TC, S)."""
+    carried across the T-chunk grid axis, emit (R, TC, S). When
+    ``with_ckpt`` (the grad path) the end-of-chunk alpha column is also
+    written to a (1, R, S) ckpt block for the chunked backward (the
+    ckpt array is (n_tc, B, S) — chunk-major so the (R, S) tail of
+    every block meets the TPU (8, 128) tiling constraint)."""
+    if with_ckpt:
+        ckpt_ref, alpha_scr, emit_scr = rest
+    else:
+        alpha_scr, emit_scr = rest
     S = oht_ref.shape[2]
     b = pl.program_id(0)
     tc = pl.program_id(1)
@@ -104,6 +116,9 @@ def _alpha_kernel(R, TC, len_ref, extlen_ref, canskip_ref, valid_ref,
 
     alpha_scr[:] = jax.lax.fori_loop(0, TC, step, alpha_scr[:])
 
+    if with_ckpt:
+        ckpt_ref[0, :, :] = alpha_scr[:]
+
     @pl.when(tc == n_tc - 1)
     def _finalize():
         alpha_last = alpha_scr[:]
@@ -116,90 +131,109 @@ def _alpha_kernel(R, TC, len_ref, extlen_ref, canskip_ref, valid_ref,
 
 
 # ---------------------------------------------------------------------------
-# backward kernel: full recompute (emit + alpha) in VMEM, then beta
-# recursion writing gamma-gradients in place, vocab scatter on the MXU
+# backward kernel: grid (B/R, T/TC) with the chunk axis REVERSED via the
+# index maps. Per program: recompute the chunk's alphas from the saved
+# chunk-boundary checkpoint, run the beta recursion in reverse (carrying
+# z = beta + emit across chunks in scratch), overwrite the alpha scratch
+# with gamma-gradients in place, vocab-scatter on the MXU.
 # ---------------------------------------------------------------------------
-def _beta_kernel(T, len_ref, extlen_ref, nll_ref, canskip_ref, valid_ref,
-                 lp_ref, oht_ref, dlp_ref, emit_scr, ag_scr):
-    """Blocks: lp (1, T, Vp), oht (1, Vp, S), dlp out (1, T, Vp).
-    Scratch: emit (T, S), ag (T, S) — holds alphas during the forward
-    recompute, overwritten row-by-row with gradients during the beta
-    pass (alpha[t] is consumed exactly once, at time t)."""
+def _beta_chunk_kernel(R, TC, len_ref, extlen_ref, nll_ref, canskip_ref,
+                       valid_ref, ckpt_ref, lp_ref, oht_ref, dlp_ref,
+                       emit_scr, ag_scr, z_scr):
+    """Blocks: lp/dlp (R, TC, Vp) at (b, rev(tc)); oht (R, Vp, S) at
+    (b,); ckpt (1, R, S) at (rev(tc)-1, b) — the alpha column at the END
+    of the PREVIOUS chunk. Scratch: emit/ag (R, TC, S), z (R, S) carried
+    across the chunk grid axis (valid until the b row-block changes,
+    where tc==0 reinitializes it)."""
     S = oht_ref.shape[2]
     b = pl.program_id(0)
+    tc = pl.program_id(1)              # 0 == LAST chunk (reversed maps)
+    n_tc = pl.num_programs(1)
+    rc = n_tc - 1 - tc                 # real chunk index
+    Tp = n_tc * TC
+    row0 = pl.multiple_of(b * R, R)
 
-    length = len_ref[pl.ds(b, 1), :]                       # (1, 1)
-    ext_len = extlen_ref[pl.ds(b, 1), :]
-    logz = -nll_ref[pl.ds(b, 1), :]
-    can_skip = canskip_ref[pl.ds(b, 1), :]                 # (1, S)
-    valid = valid_ref[pl.ds(b, 1), :]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    length = len_ref[pl.ds(row0, R), :]                    # (R, 1)
+    ext_len = extlen_ref[pl.ds(row0, R), :]
+    logz = -nll_ref[pl.ds(row0, R), :]
+    can_skip = canskip_ref[pl.ds(row0, R), :]              # (R, S)
+    valid = valid_ref[pl.ds(row0, R), :]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
 
-    # emission recompute: one (T, Vp) x (Vp, S) MXU matmul (exact)
-    emit_scr[:] = jnp.dot(lp_ref[0], oht_ref[0],
-                          preferred_element_type=jnp.float32,
-                          precision=_EXACT)
+    # emission gather for this chunk (exact one-hot MXU matmuls)
+    for r in range(R):
+        emit_scr[r] = jnp.dot(lp_ref[r], oht_ref[r],
+                              preferred_element_type=jnp.float32,
+                              precision=_EXACT)
 
-    def emit_at(t):
-        row = emit_scr[pl.ds(t, 1), :]                     # (1, S)
-        return jnp.where(valid > 0, row, NEG)
+    def emit_at(tt):
+        return jnp.where(valid > 0, emit_scr[:, tt, :], NEG)
 
-    # ---- pass 1: alpha recursion into ag_scr ----
+    # ---- pass 1: recompute this chunk's alphas from the checkpoint ----
     init_mask = pos <= jnp.minimum(ext_len - 1, 1)
-    alpha0 = jnp.where(init_mask, emit_at(0), NEG)
-    alpha0 = jnp.where(valid > 0, alpha0, NEG)
-    ag_scr[pl.ds(0, 1), :] = alpha0
 
-    def fwd_step(t, alpha):
+    def fwd_step(tt, alpha):
+        t = rc * TC + tt
+        emit_t = emit_at(tt)
         shift1 = jnp.where(pos >= 1, pltpu.roll(alpha, 1, 1), NEG)
         shift2 = jnp.where(pos >= 2, pltpu.roll(alpha, 2, 1), NEG)
         cand = _logaddexp(alpha, shift1)
         cand = jnp.where(can_skip > 0, _logaddexp(cand, shift2), cand)
-        new = jnp.where(valid > 0, cand + emit_at(t), NEG)
-        new = jnp.where(t < length, new, alpha)
-        ag_scr[pl.ds(t, 1), :] = new
+        new = jnp.where(valid > 0, cand + emit_t, NEG)
+        new = jnp.where(t < length, new, alpha)            # freeze pads
+        alpha0 = jnp.where(jnp.logical_and(init_mask, valid > 0),
+                           emit_t, NEG)
+        new = jnp.where(t == 0, alpha0, new)               # t=0 is init
+        ag_scr[:, pl.ds(tt, 1), :] = new[:, None, :]
         return new
 
-    jax.lax.fori_loop(1, T, fwd_step, alpha0)
+    jax.lax.fori_loop(0, TC, fwd_step, ckpt_ref[0, :, :])
 
     # ---- pass 2: beta recursion, gradients overwrite ag_scr ----
-    # skip transition INTO s+2 is allowed when can_skip[s+2]
     can_skip_fwd = pltpu.roll(can_skip, S - 2, 1)
     can_skip_fwd = jnp.where(pos < S - 2, can_skip_fwd, 0.0)
     end_mask = jnp.logical_and(pos >= ext_len - 2, pos <= ext_len - 1)
     beta_T = jnp.where(end_mask, 0.0, NEG)
 
-    def write_grad(t, beta):
-        gamma = ag_scr[pl.ds(t, 1), :] + beta - logz
+    def write_grad(tt, beta, t):
+        gamma = ag_scr[:, tt, :] + beta - logz
         g = -jnp.exp(jnp.maximum(gamma, -80.0))
         g = jnp.where(valid > 0, g, 0.0)
         g = jnp.where(t < length, g, 0.0)
-        ag_scr[pl.ds(t, 1), :] = g
+        ag_scr[:, pl.ds(tt, 1), :] = g[:, None, :]
 
-    write_grad(T - 1, jnp.where(length == T, beta_T, NEG))
+    @pl.when(tc == 0)
+    def _init_last():
+        # the global last step t = Tp-1: no successor
+        beta_last = jnp.where(length == Tp, beta_T, NEG)
+        write_grad(TC - 1, beta_last, Tp - 1)
+        z_scr[:] = beta_last + emit_at(TC - 1)
 
-    def bwd_step(i, beta):
-        t = T - 2 - i
-        nxt = beta + emit_at(t + 1)
-        shift1 = jnp.where(pos < S - 1, pltpu.roll(nxt, S - 1, 1), NEG)
-        shift2 = jnp.where(pos < S - 2, pltpu.roll(nxt, S - 2, 1), NEG)
-        cand = _logaddexp(nxt, shift1)
+    def bwd_step(i, z):
+        tt = TC - 1 - i
+        t = rc * TC + tt
+        # z == beta_{t+1} + emit_{t+1} (carried across chunks)
+        shift1 = jnp.where(pos < S - 1, pltpu.roll(z, S - 1, 1), NEG)
+        shift2 = jnp.where(pos < S - 2, pltpu.roll(z, S - 2, 1), NEG)
+        cand = _logaddexp(z, shift1)
         cand = jnp.where(can_skip_fwd > 0, _logaddexp(cand, shift2),
                          cand)
         beta_t = jnp.where(valid > 0, cand, NEG)
         beta_t = jnp.where(t == length - 1, beta_T, beta_t)
         beta_t = jnp.where(t < length, beta_t, NEG)
-        write_grad(t, beta_t)
-        return beta_t
+        write_grad(tt, beta_t, t)
+        return beta_t + emit_at(tt)
 
-    jax.lax.fori_loop(0, T - 1, bwd_step,
-                      jnp.where(length == T, beta_T, NEG))
+    # tc==0 already consumed its first reverse step in _init_last
+    start = jnp.where(tc == 0, 1, 0)
+    z_scr[:] = jax.lax.fori_loop(start, TC, bwd_step, z_scr[:])
 
-    # ---- vocab scatter: (T, S) x (S, Vp) via contraction on S ----
-    dlp_ref[0] = jax.lax.dot_general(
-        ag_scr[:], oht_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_EXACT)
+    # ---- vocab scatter: (TC, S) x (S, Vp), contraction on S ----
+    for r in range(R):
+        dlp_ref[r] = jax.lax.dot_general(
+            ag_scr[r], oht_ref[r],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_EXACT)
 
 
 # ---------------------------------------------------------------------------
@@ -263,22 +297,40 @@ def _fits_vmem_fwd(R, TC, S, Vp):
     return need <= _VMEM_BUDGET
 
 
-def _fits_vmem_bwd(T, S, Vp):
-    need = 2 * T * S * 4 + 2 * T * Vp * 4 * 2 + Vp * S * 4 * 2
+def _pick_r(B, fits):
+    for r in (8, 4, 2):
+        if B % r == 0 and fits(r):
+            return r
+    return 1
+
+
+def _fits_vmem_bwd(R, TC, S, Vp):
+    # lp + dlp blocks (double-buffered) + oht (dbuf) + ckpt + scratch
+    need = (4 * R * TC * Vp * 4 + 2 * R * Vp * S * 4 +
+            2 * R * S * 4 + 2 * R * TC * S * 4 + R * S * 4)
     return need <= _VMEM_BUDGET
 
 
 def _run_forward(lp_pad, oht, can_skip, valid, logit_lengths, ext_len,
-                 interpret):
+                 interpret, with_ckpt=False):
+    """Forward NLL; with ``with_ckpt`` also returns the (B, n_tc, S)
+    end-of-chunk alpha checkpoints consumed by the chunked backward."""
     B, T, Vp = lp_pad.shape
     S = oht.shape[2]
     Tp, TC = _fwd_chunks(T)
     if Tp != T:
         lp_pad = jnp.pad(lp_pad, ((0, 0), (0, Tp - T), (0, 0)))
-    R = 8 if (B % 8 == 0 and _fits_vmem_fwd(8, TC, S, Vp)) else 1
-    nll = pl.pallas_call(
-        functools.partial(_alpha_kernel, R, TC),
-        grid=(B // R, Tp // TC),
+    n_tc = Tp // TC
+    R = _pick_r(B, lambda r: _fits_vmem_fwd(r, TC, S, Vp))
+    out_shape = [jax.ShapeDtypeStruct((B, 1), jnp.float32)]
+    out_specs = [_scalar_spec(B)]
+    if with_ckpt:
+        out_shape.append(jax.ShapeDtypeStruct((n_tc, B, S), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, R, S), lambda b, tc: (tc, b, 0),
+                                      memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        functools.partial(_alpha_kernel, R, TC, with_ckpt),
+        grid=(B // R, n_tc),
         in_specs=[
             _scalar_spec(B), _scalar_spec(B),
             _mask_spec(B, S), _mask_spec(B, S),
@@ -287,8 +339,8 @@ def _run_forward(lp_pad, oht, can_skip, valid, logit_lengths, ext_len,
             pl.BlockSpec((R, Vp, S), lambda b, tc: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=_scalar_spec(B),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        out_specs=out_specs if with_ckpt else out_specs[0],
+        out_shape=out_shape if with_ckpt else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((R, S), jnp.float32),
             pltpu.VMEM((R, TC, S), jnp.float32),
@@ -297,39 +349,55 @@ def _run_forward(lp_pad, oht, can_skip, valid, logit_lengths, ext_len,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(_col(logit_lengths), _col(ext_len), can_skip, valid, lp_pad, oht)
-    return nll[:, 0]
+    if with_ckpt:
+        return out[0][:, 0], out[1]
+    return out[:, 0]
 
 
 def _run_backward(lp_pad, oht, can_skip, valid, logit_lengths, ext_len,
-                  nll, interpret):
+                  nll, ckpt, interpret):
     B, T, Vp = lp_pad.shape
     S = oht.shape[2]
-    Tp = _round_up(T, 8)
+    Tp, TC = _fwd_chunks(T)
     if Tp != T:
         lp_pad = jnp.pad(lp_pad, ((0, 0), (0, Tp - T), (0, 0)))
+    n_tc = Tp // TC
+    R = _pick_r(B, lambda r: _fits_vmem_bwd(r, TC, S, Vp))
+
+    def rev(tc):
+        return n_tc - 1 - tc
+
     dlp = pl.pallas_call(
-        functools.partial(_beta_kernel, Tp),
-        grid=(B,),
+        functools.partial(_beta_chunk_kernel, R, TC),
+        grid=(B // R, n_tc),
         in_specs=[
             _scalar_spec(B), _scalar_spec(B), _scalar_spec(B),
             _mask_spec(B, S), _mask_spec(B, S),
-            pl.BlockSpec((1, Tp, Vp), lambda b: (b, 0, 0),
+            # alpha at the end of the PREVIOUS chunk (rc==0 loads chunk
+            # 0 and ignores it — t==0 re-initializes in-kernel)
+            pl.BlockSpec(
+                (1, R, S),
+                lambda b, tc: (jnp.maximum(rev(tc) - 1, 0), b, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TC, Vp), lambda b, tc: (b, rev(tc), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, S), lambda b: (b, 0, 0),
+            pl.BlockSpec((R, Vp, S), lambda b, tc: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Tp, Vp), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((R, TC, Vp), lambda b, tc: (b, rev(tc), 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Tp, Vp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((Tp, S), jnp.float32),
-            pltpu.VMEM((Tp, S), jnp.float32),
+            pltpu.VMEM((R, TC, S), jnp.float32),
+            pltpu.VMEM((R, TC, S), jnp.float32),
+            pltpu.VMEM((R, S), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(_col(logit_lengths), _col(ext_len), nll[:, None].astype(jnp.float32),
-      can_skip, valid, lp_pad, oht)
+    )(_col(logit_lengths), _col(ext_len),
+      nll[:, None].astype(jnp.float32), can_skip, valid, ckpt, lp_pad,
+      oht)
     return dlp[:, :T, :]
 
 
@@ -348,18 +416,21 @@ def _ctc_nll_from_logprobs(logprobs, logit_lengths, labels,
 
 def _ctc_fwd(logprobs, logit_lengths, labels, label_lengths, blank_id,
              interpret):
-    nll = _ctc_nll_from_logprobs(logprobs, logit_lengths, labels,
-                                 label_lengths, blank_id, interpret)
-    return nll, (logprobs, logit_lengths, labels, label_lengths, nll)
+    lp_pad, oht, can_skip, valid, ext_len, _, _ = _prep(
+        logprobs, labels, label_lengths, blank_id)
+    nll, ckpt = _run_forward(lp_pad, oht, can_skip, valid, logit_lengths,
+                             ext_len, interpret, with_ckpt=True)
+    return nll, (logprobs, logit_lengths, labels, label_lengths, nll,
+                 ckpt)
 
 
 def _ctc_bwd(blank_id, interpret, res, g):
-    logprobs, logit_lengths, labels, label_lengths, nll = res
+    logprobs, logit_lengths, labels, label_lengths, nll, ckpt = res
     V = logprobs.shape[2]
     lp_pad, oht, can_skip, valid, ext_len, _, _ = _prep(
         logprobs, labels, label_lengths, blank_id)
     dlp = _run_backward(lp_pad, oht, can_skip, valid, logit_lengths,
-                        ext_len, nll, interpret)
+                        ext_len, nll, ckpt, interpret)
     dlogprobs = dlp[:, :, :V] * g[:, None, None]
     return (dlogprobs, None, None, None)
 
@@ -382,7 +453,7 @@ def ctc_loss_pallas(logits, logit_lengths, labels, label_lengths,
     L = labels.shape[1]
     S = _round_up(2 * L + 1, 128)
     Vp = _round_up(V, 128)
-    if not (_fits_vmem_bwd(_round_up(T, 8), S, Vp) and
+    if not (_fits_vmem_bwd(1, _fwd_chunks(T)[1], S, Vp) and
             _fits_vmem_fwd(1, _fwd_chunks(T)[1], S, Vp)):
         from .ctc import ctc_loss
         return ctc_loss(

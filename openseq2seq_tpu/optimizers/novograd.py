@@ -34,9 +34,18 @@ def scale_by_novograd(beta1: float = 0.95,
                       beta2: float = 0.98,
                       epsilon: float = 1e-8,
                       weight_decay: float = 0.0,
-                      grad_averaging: bool = False) -> optax.GradientTransformation:
+                      grad_averaging: bool = False,
+                      moments_dtype=None) -> optax.GradientTransformation:
+    """``moments_dtype`` (e.g. ``jnp.bfloat16``) stores the first-moment
+    buffer in a reduced precision — halves optimizer HBM (the moment is
+    a smoothed average, bf16's 8 mantissa bits cost <0.4% update error;
+    the scalar per-layer second moments stay fp32)."""
+    if isinstance(moments_dtype, str):
+        moments_dtype = jnp.dtype(moments_dtype)
+
     def init_fn(params):
-        moments = jax.tree_util.tree_map(jnp.zeros_like, params)
+        moments = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, moments_dtype or p.dtype), params)
         grads_ema = jax.tree_util.tree_map(
             lambda p: jnp.zeros((), jnp.float32), params)
         return ScaleByNovoGradState(count=jnp.zeros((), jnp.int32),

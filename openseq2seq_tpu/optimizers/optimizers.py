@@ -62,7 +62,8 @@ def _novograd(p, lr):
                           beta2=p.get("beta2", 0.98),
                           epsilon=p.get("epsilon", 1e-8),
                           weight_decay=p.get("weight_decay", 0.0),
-                          grad_averaging=p.get("grad_averaging", False)),
+                          grad_averaging=p.get("grad_averaging", False),
+                          moments_dtype=p.get("moments_dtype")),
         optax.scale_by_learning_rate(lr),
     )
 

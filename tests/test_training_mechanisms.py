@@ -188,3 +188,60 @@ def test_remat_matches_plain(toy_speech_data):
     np.testing.assert_allclose(float(met1["global_grad_norm"]),
                                float(met2["global_grad_norm"]),
                                rtol=1e-4)
+
+
+def test_block_remat_matches_plain(toy_speech_data):
+    """remat='blocks' (save only tagged block-boundary activations)
+    must also leave the math unchanged."""
+    m_plain = _model(toy_speech_data, num_epochs=1)
+    m_remat = _model(toy_speech_data, num_epochs=1,
+                     overrides={"remat": "blocks",
+                                "encoder_params": {
+                                    "dropout_keep_prob": 1.0}})
+    m_plain._params["encoder_params"]["dropout_keep_prob"] = 1.0
+    batch = next(iter(m_plain.get_data_layer().iterate_one_epoch()))
+    s1 = m_plain.init_state(batch)
+    s2 = m_remat.init_state(batch)
+    db = jax.tree_util.tree_map(np.asarray, batch)
+    rng = jax.random.PRNGKey(0)
+    _, met1 = jax.jit(m_plain.train_step)(s1, db, rng)
+    _, met2 = jax.jit(m_remat.train_step)(s2, db, rng)
+    np.testing.assert_allclose(float(met1["loss"]),
+                               float(met2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(met1["global_grad_norm"]),
+                               float(met2["global_grad_norm"]),
+                               rtol=1e-4)
+
+
+def test_bf16_novograd_moments_track_fp32(toy_speech_data):
+    """optimizer_params.moments_dtype='bfloat16' halves optimizer HBM;
+    the resulting updates must stay close to the fp32-moment run."""
+    import flax
+    ov = {"encoder_params": {"dropout_keep_prob": 1.0},
+          "optimizer": "NovoGrad",
+          "optimizer_params": {"learning_rate": 3e-4}}
+    m32 = _model(toy_speech_data, num_epochs=1, overrides=ov)
+    mbf = _model(toy_speech_data, num_epochs=1, overrides={
+        **ov, "optimizer_params": {"learning_rate": 3e-4,
+                                   "moments_dtype": "bfloat16"}})
+    batch = next(iter(m32.get_data_layer().iterate_one_epoch()))
+    s32 = m32.init_state(batch)
+    sbf = mbf.init_state(batch)
+    db = jax.tree_util.tree_map(np.asarray, batch)
+    rng = jax.random.PRNGKey(0)
+    n32, _ = jax.jit(m32.train_step)(s32, db, rng)
+    nbf, _ = jax.jit(mbf.train_step)(sbf, db, rng)
+    # moments are stored in bf16
+    import jax.numpy as jnp
+    assert any(getattr(l, "dtype", None) == jnp.bfloat16
+               for l in jax.tree_util.tree_leaves(nbf.opt_state))
+    # parameters after one step agree to bf16-moment precision:
+    # per-tensor, the deviation norm is small vs the update norm
+    f32 = flax.traverse_util.flatten_dict(n32.params)
+    fbf = flax.traverse_util.flatten_dict(nbf.params)
+    f0 = flax.traverse_util.flatten_dict(s32.params)
+    for k in f32:
+        a, b = np.asarray(f32[k]), np.asarray(fbf[k])
+        upd = np.linalg.norm(a - np.asarray(f0[k]))
+        dev = np.linalg.norm(a - b)
+        assert dev <= 0.02 * upd + 1e-8, (k, dev, upd)
