@@ -18,6 +18,7 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .decoder import Decoder
 from ..ops.beam_search import (NEG_INF, beam_search,
@@ -94,6 +95,8 @@ class TransformerDecoderModule(nn.Module):
             h = self.ffn_norms[i](x, train=train)
             h = self.ffns[i](h, train=train)
             x = x + drop(h)
+            # layer-boundary remat anchor (model remat="blocks" policy)
+            x = checkpoint_name(x, "block_boundary")
         return self.out_norm(x, train=train), new_self_caches
 
     def __call__(self, input_dict: Dict[str, Any], train: bool):

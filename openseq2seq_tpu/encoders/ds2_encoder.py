@@ -17,6 +17,7 @@ from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .encoder import Encoder
 from .tdnn_encoder import resolve_activation, _mask_time
@@ -81,6 +82,8 @@ class DS2Net(nn.Module):
             if keep < 1.0:
                 x = nn.Dropout(rate=1.0 - keep,
                                deterministic=not train)(x)
+            # layer-boundary remat anchor (model remat="blocks" policy)
+            x = checkpoint_name(x, "block_boundary")
 
         if self.row_conv and self.row_conv_width >= 2:
             ch = x.shape[-1]

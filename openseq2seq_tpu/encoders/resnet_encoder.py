@@ -14,6 +14,7 @@ from typing import Any, Dict, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .encoder import Encoder
 
@@ -144,6 +145,8 @@ class ResNetNet(nn.Module):
                               dtype=self.dtype,
                               name="block{}_{}".format(i + 1, j + 1))(
                     x, train)
+                # stage-boundary remat anchor (remat="blocks" policy)
+                x = checkpoint_name(x, "block_boundary")
         if self.version == 2:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=self.bn_momentum, epsilon=1e-5,

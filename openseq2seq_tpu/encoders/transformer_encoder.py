@@ -15,6 +15,7 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .encoder import Encoder
 from ..parts.transformer.attention import SelfAttention
@@ -109,6 +110,8 @@ class TransformerEncoderModule(nn.Module):
                 h, aux = h
                 moe_aux = moe_aux + aux
             x = self._sp(x + drop(h))
+            # layer-boundary remat anchor (model remat="blocks" policy)
+            x = checkpoint_name(x, "block_boundary")
         x = self.out_norm(x, train=train)
 
         out = {"outputs": x,

@@ -76,6 +76,26 @@ def w2l_test_config(csv_path: str, vocab_path: str, logdir: str = "",
     return base_params, eval_params
 
 
+def quartznet_test_config(csv_path: str, vocab_path: str, logdir: str = "",
+                          dtype: str = "float32", num_epochs: int = 120):
+    """Tiny QuartzNet-style config: depthwise-separable convs with
+    residual blocks (the sep_conv1d path of the TDNN encoder, reference
+    `example_configs/speech2text/quartznet15x5_LibriSpeech.py`)."""
+    base_params, eval_params = w2l_test_config(
+        csv_path, vocab_path, logdir=logdir, dtype=dtype,
+        num_epochs=num_epochs)
+    base_params["encoder_params"]["convnet_layers"] = [
+        {"type": "sep_conv1d", "repeat": 1, "kernel_size": [7],
+         "stride": [1], "num_channels": 64, "padding": "SAME"},
+        {"type": "sep_conv1d", "repeat": 2, "kernel_size": [11],
+         "stride": [1], "num_channels": 96, "padding": "SAME",
+         "residual": True},
+        {"type": "conv1d", "repeat": 1, "kernel_size": [1],
+         "stride": [1], "num_channels": 128, "padding": "SAME"},
+    ]
+    return base_params, eval_params
+
+
 def fill_derived_params(base_params):
     """Propagate data-layer-derived values (tgt_vocab_size) into the
     decoder params — the reference does this inside the data layer /

@@ -61,6 +61,20 @@ def test_convergence_mixed_precision(toy_speech_data):
     assert float(result["last_metrics"]["loss"]) < 2.0
 
 
+@pytest.mark.slow
+def test_convergence_quartznet(toy_speech_data):
+    """The depthwise-separable (QuartzNet) encoder path must converge
+    on the toy set too (reference quartznet15x5 recipe's conv type)."""
+    from openseq2seq_tpu.test_utils.test_speech_configs import (
+        quartznet_test_config)
+    base_params, _ = quartznet_test_config(
+        toy_speech_data["csv"], toy_speech_data["vocab"], num_epochs=150)
+    train_model = Speech2Text(params=base_params, mode="train")
+    result = trainer.train(train_model)
+    final_loss = float(result["last_metrics"]["loss"])
+    assert final_loss < 1.5, "loss did not converge: {}".format(final_loss)
+
+
 def test_regularizer_increases_loss(toy_speech_data):
     """L2 regularization must inflate the reported loss (reference
     regularizer_test, `speech2text_test.py:68-87`)."""
