@@ -59,7 +59,11 @@ def main():
         max_steps=1000000,
     )
     # Pallas CTC keeps the whole alpha/beta recursion on-chip: measured
-    # 100.5 utt/s/chip vs 96.2 with the lax.scan CTC at these shapes
+    # 100.5 utt/s/chip vs 96.2 with the lax.scan CTC at these shapes;
+    # the chunked R=8 backward kernel lifted it further (129.7 -> 131.9,
+    # CTC fwd+bwd 42.9 -> 10.7 ms standalone). Larger batches lose:
+    # bs192 remat="blocks" 101 utt/s, bs256 fails remote compile
+    # (scripts/bench_sweep.py) — bs128 remains optimal on v5e.
     params["loss_params"] = {"use_pallas": True}
     model = Speech2Text(params=params, mode="train", mesh=mesh)
     dl = model.get_data_layer()

@@ -43,8 +43,10 @@ def main():
                                                replicated_sharding,
                                                shard_batch)
 
+    import os
     n_chips = len(jax.devices())
-    batch_per_chip = 64
+    # bs sweepable for tuning runs: BENCH_NMT_BS=128 python bench_nmt.py
+    batch_per_chip = int(os.environ.get("BENCH_NMT_BS", "64"))
     seq_len = 64
     d_model = 1024
 
@@ -123,13 +125,29 @@ def main():
     loss = float(jax.device_get(metrics["loss"]))
     assert np.isfinite(loss)
 
-    print(json.dumps({
+    # MFU vs the v5e 197 TFLOP/s bf16 peak (as in bench.py)
+    mfu = None
+    try:
+        cost = step_fn.lower(state, device_batch,
+                             rng).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops * n_steps / wall / (197e12 * n_chips)
+    except Exception:
+        pass
+
+    result = {
         "metric": "transformer_big_train_tokens_per_sec_per_chip",
         "value": round(tokens_per_sec_per_chip, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_sec_per_chip /
                              V100_BASELINE_TOKENS_PER_SEC, 3),
-    }))
+    }
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -69,6 +69,8 @@ class DataLayer(abc.ABC):
             raise ValueError("Shuffle should not be performed in "
                              "{} mode".format(self._params["mode"]))
         self._rng = np.random.RandomState()
+        self._base_seed = 0
+        self._epoch_counter = 0
 
     @property
     def params(self) -> Dict[str, Any]:
@@ -78,6 +80,16 @@ class DataLayer(abc.ABC):
         """Seed this layer's augmentation/shuffle RNG (per-worker offsets
         are applied by the Model, reference `models/model.py:308-313`)."""
         self._rng = np.random.RandomState(seed)
+        self._base_seed = int(seed)
+
+    def example_rng(self, example_idx: int) -> np.random.RandomState:
+        """A thread-safe per-example RNG for augmentation, seeded from
+        (layer seed, epoch, example index) — deterministic regardless of
+        how many featurizer threads run or in which order they finish."""
+        mixed = (self._base_seed * 1000003 +
+                 self._epoch_counter * 8191 +
+                 int(example_idx)) % (2 ** 31 - 1)
+        return np.random.RandomState(mixed)
 
     @abc.abstractmethod
     def get_size_in_samples(self) -> int:

@@ -194,7 +194,7 @@ class Speech2TextDataLayer(DataLayer):
         return len(self._files)
 
     # ------------------------------------------------------------------
-    def _featurize(self, wav_path: str):
+    def _featurize(self, wav_path: str, rng=None):
         """Featurize, with an optional npz cache (reference
         ``cache_features`` + hdf5/npy cache, `speech_utils.py:42-90`).
         Augmentation-bearing configs skip the cache (features change
@@ -230,7 +230,7 @@ class Speech2TextDataLayer(DataLayer):
             except Exception:
                 pass   # truncated/corrupt cache entry: recompute
             features, duration = get_speech_features_from_file(
-                wav_path, p, rng=self._rng)
+                wav_path, p, rng=rng if rng is not None else self._rng)
             try:
                 os.makedirs(cache_dir, exist_ok=True)
                 # atomic write: a crash mid-save must not leave a
@@ -241,8 +241,9 @@ class Speech2TextDataLayer(DataLayer):
             except OSError:
                 pass          # read-only dataset dir: serve uncached
             return features, duration
-        return get_speech_features_from_file(wav_path, self.params,
-                                             rng=self._rng)
+        return get_speech_features_from_file(
+            wav_path, self.params,
+            rng=rng if rng is not None else self._rng)
 
     def _load_audio(self, wav_path: str):
         """Raw-audio path for ``featurize_on_device``: returns the float
@@ -282,21 +283,26 @@ class Speech2TextDataLayer(DataLayer):
         # was its acknowledged input bottleneck
         # (`docs/speech-commands.rst:28`)
         workers = max(int(p.get("map_parallel_calls", 4)), 1)
-        if p.get("augmentation") or p.get("dither", 0) > 0:
-            # the augmentation RNG is not thread-safe; keep featurization
-            # sequential when randomness is involved
-            workers = 1
+        randomized = bool(p.get("augmentation")) or p.get("dither", 0) > 0
         from concurrent.futures import ThreadPoolExecutor
 
         on_device = p.get("featurize_on_device", False)
+        self._epoch_counter += 1
 
         def load(global_idx):
             row = self._files[global_idx]
+            # augmentation draws come from a per-example RNG seeded by
+            # (seed, epoch, index) — thread-safe AND order-deterministic,
+            # unlike the shared-RNG design this replaces (which forced
+            # workers=1 whenever augmentation/dither was on, i.e. on the
+            # flagship training recipes — the exact configs that need
+            # pipeline throughput most)
+            rng = self.example_rng(global_idx) if randomized else None
             try:
                 if on_device:
                     features, duration = self._load_audio(row[0])
                 else:
-                    features, duration = self._featurize(row[0])
+                    features, duration = self._featurize(row[0], rng=rng)
             except (OSError, ValueError) as e:
                 return ("error", global_idx, e)
             return ("ok", global_idx, features, duration, row)

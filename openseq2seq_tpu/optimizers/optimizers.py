@@ -36,13 +36,15 @@ def _momentum(p, lr):
 
 def _adam(p, lr):
     return optax.adam(lr, b1=p.get("beta1", 0.9), b2=p.get("beta2", 0.999),
-                      eps=p.get("epsilon", 1e-8))
+                      eps=p.get("epsilon", 1e-8),
+                      mu_dtype=p.get("moments_dtype"))
 
 
 def _adamw(p, lr):
     return optax.adamw(lr, b1=p.get("beta1", 0.9), b2=p.get("beta2", 0.999),
                        eps=p.get("epsilon", 1e-8),
-                       weight_decay=p.get("weight_decay", 0.0))
+                       weight_decay=p.get("weight_decay", 0.0),
+                       mu_dtype=p.get("moments_dtype"))
 
 
 def _adagrad(p, lr):

@@ -106,3 +106,31 @@ def test_speed_perturbation_changes_length():
                    "sample_freq": sr}
     base_feats, base_dur = get_speech_features(sig, sr, base_params, rng=rng)
     assert feats.shape[0] != base_feats.shape[0]
+
+
+def test_parallel_augmented_featurization_deterministic(toy_speech_data):
+    """Augmented featurization must give identical batches whether the
+    thread pool runs 1 or 8 workers (per-example RNG seeded by
+    (seed, epoch, index) — replaces the shared-RNG design that forced
+    single-threaded pipelines on augmented recipes)."""
+    from openseq2seq_tpu.data.speech2text import Speech2TextDataLayer
+
+    def batches(workers):
+        dl = Speech2TextDataLayer({
+            "mode": "train", "batch_size": 4, "shuffle": False,
+            "num_audio_features": 24, "input_type": "logfbank",
+            "vocab_file": toy_speech_data["vocab"],
+            "dataset_files": [toy_speech_data["csv"]],
+            "sample_freq": 16000, "dither": 1e-3,
+            "map_parallel_calls": workers,
+            "augmentation": {"n_freq_mask": 1, "n_time_mask": 1,
+                             "width_freq_mask": 4, "width_time_mask": 4},
+        }, model=None)
+        dl.seed(7)
+        return list(dl.iterate_one_epoch())
+
+    b1, b8 = batches(1), batches(8)
+    assert len(b1) == len(b8) > 0
+    for x, y in zip(b1, b8):
+        np.testing.assert_array_equal(x["source_tensors"][0],
+                                      y["source_tensors"][0])
