@@ -82,14 +82,18 @@ class DataLayer(abc.ABC):
         self._rng = np.random.RandomState(seed)
         self._base_seed = int(seed)
 
+    def example_seed(self, example_idx: int) -> int:
+        """Deterministic per-example augmentation seed from
+        (layer seed, epoch, example index)."""
+        return (self._base_seed * 1000003 +
+                self._epoch_counter * 8191 +
+                int(example_idx)) % (2 ** 31 - 1)
+
     def example_rng(self, example_idx: int) -> np.random.RandomState:
-        """A thread-safe per-example RNG for augmentation, seeded from
-        (layer seed, epoch, example index) — deterministic regardless of
-        how many featurizer threads run or in which order they finish."""
-        mixed = (self._base_seed * 1000003 +
-                 self._epoch_counter * 8191 +
-                 int(example_idx)) % (2 ** 31 - 1)
-        return np.random.RandomState(mixed)
+        """A thread-safe per-example RNG for augmentation — deterministic
+        regardless of how many featurizer threads/processes run or in
+        which order they finish."""
+        return np.random.RandomState(self.example_seed(example_idx))
 
     @abc.abstractmethod
     def get_size_in_samples(self) -> int:

@@ -46,6 +46,80 @@ def load_pre_existing_vocabulary(path: str, min_idx: int = 0,
     return vocab
 
 
+def _featurize_path(p: Dict[str, Any], wav_path: str, rng):
+    """Featurize one wav, with an optional npz cache (reference
+    ``cache_features`` + hdf5/npy cache, `speech_utils.py:42-90`).
+    Augmentation-bearing configs skip the cache (features change per
+    epoch). Module-level so featurizer processes can run it."""
+    if p.get("cache_features", False) and not p.get("augmentation"):
+        import hashlib
+        cache_dir = p.get("cache_format", "") or \
+            os.path.join(os.path.dirname(wav_path), ".feature_cache")
+        # the key covers EVERY featurization-affecting param —
+        # a stale cache must never survive a config change
+        def _stat(name):
+            v = p.get(name)
+            return (hashlib.md5(np.ascontiguousarray(v).tobytes())
+                    .hexdigest() if v is not None else "none")
+
+        key = hashlib.md5("|".join(str(x) for x in (
+            wav_path, p["input_type"], p["num_audio_features"],
+            p.get("window_stride", 10e-3),
+            p.get("window_size", 20e-3),
+            p.get("num_fft", None), p.get("window", "hanning"),
+            p.get("norm_per_feature", False), p.get("gain", None),
+            p.get("dither", 0.0), p.get("backend", "librosa"),
+            p.get("sample_freq", 16000),
+            _stat("features_mean"), _stat("features_std_dev"),
+        )).encode()).hexdigest()
+        cache_path = os.path.join(cache_dir, key + ".npz")
+        try:
+            if os.path.exists(cache_path) and \
+                    not p.get("cache_regenerate", False):
+                blob = np.load(cache_path)
+                return blob["features"], float(blob["duration"])
+        except Exception:
+            pass   # truncated/corrupt cache entry: recompute
+        features, duration = get_speech_features_from_file(
+            wav_path, p, rng=rng)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            # atomic write: a crash mid-save must not leave a
+            # poisoned entry behind
+            tmp = cache_path + ".tmp{}".format(os.getpid())
+            np.savez(tmp, features=features, duration=duration)
+            os.replace(tmp, cache_path)
+        except OSError:
+            pass          # read-only dataset dir: serve uncached
+        return features, duration
+    return get_speech_features_from_file(wav_path, p, rng=rng)
+
+
+# --- featurizer process pool ------------------------------------------------
+# The numpy featurizer is GIL-bound, so thread pools cannot scale it
+# past ~1 core (~110 utt/s measured) — below one v5e chip's ~130 utt/s
+# training consumption, i.e. real-corpus training would be host-bound.
+# ``use_process_pool: True`` featurizes in forked worker processes (the
+# TPU-native equivalent of tf.data's C++ num_parallel_calls), scaling
+# with host cores (TPU-VM hosts have >100). Workers receive the params
+# dict once at fork; per-example RNG seeds keep results identical to
+# the serial path.
+_POOL_PARAMS: Dict[str, Any] = {}
+
+
+def _pool_init(params):
+    _POOL_PARAMS.update(params)
+
+
+def _pool_featurize(task):
+    wav_path, seed = task
+    rng = np.random.RandomState(seed) if seed is not None else None
+    try:
+        return ("ok",) + _featurize_path(_POOL_PARAMS, wav_path, rng)
+    except (OSError, ValueError) as e:
+        return ("error", str(e), None)
+
+
 class Speech2TextDataLayer(DataLayer):
     """CSV-driven ASR data layer producing (features, length, labels,
     label_length) batches."""
@@ -85,6 +159,7 @@ class Speech2TextDataLayer(DataLayer):
             "max_batch_pad_time": int,
             "sort_by_duration": bool,
             "map_parallel_calls": int,
+            "use_process_pool": bool,
             "featurize_on_device": bool,
         })
 
@@ -195,55 +270,8 @@ class Speech2TextDataLayer(DataLayer):
 
     # ------------------------------------------------------------------
     def _featurize(self, wav_path: str, rng=None):
-        """Featurize, with an optional npz cache (reference
-        ``cache_features`` + hdf5/npy cache, `speech_utils.py:42-90`).
-        Augmentation-bearing configs skip the cache (features change
-        per epoch)."""
-        p = self.params
-        if p.get("cache_features", False) and not p.get("augmentation"):
-            import hashlib
-            cache_dir = p.get("cache_format", "") or \
-                os.path.join(os.path.dirname(wav_path), ".feature_cache")
-            # the key covers EVERY featurization-affecting param —
-            # a stale cache must never survive a config change
-            def _stat(name):
-                v = p.get(name)
-                return (hashlib.md5(np.ascontiguousarray(v).tobytes())
-                        .hexdigest() if v is not None else "none")
-
-            key = hashlib.md5("|".join(str(x) for x in (
-                wav_path, p["input_type"], p["num_audio_features"],
-                p.get("window_stride", 10e-3),
-                p.get("window_size", 20e-3),
-                p.get("num_fft", None), p.get("window", "hanning"),
-                p.get("norm_per_feature", False), p.get("gain", None),
-                p.get("dither", 0.0), p.get("backend", "librosa"),
-                p.get("sample_freq", 16000),
-                _stat("features_mean"), _stat("features_std_dev"),
-            )).encode()).hexdigest()
-            cache_path = os.path.join(cache_dir, key + ".npz")
-            try:
-                if os.path.exists(cache_path) and \
-                        not p.get("cache_regenerate", False):
-                    blob = np.load(cache_path)
-                    return blob["features"], float(blob["duration"])
-            except Exception:
-                pass   # truncated/corrupt cache entry: recompute
-            features, duration = get_speech_features_from_file(
-                wav_path, p, rng=rng if rng is not None else self._rng)
-            try:
-                os.makedirs(cache_dir, exist_ok=True)
-                # atomic write: a crash mid-save must not leave a
-                # poisoned entry behind
-                tmp = cache_path + ".tmp{}".format(os.getpid())
-                np.savez(tmp, features=features, duration=duration)
-                os.replace(tmp, cache_path)
-            except OSError:
-                pass          # read-only dataset dir: serve uncached
-            return features, duration
-        return get_speech_features_from_file(
-            wav_path, self.params,
-            rng=rng if rng is not None else self._rng)
+        return _featurize_path(self.params, wav_path,
+                               rng if rng is not None else self._rng)
 
     def _load_audio(self, wav_path: str):
         """Raw-audio path for ``featurize_on_device``: returns the float
@@ -284,32 +312,17 @@ class Speech2TextDataLayer(DataLayer):
         # (`docs/speech-commands.rst:28`)
         workers = max(int(p.get("map_parallel_calls", 4)), 1)
         randomized = bool(p.get("augmentation")) or p.get("dither", 0) > 0
-        from concurrent.futures import ThreadPoolExecutor
-
         on_device = p.get("featurize_on_device", False)
         self._epoch_counter += 1
 
-        def load(global_idx):
-            row = self._files[global_idx]
-            # augmentation draws come from a per-example RNG seeded by
-            # (seed, epoch, index) — thread-safe AND order-deterministic,
-            # unlike the shared-RNG design this replaces (which forced
-            # workers=1 whenever augmentation/dither was on, i.e. on the
-            # flagship training recipes — the exact configs that need
-            # pipeline throughput most)
-            rng = self.example_rng(global_idx) if randomized else None
-            try:
-                if on_device:
-                    features, duration = self._load_audio(row[0])
-                else:
-                    features, duration = self._featurize(row[0], rng=rng)
-            except (OSError, ValueError) as e:
-                return ("error", global_idx, e)
-            return ("ok", global_idx, features, duration, row)
-
-        examples: List[Dict[str, Any]] = []
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            for result in pool.map(load, order, chunksize=4):
+        # augmentation draws come from a per-example RNG seeded by
+        # (seed, epoch, index) — thread/process-safe AND
+        # order-deterministic, unlike a shared RNG (which would force a
+        # single-threaded pipeline on the flagship augmented recipes —
+        # the exact configs that need host throughput most)
+        def handle(result_iter):
+            examples: List[Dict[str, Any]] = []
+            for result in result_iter:
                 if result[0] == "error":
                     if p["mode"] == "train":
                         continue
@@ -327,8 +340,57 @@ class Speech2TextDataLayer(DataLayer):
                 if len(examples) == batch_size:
                     yield self._collate(examples)
                     examples = []
-        if examples:
-            yield self._collate(examples, pad_batch_to=batch_size)
+            if examples:
+                yield self._collate(examples, pad_batch_to=batch_size)
+
+        if p.get("use_process_pool", False) and not on_device:
+            # true parallelism: the numpy featurizer holds the GIL, so
+            # threads give no speedup — fork worker processes instead
+            # (the tf.data num_parallel_calls equivalent)
+            def proc_results():
+                import multiprocessing as mp
+                import pickle
+                safe = {}
+                for k, v in p.items():
+                    try:
+                        pickle.dumps(v)
+                        safe[k] = v
+                    except Exception:
+                        pass   # featurization never needs these
+                ctx = mp.get_context("fork")
+                with ctx.Pool(workers, initializer=_pool_init,
+                              initargs=(safe,)) as pool:
+                    tasks = [(self._files[i][0],
+                              self.example_seed(i) if randomized else None)
+                             for i in order]
+                    for gi, res in zip(
+                            order, pool.imap(_pool_featurize, tasks,
+                                             chunksize=4)):
+                        if res[0] == "error":
+                            yield ("error", gi, ValueError(res[1]))
+                        else:
+                            yield ("ok", gi, res[1], res[2],
+                                   self._files[gi])
+
+            yield from handle(proc_results())
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(global_idx):
+            row = self._files[global_idx]
+            rng = self.example_rng(global_idx) if randomized else None
+            try:
+                if on_device:
+                    features, duration = self._load_audio(row[0])
+                else:
+                    features, duration = self._featurize(row[0], rng=rng)
+            except (OSError, ValueError) as e:
+                return ("error", global_idx, e)
+            return ("ok", global_idx, features, duration, row)
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            yield from handle(pool.map(load, order, chunksize=4))
 
     def _collate(self, examples: List[Dict[str, Any]],
                  pad_batch_to: Optional[int] = None) -> Dict[str, Any]:

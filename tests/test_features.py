@@ -134,3 +134,33 @@ def test_parallel_augmented_featurization_deterministic(toy_speech_data):
     for x, y in zip(b1, b8):
         np.testing.assert_array_equal(x["source_tensors"][0],
                                       y["source_tensors"][0])
+
+
+def test_process_pool_featurization_matches_threads(toy_speech_data):
+    """use_process_pool=True (forked featurizer workers — the numpy
+    featurizer is GIL-bound so threads cannot scale it) must produce
+    exactly the thread-path batches."""
+    from openseq2seq_tpu.data.speech2text import Speech2TextDataLayer
+
+    def batches(use_pool):
+        dl = Speech2TextDataLayer({
+            "mode": "train", "batch_size": 4, "shuffle": False,
+            "num_audio_features": 24, "input_type": "logfbank",
+            "vocab_file": toy_speech_data["vocab"],
+            "dataset_files": [toy_speech_data["csv"]],
+            "sample_freq": 16000, "dither": 1e-3,
+            "map_parallel_calls": 4,
+            "use_process_pool": use_pool,
+            "augmentation": {"n_freq_mask": 1, "n_time_mask": 1,
+                             "width_freq_mask": 4, "width_time_mask": 4},
+        }, model=None)
+        dl.seed(7)
+        return list(dl.iterate_one_epoch())
+
+    bt, bp = batches(False), batches(True)
+    assert len(bt) == len(bp) > 0
+    for x, y in zip(bt, bp):
+        np.testing.assert_array_equal(x["source_tensors"][0],
+                                      y["source_tensors"][0])
+        np.testing.assert_array_equal(x["target_tensors"][0],
+                                      y["target_tensors"][0])
