@@ -102,6 +102,8 @@ class Model(abc.ABC):
             "profile_dir": str,           # jax.profiler trace output
             "use_xla_jit": bool,          # accepted for config parity;
                                           # everything is jitted anyway
+            "async_checkpoint": bool,     # overlap ckpt disk writes with
+                                          # training (orbax async)
             "remat": None,                # activation rematerialization:
                                           # True (whole forward) or
                                           # "blocks" (save only tagged

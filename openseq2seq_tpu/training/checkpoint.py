@@ -31,16 +31,30 @@ def _tree_to_numpy(tree):
 
 class CheckpointManager:
 
-    def __init__(self, logdir: str, num_checkpoints: int = 5):
+    def __init__(self, logdir: str, num_checkpoints: int = 5,
+                 use_async: bool = False):
         self.logdir = logdir
         self.num_checkpoints = num_checkpoints
         self.ckpt_dir = os.path.join(logdir, "checkpoints")
         self.best_dir = os.path.join(logdir, "best_models")
         os.makedirs(self.ckpt_dir, exist_ok=True)
-        self._checkpointer = ocp.PyTreeCheckpointer()
+        self._async = bool(use_async)
+        if self._async:
+            # disk writes overlap the next training steps; the host
+            # snapshot is taken synchronously so the donated state can
+            # keep mutating (async_checkpoint config key)
+            self._checkpointer = ocp.AsyncCheckpointer(
+                ocp.PyTreeCheckpointHandler())
+        else:
+            self._checkpointer = ocp.PyTreeCheckpointer()
         # best eval loss persists across restarts (improves on the
         # reference, which reset it in memory every run)
         self._best_loss = self._read_best_loss()
+
+    def wait_until_finished(self):
+        """Block until any in-flight async save has committed."""
+        if self._async:
+            self._checkpointer.wait_until_finished()
 
     def _best_loss_path(self) -> str:
         return os.path.join(self.best_dir, "best_loss.txt")
@@ -95,6 +109,7 @@ class CheckpointManager:
         tree = self._state_tree(state, step)  # all processes (collectives)
         path = os.path.join(self.best_dir, str(step))
         os.makedirs(self.best_dir, exist_ok=True)
+        self.wait_until_finished()   # never rmtree an in-flight save
         if collective.is_master():
             # keep a single best checkpoint
             for name in os.listdir(self.best_dir):

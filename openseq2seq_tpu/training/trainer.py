@@ -78,7 +78,8 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
     ckpt_mgr = None
     if logdir and params.get("save_checkpoint_steps") is not None:
         ckpt_mgr = CheckpointManager(
-            logdir, params.get("num_checkpoints", 5))
+            logdir, params.get("num_checkpoints", 5),
+            use_async=params.get("async_checkpoint", False))
 
     state = restore_state(train_model, checkpoint)
     start_step = int(state.step)
@@ -224,6 +225,7 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
 
     if ckpt_mgr:
         ckpt_mgr.save(state, step)
+        ckpt_mgr.wait_until_finished()   # commit in-flight async saves
     deco_print("Finished training at step {}".format(step))
     result = {"state": state, "steps": step}
     if fetch_metrics is not None:

@@ -245,3 +245,24 @@ def test_bf16_novograd_moments_track_fp32(toy_speech_data):
         upd = np.linalg.norm(a - np.asarray(f0[k]))
         dev = np.linalg.norm(a - b)
         assert dev <= 0.02 * upd + 1e-8, (k, dev, upd)
+
+
+def test_async_checkpoint_roundtrip(toy_speech_data, tmp_path):
+    """async_checkpoint=True overlaps the disk write with training; the
+    committed checkpoint must restore exactly like the sync path."""
+    logdir = str(tmp_path / "async_ckpt")
+    m = _model(toy_speech_data, logdir=logdir, num_epochs=5,
+               overrides={"async_checkpoint": True})
+    m._params["save_checkpoint_steps"] = 5
+    result = trainer.train(m)
+    ckpt = os.path.join(logdir, "checkpoints", "5")
+    assert os.path.isdir(ckpt)
+    m2 = _model(toy_speech_data, logdir=logdir, num_epochs=5)
+    state2 = trainer.restore_state(m2, checkpoint=ckpt)
+    assert int(state2.step) == 5
+    import flax
+    trained = flax.traverse_util.flatten_dict(result["state"].params)
+    restored = flax.traverse_util.flatten_dict(state2.params)
+    for k in trained:
+        np.testing.assert_array_equal(np.asarray(trained[k]),
+                                      np.asarray(restored[k]))
