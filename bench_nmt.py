@@ -47,6 +47,11 @@ def main():
     n_chips = len(jax.devices())
     # bs sweepable for tuning runs: BENCH_NMT_BS=128 python bench_nmt.py
     batch_per_chip = int(os.environ.get("BENCH_NMT_BS", "64"))
+    # Fused flash attention is OPT-IN: measured on v5e at these shapes
+    # (T<=512, bf16) the jax-shipped Pallas kernel is ~2x slower
+    # fwd+bwd than XLA's fused plain attention — its win is O(T) memory
+    # (no (B,H,T,T) scores), which only pays at long sequence lengths.
+    FLASH = os.environ.get("BENCH_NMT_FLASH", "0") == "1"
     seq_len = 64
     d_model = 1024
 
@@ -73,6 +78,7 @@ def main():
             "relu_dropout": 0.3,
             "layer_postprocess_dropout": 0.3,
             "remove_padding": True,
+            "use_flash_attention": FLASH,
         },
         "decoder": TransformerDecoder,
         "decoder_params": {
@@ -88,6 +94,7 @@ def main():
             "beam_size": 4,
             "alpha": 0.6,
             "extra_decode_length": 50,
+            "use_flash_attention": FLASH,
         },
         "loss": PaddedCrossEntropyLossWithSmoothing,
         "loss_params": {"label_smoothing": 0.1},

@@ -48,16 +48,22 @@ class TransformerDecoderModule(nn.Module):
     dtype_: Any
     mode: str
     norm_params: Any = None
+    use_flash: bool = False      # fused Pallas attention kernel (TPU)
 
     def setup(self):
         L = self.num_hidden_layers
+        # the flash self-attention path replaces the triangular bias
+        # with the kernel's causal mask; the plain fallback (and the
+        # cached incremental-decode path) still consume the bias
         self.self_attns = [SelfAttention(
             hidden_size=self.hidden_size, num_heads=self.num_heads,
-            attention_dropout=self.attention_dropout, dtype=self.dtype_)
+            attention_dropout=self.attention_dropout, dtype=self.dtype_,
+            use_flash=self.use_flash, causal=True)
             for _ in range(L)]
         self.cross_attns = [CrossAttention(
             hidden_size=self.hidden_size, num_heads=self.num_heads,
-            attention_dropout=self.attention_dropout, dtype=self.dtype_)
+            attention_dropout=self.attention_dropout, dtype=self.dtype_,
+            use_flash=self.use_flash)
             for _ in range(L)]
         self.ffns = [FeedForwardNetwork(
             hidden_size=self.hidden_size, filter_size=self.filter_size,
@@ -216,6 +222,7 @@ class TransformerDecoder(Decoder):
             "PAD_SYMBOL": int,
             "END_SYMBOL": int,
             "norm_params": dict,
+            "use_flash_attention": bool,
         })
 
     def make_module(self):
@@ -239,4 +246,5 @@ class TransformerDecoder(Decoder):
             go_symbol=p.get("GO_SYMBOL", 2),
             dtype_=dtype,
             mode=self._mode,
-            norm_params=p.get("norm_params"))
+            norm_params=p.get("norm_params"),
+            use_flash=p.get("use_flash_attention", False))

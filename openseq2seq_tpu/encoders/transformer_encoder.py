@@ -38,6 +38,7 @@ class TransformerEncoderModule(nn.Module):
     moe_num_experts: int = 0     # >0: switch-MoE FFNs (expert
                                  # parallelism over the model axis)
     moe_loss_weight: float = 0.01
+    use_flash: bool = False      # fused Pallas attention kernel (TPU)
     norm_params: Any = None      # {"type": "batch_norm", ...} selects
                                  # the Transformer_BatchNorm variant
     sp_mesh: Any = None     # sequence parallelism: shard the residual
@@ -66,7 +67,8 @@ class TransformerEncoderModule(nn.Module):
             dtype=self.dtype_)
         self.self_attns = [SelfAttention(
             hidden_size=self.hidden_size, num_heads=self.num_heads,
-            attention_dropout=self.attention_dropout, dtype=self.dtype_)
+            attention_dropout=self.attention_dropout, dtype=self.dtype_,
+            use_flash=self.use_flash)
             for _ in range(self.encoder_layers)]
         if self.moe_num_experts > 0:
             self.ffns = [MoEFeedForward(
@@ -150,6 +152,7 @@ class TransformerEncoder(Encoder):
             "sequence_parallel": bool,
             "moe_num_experts": int,
             "moe_loss_weight": float,
+            "use_flash_attention": bool,
         })
 
     def make_module(self):
@@ -167,6 +170,7 @@ class TransformerEncoder(Encoder):
             dtype_=self.compute_dtype,
             moe_num_experts=p.get("moe_num_experts", 0),
             moe_loss_weight=p.get("moe_loss_weight", 0.01),
+            use_flash=p.get("use_flash_attention", False),
             norm_params=p.get("norm_params"),
             sp_mesh=(self._model.mesh
                      if (p.get("sequence_parallel", False) and

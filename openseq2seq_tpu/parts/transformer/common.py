@@ -84,9 +84,13 @@ class SharedEmbedding(nn.Module):
         return emb
 
     def linear(self, x):
-        """Output projection with the transposed table -> (..., V)."""
+        """Output projection with the transposed table -> fp32 (..., V).
+        Inputs stay in the compute dtype (bf16 under "mixed" — the MXU
+        runs bf16 x bf16 -> fp32-accumulate at ~4x its fp32 rate); only
+        the accumulator/output is fp32 for softmax stability."""
         table = self.embedding.astype(self.dtype)
-        logits = jnp.einsum("...d,vd->...v", x, table)
+        logits = jnp.einsum("...d,vd->...v", x.astype(self.dtype), table,
+                            preferred_element_type=jnp.float32)
         return logits[..., :self.vocab_size]
 
     def table(self):
@@ -102,9 +106,11 @@ def embed_ids(table, ids, hidden_size, dtype):
 
 
 def project_logits(table, x, vocab_size):
-    """x (..., d) @ table.T -> fp32 logits (..., V)."""
-    logits = jnp.einsum("...d,vd->...v", x.astype(jnp.float32),
-                        table.astype(jnp.float32))
+    """x (..., d) @ table.T -> fp32 logits (..., V). The matmul runs in
+    x's compute dtype (bf16 under "mixed": ~4x the fp32 MXU rate) with
+    an fp32 accumulator — only the output is fp32, for the softmax."""
+    logits = jnp.einsum("...d,vd->...v", x, table.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
     return logits[..., :vocab_size]
 
 
