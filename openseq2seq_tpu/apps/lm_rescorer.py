@@ -1,7 +1,11 @@
 """Neural LM rescoring of ASR n-best lists (reference
 `external_lm_rescore/` — a PyTorch Transformer-XL rescorer over dumped
-beams; here the rescorer is a framework-native LSTM LM, so the whole
-flow stays in one stack).
+beams; here the rescorer is a framework-native LM, so the whole flow
+stays in one stack). Works with any LM built on :class:`LSTMLM` — the
+scan-LSTM LM or the Transformer-XL encoder
+(`encoders/transformer_xl_encoder.py`, recipe
+`example_configs/lm/txl_wkt103.py`), matching the reference's TXL
+rescorer without the external PyTorch dependency.
 
 Final score per hypothesis:
     am_score + lm_weight * lm_logprob + word_bonus * num_words

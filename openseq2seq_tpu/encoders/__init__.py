@@ -14,3 +14,4 @@ from .wavenet_encoder import WavenetEncoder
 from .convs2s_encoder import ConvS2SEncoder
 from .las_encoder import ListenAttendSpellEncoder
 from .centaur_encoder import CentaurEncoder
+from .transformer_xl_encoder import TransformerXLEncoder
