@@ -105,6 +105,28 @@ def test_gnmt_reversal_convergence(toy_data):
     assert metrics["Eval BLEU"] > 80.0, metrics
 
 
+def test_weight_tied_skip_connections_step(toy_data):
+    """The en-de-gnmt-like-weight-tied recipe path: tied embedding /
+    output projection (reference `decoders/rnn_decoders.py` weight_tied)
+    plus residual skip connections in both stacks."""
+    import jax
+    cfg = _config(toy_data, GNMTLikeEncoderWithEmbedding, "gnmt_v2",
+                  weight_tied=True)
+    cfg["encoder_params"]["encoder_use_skip_connections"] = True
+    cfg["decoder_params"]["decoder_use_skip_connections"] = True
+    model = Text2Text(params=cfg, mode="train")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    # tied: no separate output-projection kernel over the vocab
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    names = ["/".join(str(k) for k in path) for path, _ in flat]
+    assert any("tied_proj" in n for n in names), names
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    _, metrics = jax.jit(model.train_step)(state, device_batch,
+                                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_scheduled_sampling_train_step(toy_data):
     import jax
     cfg = _config(toy_data, GNMTLikeEncoderWithEmbedding, "gnmt_v2",
