@@ -52,6 +52,9 @@ def main():
     # fwd+bwd than XLA's fused plain attention — its win is O(T) memory
     # (no (B,H,T,T) scores), which only pays at long sequence lengths.
     FLASH = os.environ.get("BENCH_NMT_FLASH", "0") == "1"
+    # diagnostic: BENCH_NMT_NODROP=1 zeroes all dropout rates to
+    # isolate PRNG/mask-generation cost from the matmul path
+    DROP = 0.0 if os.environ.get("BENCH_NMT_NODROP") == "1" else 1.0
     seq_len = 64
     d_model = 1024
 
@@ -73,10 +76,10 @@ def main():
             "encoder_layers": 6,
             "hidden_size": d_model,
             "num_heads": 16,
-            "attention_dropout": 0.1,
+            "attention_dropout": 0.1 * DROP,
             "filter_size": 4 * d_model,
-            "relu_dropout": 0.3,
-            "layer_postprocess_dropout": 0.3,
+            "relu_dropout": 0.3 * DROP,
+            "layer_postprocess_dropout": 0.3 * DROP,
             "remove_padding": True,
             "use_flash_attention": FLASH,
         },
@@ -84,12 +87,12 @@ def main():
         "decoder_params": {
             "EOS_ID": 1,
             "GO_SYMBOL": 2,
-            "layer_postprocess_dropout": 0.3,
+            "layer_postprocess_dropout": 0.3 * DROP,
             "num_hidden_layers": 6,
             "hidden_size": d_model,
             "num_heads": 16,
-            "attention_dropout": 0.1,
-            "relu_dropout": 0.3,
+            "attention_dropout": 0.1 * DROP,
+            "relu_dropout": 0.3 * DROP,
             "filter_size": 4 * d_model,
             "beam_size": 4,
             "alpha": 0.6,

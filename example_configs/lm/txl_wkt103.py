@@ -7,7 +7,10 @@ config, then hand the checkpoint to
 `scripts/decode.py`'s rescoring path) — same flow as the LSTM LM.
 
 Model shape follows the reference rescorer's base WT103 setting
-(16 layers, d_model 410, 10 heads, d_inner 2100, mem_len 160 at eval).
+(16 layers, d_model 410, 10 heads, d_inner 2100). Training and the
+rescorer score whole sequences mem-less (static shapes, one program);
+segment-streaming scoring with memory is available at the module level
+(`TransformerXLNet.__call__(..., mems=, mems_valid=)`).
 """
 import os
 
@@ -34,8 +37,10 @@ base_params = {
     "optimizer": "Adam",
     "optimizer_params": {"learning_rate": 2.5e-4},
     "lr_policy": "cosine_decay",
+    # cosine_decay's min_lr is a FRACTION of the base lr (tf alpha
+    # semantics, `optimizers/lr_policies.py`): 0.004 * 2.5e-4 = 1e-6
     "lr_policy_params": {"learning_rate": 2.5e-4, "warmup_steps": 4000,
-                         "decay_steps": 200000, "min_lr": 1e-6},
+                         "decay_steps": 200000, "min_lr": 0.004},
     "max_grad_norm": 0.25,
     "dtype": "mixed",
 

@@ -59,7 +59,6 @@ def rel_pos_embedding(klen: int, dim: int, dtype=jnp.float32):
 
 class RelMultiHeadAttention(nn.Module):
     """Relative multi-head attention with optional segment memory."""
-    hidden_size: int
     num_heads: int
     dropout: float
     dtype: Any = jnp.float32
@@ -102,8 +101,8 @@ class RelMultiHeadAttention(nn.Module):
         pos_score = jnp.einsum("bthd,khd->bhtk", q + w, r)  # k == distance
         dist = M + jnp.arange(T)[:, None] - jnp.arange(K)[None, :]
         gather = jnp.clip(dist, 0, K - 1)                   # (T, K) static
-        bd = jnp.take_along_axis(
-            pos_score, gather[None, None, :, :].repeat(H, 1), axis=3)
+        bd = jnp.take_along_axis(pos_score, gather[None, None, :, :],
+                                 axis=3)
         logits = (ac + bd).astype(jnp.float32) * scale
 
         causal = dist >= 0                                   # key <= query
@@ -134,7 +133,14 @@ class TransformerXLNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, lengths, train: bool,
-                 mems: Optional[Sequence[jnp.ndarray]] = None):
+                 mems: Optional[Sequence[jnp.ndarray]] = None,
+                 mems_valid: Optional[jnp.ndarray] = None):
+        """``mems`` is one (B, M, D) tensor per layer from the previous
+        segment's output dict; pass its ``mems_valid`` (B, M) alongside
+        so memory positions that were padding in the previous segment
+        stay masked (without it, memory is assumed fully valid — only
+        correct for full-length segments, e.g. continuous LM batching).
+        """
         B, T = x.shape
         D = self.hidden_size
         table = self.param(
@@ -144,14 +150,20 @@ class TransformerXLNet(nn.Module):
         h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
 
         M = 0 if mems is None else mems[0].shape[1]
-        # valid-key mask covering [mems | current]: memory positions are
-        # always valid (they were real frames of the previous segment);
-        # current positions beyond the sequence length are padding
         cur_valid = jnp.arange(T)[None, :] < lengths[:, None]
-        pad_mask = cur_valid if M == 0 else jnp.concatenate(
-            [jnp.ones((B, M), bool), cur_valid], axis=1)
+        if M == 0:
+            pad_mask = cur_valid
+        else:
+            mv = (jnp.ones((B, M), bool) if mems_valid is None
+                  else mems_valid.astype(bool))
+            pad_mask = jnp.concatenate([mv, cur_valid], axis=1)
 
         new_mems = []
+        new_mems_valid = None
+        if self.mem_len > 0:
+            # validity stream mirrors the hidden stream slicing below
+            vstream = cur_valid if M == 0 else pad_mask
+            new_mems_valid = vstream[:, -self.mem_len:]
         for i in range(self.num_layers):
             layer_mem = None if mems is None else mems[i]
             if self.mem_len > 0:
@@ -163,7 +175,7 @@ class TransformerXLNet(nn.Module):
                 new_mems.append(
                     jax.lax.stop_gradient(stream[:, -self.mem_len:]))
             attn = RelMultiHeadAttention(
-                hidden_size=D, num_heads=self.num_heads,
+                num_heads=self.num_heads,
                 dropout=self.attention_dropout, dtype=self.dtype_,
                 name=f"layer{i}_attn")(h, mems=layer_mem, train=train,
                                        pad_mask=pad_mask)
@@ -195,6 +207,7 @@ class TransformerXLNet(nn.Module):
                "logits": logits + bias}
         if self.mem_len > 0:
             out["mems"] = new_mems
+            out["mems_valid"] = new_mems_valid
         return out
 
 
@@ -243,7 +256,8 @@ class TransformerXLEncoder(Encoder):
             @nn.compact
             def __call__(self, input_dict: Dict[str, Any], train: bool):
                 x, lengths = input_dict["source_tensors"][:2]
-                mems = input_dict.get("mems")
-                return self.net(x, lengths, train, mems=mems)
+                return self.net(x, lengths, train,
+                                mems=input_dict.get("mems"),
+                                mems_valid=input_dict.get("mems_valid"))
 
         return TransformerXLModule(net=net)

@@ -59,7 +59,7 @@ def test_rel_attention_matches_naive_loop():
     B, T, D, H, M = 2, 5, 16, 4, 3
     x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
     mems = jnp.asarray(rng.randn(B, M, D), jnp.float32)
-    mod = RelMultiHeadAttention(hidden_size=D, num_heads=H, dropout=0.0)
+    mod = RelMultiHeadAttention(num_heads=H, dropout=0.0)
     variables = mod.init(jax.random.PRNGKey(0), x, mems=mems)
     got = mod.apply(variables, x, mems=mems)
     want = _naive_rel_attention(variables, np.asarray(x),
@@ -91,6 +91,39 @@ def test_segment_memory_matches_full_context():
     np.testing.assert_allclose(
         np.asarray(out2["logits"]),
         np.asarray(out_full["logits"][:, T1:]), atol=2e-3)
+
+
+def test_mems_valid_masks_padded_memory():
+    """Memory positions flagged invalid (padding in the previous
+    segment) must not influence the current segment: randomizing their
+    content leaves the logits unchanged."""
+    rng = np.random.RandomState(2)
+    V, T, B, M = 7, 4, 2, 4
+    net = TransformerXLNet(vocab_size=V, num_layers=2, hidden_size=16,
+                           num_heads=4, filter_size=32, dropout=0.0,
+                           attention_dropout=0.0, mem_len=M,
+                           dtype_=jnp.float32)
+    x = jnp.asarray(rng.randint(0, V, (B, T)))
+    lengths = jnp.full((B,), T)
+    variables = net.init(jax.random.PRNGKey(0), x, lengths, False)
+    mems = [jnp.asarray(rng.randn(B, M, 16), jnp.float32)
+            for _ in range(2)]
+    valid = jnp.asarray([[True, True, False, False],
+                         [True, True, True, False]])
+    out1 = net.apply(variables, x, lengths, False, mems=mems,
+                     mems_valid=valid)
+    trash = [m + jnp.where(valid[..., None], 0.0, 100.0) for m in mems]
+    out2 = net.apply(variables, x, lengths, False, mems=trash,
+                     mems_valid=valid)
+    np.testing.assert_allclose(np.asarray(out1["logits"]),
+                               np.asarray(out2["logits"]), atol=1e-5)
+    # ...and flipping a VALID position must change them
+    trash2 = [m + 1.0 for m in mems]
+    assert not np.allclose(np.asarray(out1["logits"]),
+                           np.asarray(net.apply(
+                               variables, x, lengths, False,
+                               mems=trash2,
+                               mems_valid=valid)["logits"]))
 
 
 def _txl_config(data_root, tmpdir, num_epochs=2):
