@@ -65,6 +65,9 @@ def main():
     # bs192 remat="blocks" 101 utt/s, bs256 fails remote compile
     # (scripts/bench_sweep.py) — bs128 remains optimal on v5e.
     params["loss_params"] = {"use_pallas": True}
+    # dropout masks from the TPU RngBitGenerator (see bench_nmt.py /
+    # trainer.make_base_rng; threefry mask generation is pure-VPU work)
+    params["prng_impl"] = "rbg"
     model = Speech2Text(params=params, mode="train", mesh=mesh)
     dl = model.get_data_layer()
     batch = next(iter(dl.iterate_one_epoch()))
@@ -72,7 +75,7 @@ def main():
     state = jax.device_put(state, replicated_sharding(mesh))
     device_batch = shard_batch(batch, mesh)
     step_fn = jax.jit(model.train_step, donate_argnums=(0,))
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl="rbg")
 
     # warmup / compile (fetch a scalar: on experimental remote backends
     # block_until_ready may not actually block, a device_get must)

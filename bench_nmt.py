@@ -59,9 +59,14 @@ def main():
     d_model = 1024
 
     mesh = make_mesh(num_data=n_chips, num_model=1)
+    # rbg: dropout masks from the TPU-accelerated RngBitGenerator
+    # instead of threefry (measured 88.7k -> 152.5k tokens/s/chip with
+    # dropout off entirely — mask generation dominates under threefry)
+    prng_impl = os.environ.get("BENCH_NMT_PRNG", "rbg")
     params = {
         "random_seed": 0,
         "max_steps": 1000000,
+        "prng_impl": prng_impl,
         "batch_size_per_gpu": batch_per_chip,
         "print_loss_steps": None,
         "optimizer": "NovoGrad",
@@ -118,7 +123,8 @@ def main():
     state = jax.device_put(state, replicated_sharding(mesh))
     device_batch = shard_batch(batch, mesh)
     step_fn = jax.jit(model.train_step, donate_argnums=(0,))
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl=prng_impl) if prng_impl \
+        else jax.random.PRNGKey(0)
 
     for _ in range(3):
         state, metrics = step_fn(state, device_batch, rng)

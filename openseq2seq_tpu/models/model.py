@@ -108,6 +108,13 @@ class Model(abc.ABC):
                                           # True (whole forward) or
                                           # "blocks" (save only tagged
                                           # block-boundary activations)
+            "prng_impl": str,             # dropout RNG: None/"threefry2x32"
+                                          # (reproducible default) or
+                                          # "rbg" (TPU-accelerated
+                                          # RngBitGenerator; dropout mask
+                                          # generation is ~40% of a
+                                          # transformer-big step under
+                                          # threefry)
         }
 
     def __init__(self, params: Dict[str, Any], mode: str = "train",

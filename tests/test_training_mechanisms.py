@@ -247,6 +247,29 @@ def test_bf16_novograd_moments_track_fp32(toy_speech_data):
         assert dev <= 0.02 * upd + 1e-8, (k, dev, upd)
 
 
+def test_prng_impl_rbg_trains(toy_speech_data):
+    """prng_impl='rbg' routes dropout masks through XLA's
+    RngBitGenerator (TPU-accelerated; threefry mask generation measured
+    ~40% of a transformer-big step). The trainer key plumbing and a
+    jitted step must work with typed rbg keys."""
+    model = _model(toy_speech_data, num_epochs=1,
+                   overrides={"prng_impl": "rbg",
+                              "encoder_params":
+                                  {"dropout_keep_prob": 0.5}})
+    base = trainer.make_base_rng(model.params)
+    assert str(jax.random.key_impl(base)) == "rbg"
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    db = jax.tree_util.tree_map(np.asarray, batch)
+    rng = jax.random.fold_in(base, 7)
+    new_state, metrics = jax.jit(model.train_step)(state, db, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    # dropout must actually differ across steps under rbg keys
+    rng2 = jax.random.fold_in(base, 8)
+    _, metrics2 = jax.jit(model.train_step)(state, db, rng2)
+    assert float(metrics["loss"]) != float(metrics2["loss"])
+
+
 def test_async_checkpoint_roundtrip(toy_speech_data, tmp_path):
     """async_checkpoint=True overlaps the disk write with training; the
     committed checkpoint must restore exactly like the sync path."""
