@@ -14,10 +14,10 @@ north-star target is >= 1.5.
 Setup mirrors the reference recipe (`example_configs/speech2text/
 jasper10x5_LibriSpeech_nvgrad_masks.py`; we use bs 128/chip —
 larger batches tile the MXU better and the v5e has the HBM for it:
-measured 89.2 (bs32) -> 92.7 (bs64) -> 96.2 (bs128) utt/s/chip): 64
-logfbank
-features, bf16 ("mixed"), NovoGrad + LARC. Input: synthetic ~10s
-utterances (T=1000 frames @10ms) — pure step time, no host IO.
+measured 89.2 (bs32) -> 92.7 (bs64) -> 96.2 (bs128) utt/s/chip,
+then 132 with the fused Pallas CTC + chunked backward, 164.7 with rbg
+dropout keys at MFU 0.825): 64 logfbank features, bf16 ("mixed"),
+NovoGrad + LARC. Input: synthetic ~10s utterances (T=1000 frames @10ms) — pure step time, no host IO.
 """
 from __future__ import annotations
 

@@ -44,6 +44,7 @@ def run_one(batch_per_chip: int, remat, moments_dtype, n_steps: int = 12,
         max_steps=1000000,
     )
     params["loss_params"] = {"use_pallas": True}
+    params["prng_impl"] = "rbg"      # match bench.py's shipping config
     if remat:
         params["remat"] = remat
     if moments_dtype:
@@ -55,7 +56,7 @@ def run_one(batch_per_chip: int, remat, moments_dtype, n_steps: int = 12,
     state = jax.device_put(state, replicated_sharding(mesh))
     device_batch = shard_batch(batch, mesh)
     step_fn = jax.jit(model.train_step, donate_argnums=(0,))
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl="rbg")
 
     for _ in range(3):
         state, metrics = step_fn(state, device_batch, rng)
