@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark: transformer-big beam-search inference throughput.
+
+Serving-side companion to bench_nmt.py: times the jitted infer step
+(cached incremental beam search, beam 4, alpha 0.6 — the reference's
+`sequence_beam_search` configuration) at transformer-big shapes and
+prints one JSON line with sentences/s/chip and per-batch latency.
+
+Usage: [BENCH_BS=64] python scripts/bench_nmt_decode.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import numpy as np
+    from openseq2seq_tpu.data.synthetic import SyntheticTextDataLayer
+    from openseq2seq_tpu.decoders import TransformerDecoder
+    from openseq2seq_tpu.encoders import TransformerEncoder
+    from openseq2seq_tpu.losses import PaddedCrossEntropyLossWithSmoothing
+    from openseq2seq_tpu.models import Text2Text
+    from openseq2seq_tpu.parallel.mesh import (make_mesh,
+                                               replicated_sharding,
+                                               shard_batch)
+
+    n_chips = len(jax.devices())
+    bs = int(os.environ.get("BENCH_BS", "64"))
+    seq_len = 64
+    d_model = 1024
+
+    mesh = make_mesh(num_data=n_chips, num_model=1)
+    params = {
+        "random_seed": 0,
+        "max_steps": 1,
+        "batch_size_per_gpu": bs,
+        "print_loss_steps": None,
+        "optimizer": "Adam",
+        "optimizer_params": {"learning_rate": 1e-4},
+        "dtype": "mixed",
+        "encoder": TransformerEncoder,
+        "encoder_params": {
+            "encoder_layers": 6, "hidden_size": d_model,
+            "num_heads": 16, "attention_dropout": 0.0,
+            "filter_size": 4 * d_model, "relu_dropout": 0.0,
+            "layer_postprocess_dropout": 0.0, "remove_padding": True,
+        },
+        "decoder": TransformerDecoder,
+        "decoder_params": {
+            "EOS_ID": 1, "GO_SYMBOL": 2,
+            "layer_postprocess_dropout": 0.0,
+            "num_hidden_layers": 6, "hidden_size": d_model,
+            "num_heads": 16, "attention_dropout": 0.0,
+            "relu_dropout": 0.0, "filter_size": 4 * d_model,
+            "beam_size": 4, "alpha": 0.6, "extra_decode_length": 50,
+        },
+        "loss": PaddedCrossEntropyLossWithSmoothing,
+        "loss_params": {"label_smoothing": 0.1},
+        "data_layer": SyntheticTextDataLayer,
+        "data_layer_params": {
+            "src_vocab_size": 32768, "tgt_vocab_size": 32768,
+            "src_length": seq_len, "tgt_length": seq_len,
+            "num_batches": 2,
+        },
+    }
+    model = Text2Text(params=params, mode="infer", mesh=mesh)
+    dl = model.get_data_layer()
+    batch = next(iter(dl.iterate_one_epoch()))
+    state = model.init_state(batch)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    device_batch = shard_batch(batch, mesh)
+    step = jax.jit(model.eval_step)
+
+    out = step(state, device_batch)
+    np.asarray(jax.tree.leaves(jax.device_get(out))[0])  # force
+
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        out = step(state, device_batch)
+    jax.device_get(jax.tree.leaves(out)[0])
+    wall = time.time() - t0
+
+    sent_per_sec_chip = n * bs * n_chips / wall / n_chips
+    print(json.dumps({
+        "metric": "transformer_big_beam4_infer_sentences_per_sec_per_chip",
+        "value": round(sent_per_sec_chip, 2),
+        "unit": "sentences/s/chip",
+        "batch_latency_ms": round(wall / n * 1e3, 1),
+        "beam_size": 4,
+        "decode_len": seq_len + 50,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
