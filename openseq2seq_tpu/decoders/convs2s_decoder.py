@@ -151,6 +151,10 @@ class ConvS2SDecoderModule(nn.Module):
             max_len = S + self.extra_decode_length
             init_cache = {
                 "ids": jnp.full((B, max_len), self.go_symbol, jnp.int32),
+            }
+            # beam-invariant encoder tensors: tiled once by
+            # beam_search, never re-gathered per step
+            static_cache = {
                 "enc_keys": enc_keys,
                 "enc_values": enc_values,
                 "enc_mask": enc_mask,
@@ -169,7 +173,8 @@ class ConvS2SDecoderModule(nn.Module):
 
             if self.is_initializing():
                 symbols_to_logits_fn(
-                    jnp.zeros((B, 1), jnp.int32), 0, init_cache)
+                    jnp.zeros((B, 1), jnp.int32), 0,
+                    {**init_cache, **static_cache})
                 zeros = jnp.zeros((B, max_len), jnp.int32)
                 out.setdefault("outputs",
                                [zeros, jnp.zeros((B,), jnp.int32)])
@@ -180,7 +185,8 @@ class ConvS2SDecoderModule(nn.Module):
                 beam_size=self.beam_size,
                 vocab_size=self.tgt_vocab_size,
                 max_decode_length=max_len, eos_id=self.end_symbol,
-                alpha=self.alpha, bos_id=self.go_symbol)
+                alpha=self.alpha, bos_id=self.go_symbol,
+                static_cache=static_cache)
             top = decoded[:, 0, 1:]
             lengths = sequence_lengths_from_ids(top, self.end_symbol)
             out["outputs"] = [top, lengths]

@@ -229,8 +229,10 @@ class RNNAttnDecoderModule(nn.Module):
             "h": [s[0] for s in init_states],
             "c": [s[1] for s in init_states],
             "ctx": init_ctx,
-            # encoder-side tensors ride the cache so beam_search
-            # replicates them per beam and gathers consistently
+        }
+        # encoder-side tensors are beam-invariant: beam_search tiles
+        # them once and keeps them out of the per-step beam gathers
+        static_cache = {
             "memory": memory,
             "keys": keys,
             "mem_mask": mem_mask,
@@ -250,7 +252,7 @@ class RNNAttnDecoderModule(nn.Module):
 
         if self.is_initializing():
             symbols_to_logits_fn(jnp.zeros((B, 1), jnp.int32), 0,
-                                 init_cache)
+                                 {**init_cache, **static_cache})
             zeros = jnp.zeros((B, max_len), jnp.int32)
             return {"outputs": [zeros, jnp.zeros((B,), jnp.int32)]}
 
@@ -258,7 +260,8 @@ class RNNAttnDecoderModule(nn.Module):
             symbols_to_logits_fn, init_cache, batch_size=B,
             beam_size=self.beam_width, vocab_size=self.tgt_vocab_size,
             max_decode_length=max_len, eos_id=self.end_symbol,
-            alpha=self.length_penalty, bos_id=self.go_symbol)
+            alpha=self.length_penalty, bos_id=self.go_symbol,
+            static_cache=static_cache)
         top = decoded[:, 0, 1:]
         lengths = sequence_lengths_from_ids(top, self.end_symbol)
         return {"outputs": [top, lengths], "scores": scores[:, 0]}

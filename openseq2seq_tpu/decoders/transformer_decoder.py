@@ -147,6 +147,12 @@ class TransformerDecoderModule(nn.Module):
             "self": [{"k": jnp.zeros((B, max_len, h, dh), self.dtype_),
                       "v": jnp.zeros((B, max_len, h, dh), self.dtype_)}
                      for _ in range(self.num_hidden_layers)],
+        }
+        # beam-invariant: cross-attention KV over the encoder memory and
+        # the encoder padding bias never change with beam reordering —
+        # kept OUT of the gathered loop carry (they alone are ~400 MB at
+        # transformer-big bs64, re-gathered twice per step before)
+        static_cache = {
             "cross": [self.cross_attns[i].precompute_kv(memory)
                       for i in range(self.num_hidden_layers)],
             "enc_bias": enc_bias,
@@ -173,7 +179,7 @@ class TransformerDecoderModule(nn.Module):
             # during init, run ONE eager decoder step to materialize all
             # params — flax cannot create params inside lax.while_loop
             dummy = jnp.zeros((B, 1), jnp.int32)
-            symbols_to_logits_fn(dummy, 0, init_cache)
+            symbols_to_logits_fn(dummy, 0, {**init_cache, **static_cache})
             zeros = jnp.zeros((B, max_len), jnp.int32)
             return {"outputs": [zeros, jnp.zeros((B,), jnp.int32)],
                     "scores": jnp.zeros((B,), jnp.float32),
@@ -185,7 +191,8 @@ class TransformerDecoderModule(nn.Module):
             batch_size=B, beam_size=self.beam_size,
             vocab_size=self.tgt_vocab_size,
             max_decode_length=max_len, eos_id=self.eos_id,
-            alpha=self.alpha, bos_id=self.go_symbol)
+            alpha=self.alpha, bos_id=self.go_symbol,
+            static_cache=static_cache)
 
         top = decoded[:, 0, 1:]                       # strip BOS
         lengths = sequence_lengths_from_ids(top, self.eos_id)

@@ -14,10 +14,25 @@ pure function around ``lax.while_loop``:
 
 ``symbols_to_logits_fn(ids, pos, cache) -> (logits, new_cache)`` runs
 one decoder step on flattened (B*K, 1) ids.
+
+TPU memory-traffic design (the per-step cost is HBM bandwidth on the
+KV cache, not FLOPs):
+
+  * beam-INVARIANT tensors (encoder memory, cross-attention KV,
+    padding masks) go in ``static_cache`` — they are broadcast to
+    (B*K, ...) once, merged into the dict ``symbols_to_logits_fn``
+    sees, and never re-gathered in the loop (gathering them is a
+    semantic no-op: every beam holds an identical copy);
+  * the dynamic cache is gathered ONCE per step with composed
+    alive-beam indices (grow-2K then select-K is done on indices, not
+    by materializing a 2K-wide cache);
+  * the top-2K search runs per-beam over V first, then over the K*2K
+    survivors — mathematically exact (any global top-2K candidate is
+    in its own beam's top-2K) and avoids reshaping a (B, K*V) buffer.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,17 +70,32 @@ def beam_search(symbols_to_logits_fn: Callable,
                 max_decode_length: int,
                 eos_id: int,
                 alpha: float = 0.6,
-                bos_id: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                bos_id: int = 0,
+                static_cache: Optional[dict] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (decoded_ids (B, K, T_max+1), scores (B, K)), best first.
 
     decoded_ids[:, :, 0] is ``bos_id``; tokens from position 1.
+
+    ``static_cache``: dict of beam-invariant (B, ...) tensors. They are
+    beam-tiled once and merged into the cache dict the step fn sees
+    (requires ``init_cache`` to be a dict); whatever the step fn
+    returns under those keys is dropped — they never enter the loop
+    carry or the per-step beam gathers.
     """
     B, K, V, T = batch_size, beam_size, vocab_size, max_decode_length
 
     # replicate the cache over K beams: leaves (B, ...) -> (B, K, ...)
-    cache = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[:, None], (B, K) + x.shape[1:]),
-        init_cache)
+    tile = lambda x: jnp.broadcast_to(  # noqa: E731
+        x[:, None], (B, K) + x.shape[1:])
+    cache = jax.tree_util.tree_map(tile, init_cache)
+    static_keys = ()
+    flat_static = {}
+    if static_cache:
+        static_keys = tuple(static_cache.keys())
+        # materialized (B*K, ...) once, outside the loop
+        flat_static = jax.tree_util.tree_map(
+            lambda x: _flatten_beam(tile(x)), dict(static_cache))
 
     seq = jnp.full((B, K, T + 1), bos_id, jnp.int32)
     # only beam 0 is alive at step 0 (others would duplicate it)
@@ -92,32 +122,43 @@ def beam_search(symbols_to_logits_fn: Callable,
         # ---- one decoder step on the current token of each alive beam
         ids = jax.lax.dynamic_slice_in_dim(seq, i, 1, axis=2)     # (B,K,1)
         flat_cache = jax.tree_util.tree_map(_flatten_beam, cache)
+        if static_keys:
+            flat_cache = {**flat_cache, **flat_static}
         logits, flat_new_cache = symbols_to_logits_fn(
             _flatten_beam(ids), i, flat_cache)                    # (B*K, V)
+        if static_keys:
+            flat_new_cache = {k: v for k, v in flat_new_cache.items()
+                              if k not in static_keys}
         new_cache = jax.tree_util.tree_map(
             lambda x: _unflatten_beam(x, B, K), flat_new_cache)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logp = _unflatten_beam(logp, B, K)                        # (B,K,V)
         cand_lp = logp + alive_lp[:, :, None]                     # (B,K,V)
 
-        # ---- grow alive: top 2K over K*V candidates
-        flat = cand_lp.reshape(B, K * V)
-        top_lp, top_idx = jax.lax.top_k(flat, 2 * K)              # (B,2K)
-        beam_idx = top_idx // V
-        token_idx = top_idx % V
+        # ---- grow alive: exact two-stage top-2K (per-beam over V,
+        # then over the K*kb survivors). kb < 2K only for toy vocabs.
+        kb = min(2 * K, V)
+        lp_pb, idx_pb = jax.lax.top_k(cand_lp, kb)                # (B,K,kb)
+        top_lp, sel = jax.lax.top_k(lp_pb.reshape(B, K * kb),
+                                    min(2 * K, K * kb))           # (B,2K)
+        beam_idx = sel // kb
+        token_idx = jnp.take_along_axis(
+            idx_pb.reshape(B, K * kb), sel, axis=1)
 
         top_seq = _gather_beams(seq, beam_idx)                    # (B,2K,T+1)
         top_seq = jax.vmap(jax.vmap(
             lambda s, t: jax.lax.dynamic_update_index_in_dim(
                 s, t, i + 1, axis=0)))(top_seq, token_idx)
-        top_cache = _gather_beams(new_cache, beam_idx)
         is_eos = (token_idx == eos_id)
 
-        # alive: best K non-EOS continuations
+        # alive: best K non-EOS continuations; the cache is gathered
+        # ONCE with composed indices (never materialized at 2K width)
         alive_cand = jnp.where(is_eos, NEG_INF, top_lp)
         new_alive_lp, alive_sel = jax.lax.top_k(alive_cand, K)
         new_seq = _gather_beams(top_seq, alive_sel)
-        new_cache = _gather_beams(top_cache, alive_sel)
+        alive_beam_idx = jnp.take_along_axis(beam_idx, alive_sel,
+                                             axis=1)             # (B,K)
+        new_cache = _gather_beams(new_cache, alive_beam_idx)
 
         # finished: merge EOS candidates with existing finished set
         cand_scores = top_lp / _length_penalty(alpha, i + 1)

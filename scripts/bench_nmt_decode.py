@@ -73,6 +73,9 @@ def main():
     model = Text2Text(params=params, mode="infer", mesh=mesh)
     dl = model.get_data_layer()
     batch = next(iter(dl.iterate_one_epoch()))
+    # infer semantics: no targets (the synthetic layer always emits
+    # them; with targets present eval_step would try to compute a loss)
+    batch = {k: v for k, v in batch.items() if k != "target_tensors"}
     state = model.init_state(batch)
     state = jax.device_put(state, replicated_sharding(mesh))
     device_batch = shard_batch(batch, mesh)
