@@ -97,3 +97,27 @@ def test_length_penalty_prefers_longer_with_high_alpha():
     from openseq2seq_tpu.ops.beam_search import _length_penalty
     assert float(_length_penalty(1.0, 10)) > float(_length_penalty(1.0, 2))
     assert float(_length_penalty(0.0, 10)) == pytest.approx(1.0)
+
+
+def test_topk_grouped_matches_lax_topk():
+    """The grouped exact top-k (sort-avoiding path, V > 2048) must
+    agree with lax.top_k in values and pick valid indices."""
+    import jax
+    import jax.numpy as jnp
+    from openseq2seq_tpu.ops.beam_search import _topk_grouped
+    rng = np.random.RandomState(0)
+    for shape, k in [((4, 3, 32768), 8), ((2, 5000), 6),
+                     ((3, 2, 2049), 4)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        v1, i1 = jax.lax.top_k(x, k)
+        v2, i2 = _topk_grouped(x, k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        # indices must address the same values (ties may reorder)
+        np.testing.assert_array_equal(
+            np.take_along_axis(np.asarray(x), np.asarray(i2), -1),
+            np.asarray(v1))
+    # tiny-axis fallback path
+    x = jnp.asarray(rng.randn(2, 7, 30).astype(np.float32))
+    v1, i1 = jax.lax.top_k(x, 6)
+    v2, i2 = _topk_grouped(x, 6)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
