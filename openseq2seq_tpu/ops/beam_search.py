@@ -126,6 +126,12 @@ def beam_search(symbols_to_logits_fn: Callable,
     static_keys = ()
     flat_static = {}
     if static_cache:
+        overlap = set(static_cache) & set(init_cache)
+        if overlap:
+            raise ValueError(
+                "static_cache keys {} also present in init_cache — a "
+                "static entry would shadow the carried state".format(
+                    sorted(overlap)))
         static_keys = tuple(static_cache.keys())
         # materialized (B*K, ...) once, outside the loop
         flat_static = jax.tree_util.tree_map(

@@ -97,7 +97,7 @@ def main():
     jax.device_get(jax.tree.leaves(out)[0])
     wall = time.time() - t0
 
-    sent_per_sec_chip = n * bs * n_chips / wall / n_chips
+    sent_per_sec_chip = n * bs / wall   # bs is per-chip
     print(json.dumps({
         "metric": "transformer_big_beam4_infer_sentences_per_sec_per_chip",
         "value": round(sent_per_sec_chip, 2),

@@ -121,3 +121,37 @@ def test_topk_grouped_matches_lax_topk():
     v1, i1 = jax.lax.top_k(x, 6)
     v2, i2 = _topk_grouped(x, 6)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_static_cache_merges_and_stays_out_of_carry():
+    """static_cache entries must be visible to the step fn (beam-tiled
+    to B*K), never be gathered/carried, and shadowing must fail fast."""
+    V, T, eos, B, K = 5, 3, 1, 2, 2
+    table = np.full((T, V), -5.0, np.float32)
+    for t, k in enumerate([4, 3, eos]):
+        table[t, k] = 5.0
+    seen = {}
+
+    jtable = jnp.asarray(table)
+
+    def fn(ids, pos, cache):
+        # dynamic entry: a per-beam step counter that must be carried
+        # static entry: must be present, beam-flattened to (B*K, 1)
+        seen["static_shape"] = cache["enc"].shape
+        logits = jnp.broadcast_to(jtable[pos], (ids.shape[0], V))
+        logits = logits + 0.0 * cache["enc"][:, 0, None]
+        return logits, {"count": cache["count"] + 1, "enc": cache["enc"]}
+
+    ids, _ = beam_search(
+        fn, init_cache={"count": jnp.zeros((B, 1))},
+        batch_size=B, beam_size=K, vocab_size=V, max_decode_length=T,
+        eos_id=eos, alpha=0.0,
+        static_cache={"enc": jnp.ones((B, 1))})
+    assert seen["static_shape"] == (B * K, 1)
+    assert np.asarray(ids)[0, 0, 1:].tolist() == [4, 3, eos]
+
+    with pytest.raises(ValueError, match="static_cache keys"):
+        beam_search(fn, init_cache={"enc": jnp.zeros((B, 1))},
+                    batch_size=B, beam_size=K, vocab_size=V,
+                    max_decode_length=T, eos_id=eos,
+                    static_cache={"enc": jnp.ones((B, 1))})
