@@ -57,6 +57,10 @@ def _gather_beams(tree, indices):
     """Select beams along axis 1: tree leaves (B, K_old, ...), indices
     (B, K_new) -> leaves (B, K_new, ...)."""
     def gather(x):
+        if x.shape[1] == 1 and indices.shape[1] == 1:
+            # greedy decoding: the only index is 0 — skip the gather
+            # (the KV caches are the dominant per-step HBM traffic)
+            return x
         return jax.vmap(lambda row, idx: jnp.take(row, idx, axis=0))(
             x, indices)
     return jax.tree_util.tree_map(gather, tree)
