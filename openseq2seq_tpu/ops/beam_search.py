@@ -175,14 +175,19 @@ def beam_search(symbols_to_logits_fn: Callable,
                               if k not in static_keys}
         new_cache = jax.tree_util.tree_map(
             lambda x: _unflatten_beam(x, B, K), flat_new_cache)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        logp = _unflatten_beam(logp, B, K)                        # (B,K,V)
-        cand_lp = logp + alive_lp[:, :, None]                     # (B,K,V)
+        raw = _unflatten_beam(logits.astype(jnp.float32), B, K)   # (B,K,V)
 
         # ---- grow alive: exact two-stage top-2K (per-beam over V,
         # then over the K*kb survivors). kb < 2K only for toy vocabs.
+        # Stage 1 searches the RAW logits — log_softmax and the alive
+        # log-prob are per-(b,k)-row additive shifts, so the per-beam
+        # top-k is unchanged and the full (B, K, V) fp32 log-prob
+        # tensor never materializes; only the kb survivors get the
+        # exact normalized scores.
         kb = min(2 * K, V)
-        lp_pb, idx_pb = _topk_grouped(cand_lp, kb)                # (B,K,kb)
+        lp_raw, idx_pb = _topk_grouped(raw, kb)                   # (B,K,kb)
+        lse = jax.scipy.special.logsumexp(raw, axis=-1)           # (B,K)
+        lp_pb = lp_raw + (alive_lp - lse)[:, :, None]
         top_lp, sel = jax.lax.top_k(lp_pb.reshape(B, K * kb),
                                     min(2 * K, K * kb))           # (B,2K)
         beam_idx = sel // kb
