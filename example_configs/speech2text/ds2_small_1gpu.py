@@ -50,7 +50,8 @@ base_params = {
     "decoder": FullyConnectedCTCDecoder,
     "decoder_params": {"use_language_model": False},
     "loss": CTCLoss,
-    "loss_params": {},
+    "loss_params": {"use_pallas": True},
+    "prng_impl": "rbg",
     "data_layer": Speech2TextDataLayer,
     "data_layer_params": {
         "num_audio_features": 96,

@@ -25,6 +25,7 @@ def _block(repeat, kernel, ch, keep):
 base_model = Image2Label
 base_params = {
     "random_seed": 0,
+    "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
     "num_epochs": 200,
     "logdir": os.environ.get("OS2S_LOGDIR", "jasper_commands_log"),
     "batch_size_per_gpu": 64,

@@ -15,6 +15,7 @@ _DATA = os.environ.get("LIBRISPEECH_DIR", "/data/librispeech")
 base_model = Speech2Text
 base_params = {
     "random_seed": 0,
+    "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
     "num_epochs": 50,
     "logdir": os.environ.get("OS2S_LOGDIR", "lstm_log_folder"),
     "batch_size_per_gpu": 32,

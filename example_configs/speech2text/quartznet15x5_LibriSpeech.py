@@ -47,6 +47,7 @@ convnet_layers = (
 base_model = Speech2Text
 base_params = {
     "random_seed": 0,
+    "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
     "num_epochs": 400,
     "batch_size_per_gpu": 32,
     "save_summaries_steps": 100,

@@ -14,6 +14,7 @@ _CONV = [(512, 3)] * 9 + [(1024, 3)] * 4 + [(2048, 1)] * 2
 base_model = Text2Text
 base_params = {
     "random_seed": 0,
+    "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
     "num_epochs": 30,
     "logdir": os.environ.get("OS2S_LOGDIR", "convs2s-log"),
     "batch_size_per_gpu": 64,

@@ -13,6 +13,7 @@ _DATA = os.environ.get("WMT16_DIR", "/data/wmt16_en_dt")
 base_model = Text2Text
 base_params = {
     "random_seed": 0,
+    "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
     "num_epochs": 8,
     "logdir": os.environ.get("OS2S_LOGDIR", "gnmt-log"),
     "batch_size_per_gpu": 32,

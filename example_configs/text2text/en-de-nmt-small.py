@@ -14,6 +14,7 @@ _DATA = os.environ.get("WMT16_DIR", "/data/wmt16_en_dt")
 base_model = Text2Text
 base_params = {
     "random_seed": 0,
+    "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
     "max_steps": 160082,
     "logdir": os.environ.get("OS2S_LOGDIR", "nmt-small-log"),
     "batch_size_per_gpu": 64,

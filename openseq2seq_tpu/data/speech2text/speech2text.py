@@ -117,7 +117,9 @@ def _pool_featurize(task):
     try:
         return ("ok",) + _featurize_path(_POOL_PARAMS, wav_path, rng)
     except (OSError, ValueError) as e:
-        return ("error", str(e), None)
+        # ship (type name, message) so the parent can re-raise the same
+        # exception class the thread path would (OSError vs ValueError)
+        return ("error", type(e).__name__, str(e))
 
 
 class Speech2TextDataLayer(DataLayer):
@@ -357,7 +359,16 @@ class Speech2TextDataLayer(DataLayer):
                         safe[k] = v
                     except Exception:
                         pass   # featurization never needs these
-                ctx = mp.get_context("fork")
+                # forkserver, not fork: this process is already
+                # multi-threaded (JAX runtime + prefetch thread) and
+                # fork()ing such a process can deadlock on locks held
+                # by other threads (Python 3.12 DeprecationWarning).
+                # Workers get params explicitly via initargs, so fork
+                # inheritance was never needed.
+                try:
+                    ctx = mp.get_context("forkserver")
+                except ValueError:
+                    ctx = mp.get_context("spawn")
                 with ctx.Pool(workers, initializer=_pool_init,
                               initargs=(safe,)) as pool:
                     tasks = [(self._files[i][0],
@@ -367,7 +378,10 @@ class Speech2TextDataLayer(DataLayer):
                             order, pool.imap(_pool_featurize, tasks,
                                              chunksize=4)):
                         if res[0] == "error":
-                            yield ("error", gi, ValueError(res[1]))
+                            exc_cls = {"OSError": OSError,
+                                       "ValueError": ValueError}.get(
+                                res[1], ValueError)
+                            yield ("error", gi, exc_cls(res[2]))
                         else:
                             yield ("ok", gi, res[1], res[2],
                                    self._files[gi])

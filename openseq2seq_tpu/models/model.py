@@ -104,7 +104,8 @@ class Model(abc.ABC):
                                           # everything is jitted anyway
             "async_checkpoint": bool,     # overlap ckpt disk writes with
                                           # training (orbax async)
-            "remat": None,                # activation rematerialization:
+            "remat": [False, True, "blocks"],
+                                          # activation rematerialization:
                                           # True (whole forward) or
                                           # "blocks" (save only tagged
                                           # block-boundary activations)

@@ -453,6 +453,18 @@ def ctc_loss_pallas(logits, logit_lengths, labels, label_lengths,
     L = labels.shape[1]
     S = _round_up(2 * L + 1, 128)
     Vp = _round_up(V, 128)
+    # use_pallas is a shipped default in the flagship recipes; on
+    # non-TPU backends (CPU tests, GPU) compiled Pallas is unavailable,
+    # so silently use the equivalent XLA scan implementation instead of
+    # forcing interpret mode (hundreds of times slower)
+    if not interpret and jax.default_backend() != "tpu":
+        from .ctc import ctc_loss
+        return ctc_loss(
+            logits, logit_lengths, labels, label_lengths,
+            blank_id=blank_id,
+            ignore_longer_outputs_than_inputs=(
+                ignore_longer_outputs_than_inputs),
+            average_across_batch=average_across_batch)
     if not (_fits_vmem_bwd(1, _fwd_chunks(T)[1], S, Vp) and
             _fits_vmem_fwd(1, _fwd_chunks(T)[1], S, Vp)):
         from .ctc import ctc_loss

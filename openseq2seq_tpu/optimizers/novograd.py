@@ -68,16 +68,21 @@ def scale_by_novograd(beta1: float = 0.95,
                 ghat = ghat + weight_decay * p.astype(jnp.float32)
             if grad_averaging:
                 ghat = ghat * (1.0 - beta1)
-            return (beta1 * m.astype(jnp.float32) + ghat).astype(m.dtype)
+            return beta1 * m.astype(jnp.float32) + ghat
 
         if params is None:
             params = jax.tree_util.tree_map(lambda g: None, updates)
-        moments = jax.tree_util.tree_map(new_m, updates, grads_ema,
-                                         state.moments, params)
+        # fp32 moment is both the applied update and (cast) the carried
+        # state — with moments_dtype=bf16 only the *storage* is rounded;
+        # the parameter delta itself stays full precision
+        moments_f32 = jax.tree_util.tree_map(new_m, updates, grads_ema,
+                                             state.moments, params)
+        moments = jax.tree_util.tree_map(
+            lambda mn, mo: mn.astype(mo.dtype), moments_f32, state.moments)
         new_state = ScaleByNovoGradState(count=state.count + 1,
                                          moments=moments,
                                          grads_ema=grads_ema)
-        return moments, new_state
+        return moments_f32, new_state
 
     return optax.GradientTransformation(init_fn, update_fn)
 

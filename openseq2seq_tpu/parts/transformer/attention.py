@@ -78,6 +78,14 @@ def _attend_flash(q, k, v, bias, causal, dtype):
     # valid-key mask from the additive padding bias (B, 1, 1, Tk):
     # 0 at valid keys, ~-1e9 at pads. Under causal the bias is the
     # (1, 1, T, T) triangle — the kernel's own mask replaces it.
+    if not (bias is None or causal):
+        # the flash path reinterprets the additive bias as a pure
+        # key-padding row mask; anything else (e.g. a relative-position
+        # bias) would be silently dropped — fail loudly instead
+        if bias.shape not in ((B, 1, 1, Tk), (1, 1, 1, Tk)):
+            raise ValueError(
+                "use_flash supports only (B,1,1,Tk) key-padding biases; "
+                "got bias shape {}".format(bias.shape))
     kv_valid = (jnp.ones((B, Tk), bool) if bias is None or causal
                 else jnp.broadcast_to(bias.reshape(-1, Tk) > -1.0,
                                       (B, Tk)))
