@@ -46,12 +46,25 @@ def load_pre_existing_vocabulary(path: str, min_idx: int = 0,
     return vocab
 
 
+# augmentation ops applied AFTER feature extraction (SpecAugment-style
+# masks, ops/features.py:_spec_augment) — these are compatible with the
+# feature cache: base features are cached once, masks drawn per epoch.
+# Audio-level ops (speed perturb, noise) change the features themselves
+# and disable caching.
+_POST_FEATURE_AUG_KEYS = frozenset(
+    {"n_freq_mask", "n_time_mask", "width_freq_mask", "width_time_mask"})
+
+
 def _featurize_path(p: Dict[str, Any], wav_path: str, rng):
     """Featurize one wav, with an optional npz cache (reference
     ``cache_features`` + hdf5/npy cache, `speech_utils.py:42-90`).
-    Augmentation-bearing configs skip the cache (features change per
-    epoch). Module-level so featurizer processes can run it."""
-    if p.get("cache_features", False) and not p.get("augmentation"):
+    Configs with audio-level augmentation skip the cache (features
+    change per epoch); masks-only augmentation (the flagship Jasper /
+    QuartzNet recipes) caches the base features and draws masks on
+    load. Module-level so featurizer processes can run it."""
+    aug = p.get("augmentation") or {}
+    if p.get("cache_features", False) and \
+            set(aug) <= _POST_FEATURE_AUG_KEYS:
         import hashlib
         cache_dir = p.get("cache_format", "") or \
             os.path.join(os.path.dirname(wav_path), ".feature_cache")
@@ -73,25 +86,44 @@ def _featurize_path(p: Dict[str, Any], wav_path: str, rng):
             _stat("features_mean"), _stat("features_std_dev"),
         )).encode()).hexdigest()
         cache_path = os.path.join(cache_dir, key + ".npz")
+
+        # mask seed drawn BEFORE featurization so cache hits and misses
+        # consume the per-example rng identically (featurization itself
+        # draws e.g. dither noise) — epoch N's masks don't depend on
+        # whether the cache was warm
+        mask_seed = (int(rng.randint(2 ** 31 - 1)) if aug and
+                     rng is not None else None)
+
+        def _masked(feat):
+            if not aug:
+                return feat
+            from ...ops.features import _spec_augment
+            r = (np.random.RandomState(mask_seed) if mask_seed is not None
+                 else np.random)
+            return _spec_augment(feat, aug, r)
+
         try:
             if os.path.exists(cache_path) and \
                     not p.get("cache_regenerate", False):
                 blob = np.load(cache_path)
-                return blob["features"], float(blob["duration"])
+                return _masked(blob["features"]), float(blob["duration"])
         except Exception:
             pass   # truncated/corrupt cache entry: recompute
+        base_p = dict(p, augmentation=None)   # cache BASE features only
         features, duration = get_speech_features_from_file(
-            wav_path, p, rng=rng)
+            wav_path, base_p, rng=rng)
         try:
             os.makedirs(cache_dir, exist_ok=True)
             # atomic write: a crash mid-save must not leave a
             # poisoned entry behind
-            tmp = cache_path + ".tmp{}".format(os.getpid())
+            # NB: np.savez appends ".npz" when missing — the tmp name
+            # must already end in it or os.replace finds nothing
+            tmp = cache_path + ".tmp{}.npz".format(os.getpid())
             np.savez(tmp, features=features, duration=duration)
             os.replace(tmp, cache_path)
         except OSError:
             pass          # read-only dataset dir: serve uncached
-        return features, duration
+        return _masked(features), duration
     return get_speech_features_from_file(wav_path, p, rng=rng)
 
 

@@ -164,3 +164,55 @@ def test_process_pool_featurization_matches_threads(toy_speech_data):
                                       y["source_tensors"][0])
         np.testing.assert_array_equal(x["target_tensors"][0],
                                       y["target_tensors"][0])
+
+
+def test_feature_cache_with_masks_only_augmentation(toy_speech_data,
+                                                    tmp_path):
+    """Masks-only (SpecAugment) augmentation is cache-compatible: base
+    features are cached once and masks are drawn per epoch on load —
+    this is what lets the flagship Jasper/QuartzNet recipes train from
+    cache on hosts without featurizer cores. Checks: (a) cached batches
+    are identical to a fresh warm-cache run (mask seed independent of
+    cache state), (b) masks differ across epochs, (c) disabling masks
+    reproduces the plain cached features."""
+    import glob
+    from openseq2seq_tpu.data.speech2text import Speech2TextDataLayer
+
+    cache_dir = str(tmp_path / "feat_cache")
+    aug = {"n_freq_mask": 1, "n_time_mask": 1,
+           "width_freq_mask": 4, "width_time_mask": 4}
+
+    def make(augmentation):
+        dl = Speech2TextDataLayer({
+            "mode": "train", "batch_size": 4, "shuffle": False,
+            "num_audio_features": 24, "input_type": "logfbank",
+            "vocab_file": toy_speech_data["vocab"],
+            "dataset_files": [toy_speech_data["csv"]],
+            "sample_freq": 16000, "dither": 1e-3,
+            "cache_features": True, "cache_format": cache_dir,
+            "augmentation": augmentation,
+        }, model=None)
+        dl.seed(7)
+        return dl
+
+    dl = make(aug)
+    cold = list(dl.iterate_one_epoch())           # populates the cache
+    assert glob.glob(cache_dir + "/*.npz"), "cache not written"
+    dl2 = make(aug)
+    warm = list(dl2.iterate_one_epoch())          # pure cache hits
+    for x, y in zip(cold, warm):
+        np.testing.assert_array_equal(x["source_tensors"][0],
+                                      y["source_tensors"][0])
+
+    dl3 = make(aug)
+    dl3.seed(8)                                    # different epoch seed
+    other = list(dl3.iterate_one_epoch())
+    assert any(
+        not np.array_equal(x["source_tensors"][0], y["source_tensors"][0])
+        for x, y in zip(warm, other)), "masks did not vary across epochs"
+
+    plain = list(make({}).iterate_one_epoch())
+    masked_cells = [
+        np.mean(x["source_tensors"][0] != y["source_tensors"][0])
+        for x, y in zip(warm, plain)]
+    assert 0 < np.mean(masked_cells) < 0.6, masked_cells
