@@ -61,11 +61,11 @@ inline size_t CodepointCount(const std::string& s) {
 }
 }  // namespace
 
-bool Scorer::Load(const std::string& arpa_path, double alpha, double beta,
+bool Scorer::Load(const std::string& path, double alpha, double beta,
                   bool build_trie) {
   alpha_ = alpha;
   beta_ = beta;
-  if (!lm_.Load(arpa_path)) return false;
+  if (!lm_.Load(path)) return false;
   // character-based LM detection (reference scorer.cpp: every vocab
   // entry is a single character)
   bool any = false;
@@ -278,6 +278,12 @@ bool StreamingDecoder::Extend(Beam* proto, int ch, double* add,
   if (c == ' ') {
     if (scorer_ != nullptr) {
       std::string word = PartialWord(*proto);
+      // FSTMATCH-equivalent dictionary mode: the completed word must be
+      // a full vocabulary word, not merely a valid trie prefix
+      // (reference decoders/ctc_beam_search_decoder.cpp:104-120)
+      if (scorer_->dictionary_mode() && !word.empty() &&
+          !trie->IsWord(proto->trie_node))
+        return false;
       if (!word.empty()) {
         int wid;
         *add += scorer_->ScoreWord(contexts_[proto->ctx], word, &wid);
@@ -306,8 +312,9 @@ std::string StreamingDecoder::Decode(const float* probs, int T, int V) {
   return Best().text;
 }
 
-BeamResult StreamingDecoder::Best() const {
-  BeamResult best{-1e300, "", {}};
+std::vector<BeamResult> StreamingDecoder::TopN(int n) const {
+  std::vector<BeamResult> out;
+  out.reserve(beams_.size());
   for (const Beam& b : beams_) {
     double score = Total(b.lp_b, b.lp_nb);
     if (scorer_ != nullptr && !scorer_->is_character_based()) {
@@ -317,21 +324,32 @@ BeamResult StreamingDecoder::Best() const {
         score += scorer_->ScoreWord(contexts_[b.ctx], tail, &wid);
       }
     }
-    if (score > best.score) {
-      best.score = score;
-      best.text = TextOf(b.node);
-      // collect times along the path
-      std::vector<int> times;
-      int node = b.node;
-      while (node > 0) {
-        times.push_back(nodes_[node].t);
-        node = nodes_[node].parent;
-      }
-      std::reverse(times.begin(), times.end());
-      best.times = std::move(times);
+    BeamResult r;
+    r.score = score;
+    r.text = TextOf(b.node);
+    std::vector<int> times;
+    int node = b.node;
+    while (node > 0) {
+      times.push_back(nodes_[node].t);
+      node = nodes_[node].parent;
     }
+    std::reverse(times.begin(), times.end());
+    r.times = std::move(times);
+    out.push_back(std::move(r));
   }
-  return best;
+  int keep = std::min((int)out.size(), n);
+  std::partial_sort(out.begin(), out.begin() + keep, out.end(),
+                    [](const BeamResult& a, const BeamResult& b) {
+                      return a.score > b.score;
+                    });
+  out.resize(keep);
+  return out;
+}
+
+BeamResult StreamingDecoder::Best() const {
+  auto top = TopN(1);
+  if (top.empty()) return BeamResult{-1e300, "", {}};
+  return std::move(top[0]);
 }
 
 // ---------------------------------------------------------------------------
@@ -340,12 +358,10 @@ BeamResult StreamingDecoder::Best() const {
 std::vector<BeamResult> BeamSearch(const float* probs, int T, int V,
                                    const std::string& alphabet,
                                    const DecodeOptions& opts,
-                                   const Scorer* scorer) {
+                                   const Scorer* scorer, int nbest) {
   StreamingDecoder dec(alphabet, opts, scorer);
   dec.Decode(probs, T, V);
-  std::vector<BeamResult> out;
-  out.push_back(dec.Best());
-  return out;
+  return dec.TopN(nbest < 1 ? 1 : nbest);
 }
 
 std::vector<std::vector<BeamResult>> BeamSearchBatch(

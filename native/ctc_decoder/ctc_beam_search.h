@@ -42,7 +42,9 @@ struct ScorerConfig {
 
 class Scorer {
  public:
-  bool Load(const std::string& arpa_path, double alpha, double beta,
+  // ``path`` is a text ARPA or the mmap-able binary format
+  // (scripts/build_lm.py --binarize), auto-detected.
+  bool Load(const std::string& path, double alpha, double beta,
             bool build_trie = true);
   // natural-log word score: alpha * ln P(word|ctx) + beta.
   // ctx is a vector of LM word ids; returns the new context word id via
@@ -55,12 +57,23 @@ class Scorer {
   // (one UTF-8 codepoint); scoring applies per emitted char, no space
   // segmentation and no trie (reference decoders/scorer.h:60-89).
   bool is_character_based() const { return char_based_; }
+  // hard dictionary constraint (the reference's FSTMATCH mode,
+  // decoders/ctc_beam_search_decoder.cpp:104-120 + scorer.h:77-89
+  // fill_dictionary): beams may only complete words that exist in the
+  // LM vocabulary trie; non-words are pruned at the closing space.
+  void set_dictionary_mode(bool m) { dict_constrained_ = m; }
+  bool dictionary_mode() const { return dict_constrained_ && has_trie_; }
+  // binarize the loaded LM (mmap format; KenLM-binary analogue)
+  bool SaveBinary(const std::string& path) const {
+    return lm_.SaveBinary(path);
+  }
 
  private:
   NGramLM lm_;
   CharTrie trie_;
   bool has_trie_ = false;
   bool char_based_ = false;
+  bool dict_constrained_ = false;
   double alpha_ = 0.0;
   double beta_ = 0.0;
 };
@@ -79,10 +92,11 @@ struct DecodeOptions {
 };
 
 // probs: row-major (T, V) per-frame probability distributions.
+// Returns up to ``nbest`` hypotheses, best-first (nbest <= beam_size).
 std::vector<BeamResult> BeamSearch(const float* probs, int T, int V,
                                    const std::string& alphabet,
                                    const DecodeOptions& opts,
-                                   const Scorer* scorer);
+                                   const Scorer* scorer, int nbest = 1);
 
 // batched, multithreaded over utterances.
 std::vector<std::vector<BeamResult>> BeamSearchBatch(
@@ -100,6 +114,8 @@ class StreamingDecoder {
   // feed (T, V) chunk, returns current best transcript
   std::string Decode(const float* probs, int T, int V);
   BeamResult Best() const;
+  // top-n final hypotheses, best-first (LM tail scores applied)
+  std::vector<BeamResult> TopN(int n) const;
 
  private:
   struct Node {

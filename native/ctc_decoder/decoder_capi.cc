@@ -1,5 +1,6 @@
 // C API for ctypes binding (this environment has no pybind11; the
 // Python side is openseq2seq_tpu/ops/ctc_beam_native.py).
+#include <algorithm>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -27,6 +28,19 @@ void os2s_scorer_destroy(void* scorer) {
   delete static_cast<Scorer*>(scorer);
 }
 
+// hard dictionary constraint (reference FSTMATCH mode)
+void os2s_scorer_set_dict(void* scorer, int enabled) {
+  static_cast<Scorer*>(scorer)->set_dictionary_mode(enabled != 0);
+}
+
+// Convert a text ARPA LM to the mmap-able binary format. Returns 0 on
+// success (KenLM-binary analogue: reference generate_trie.cpp).
+int os2s_lm_binarize(const char* arpa_path, const char* out_path) {
+  Scorer s;
+  if (!s.Load(arpa_path, 0.0, 0.0, /*build_trie=*/false)) return -1;
+  return s.SaveBinary(out_path) ? 0 : -2;
+}
+
 // Decode one utterance. Returns length of text written to out (or -1).
 int os2s_decode(const float* probs, int T, int V, const char* alphabet,
                 int beam_size, double cutoff_prob, int cutoff_top_n,
@@ -50,6 +64,32 @@ int os2s_decode(const float* probs, int T, int V, const char* alphabet,
     int m = std::min((int)best.times.size(), times_cap);
     std::memcpy(out_times, best.times.data(), m * sizeof(int));
     for (int i = m; i < times_cap; ++i) out_times[i] = -1;
+  }
+  return n;
+}
+
+// Decode one utterance into its top-n hypotheses. outs is an
+// (nbest, out_stride) char grid; scores has nbest slots. Returns the
+// number of hypotheses written (<= nbest), or -1 on error.
+int os2s_decode_nbest(const float* probs, int T, int V,
+                      const char* alphabet, int beam_size,
+                      double cutoff_prob, int cutoff_top_n, int blank_id,
+                      void* scorer, int nbest, char* outs, int out_stride,
+                      double* out_scores) {
+  DecodeOptions opts;
+  opts.beam_size = beam_size;
+  opts.cutoff_prob = cutoff_prob;
+  opts.cutoff_top_n = cutoff_top_n;
+  opts.blank_id = blank_id;
+  auto results = os2s::BeamSearch(probs, T, V, alphabet, opts,
+                                  static_cast<Scorer*>(scorer), nbest);
+  int n = std::min((int)results.size(), nbest);
+  for (int i = 0; i < n; ++i) {
+    const std::string& text = results[i].text;
+    int m = std::min((int)text.size(), out_stride - 1);
+    std::memcpy(outs + (size_t)i * out_stride, text.data(), m);
+    outs[(size_t)i * out_stride + m] = '\0';
+    if (out_scores) out_scores[i] = results[i].score;
   }
   return n;
 }

@@ -1,10 +1,26 @@
 #include "ngram_lm.h"
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <algorithm>
+#include <cstdio>
 #include <cstring>
 #include <fstream>
 #include <sstream>
 
 namespace os2s {
+
+namespace {
+// 8-byte magic for the binary format ("OS2SLM" + version)
+constexpr char kMagic[8] = {'O', 'S', '2', 'S', 'L', 'M', '0', '1'};
+}  // namespace
+
+NGramLM::~NGramLM() {
+  if (map_base_ != nullptr) munmap(map_base_, map_size_);
+}
 
 std::string NGramLM::Key(const std::vector<int>& ids) {
   std::string out(ids.size() * sizeof(int), '\0');
@@ -12,7 +28,17 @@ std::string NGramLM::Key(const std::vector<int>& ids) {
   return out;
 }
 
-bool NGramLM::Load(const std::string& arpa_path) {
+bool NGramLM::Load(const std::string& path) {
+  std::ifstream probe(path, std::ios::binary);
+  if (!probe.is_open()) return false;
+  char head[8] = {0};
+  probe.read(head, 8);
+  probe.close();
+  if (std::memcmp(head, kMagic, 8) == 0) return LoadBinary(path);
+  return LoadArpa(path);
+}
+
+bool NGramLM::LoadArpa(const std::string& arpa_path) {
   std::ifstream f(arpa_path);
   if (!f.is_open()) return false;
   std::string line;
@@ -59,33 +85,175 @@ bool NGramLM::Load(const std::string& arpa_path) {
   return order_ > 0;
 }
 
+// ---------------------------------------------------------------------------
+// binary format
+//
+//   magic[8] | int32 order | int32 vocab_count | int64 vocab_blob_size
+//   vocab blob: vocab_count null-terminated strings, in word-id order
+//   pad to 8-byte alignment
+//   per order k=1..order:
+//     int64 count
+//     count records of (k * int32 ids, float prob, float backoff),
+//     sorted ascending by id tuple
+// ---------------------------------------------------------------------------
+bool NGramLM::SaveBinary(const std::string& path) const {
+  if (order_ == 0 || !bin_tables_.empty()) return false;  // hash mode only
+  std::ofstream out(path, std::ios::binary | std::ios::trunc);
+  if (!out.is_open()) return false;
+  out.write(kMagic, 8);
+  int32_t order32 = order_;
+  int32_t nv = (int32_t)vocab_.size();
+  out.write((const char*)&order32, 4);
+  out.write((const char*)&nv, 4);
+  // vocab blob in id order
+  std::vector<const std::string*> by_id(vocab_.size());
+  for (const auto& kv : vocab_) by_id[kv.second] = &kv.first;
+  std::string blob;
+  for (const std::string* w : by_id) {
+    blob.append(*w);
+    blob.push_back('\0');
+  }
+  int64_t blob_size = (int64_t)blob.size();
+  out.write((const char*)&blob_size, 8);
+  out.write(blob.data(), blob.size());
+  size_t written = 8 + 4 + 4 + 8 + blob.size();
+  while (written % 8 != 0) {
+    out.put('\0');
+    ++written;
+  }
+  for (int k = 1; k <= order_; ++k) {
+    const auto& table = tables_[k - 1];
+    std::vector<const std::string*> keys;
+    keys.reserve(table.size());
+    for (const auto& kv : table) keys.push_back(&kv.first);
+    // packed little-endian int32 keys sort correctly via memcmp only
+    // per-int — sort on the decoded tuples instead
+    std::sort(keys.begin(), keys.end(),
+              [](const std::string* a, const std::string* b) {
+                const int* ia = (const int*)a->data();
+                const int* ib = (const int*)b->data();
+                size_t n = a->size() / 4;
+                for (size_t i = 0; i < n; ++i) {
+                  if (ia[i] != ib[i]) return ia[i] < ib[i];
+                }
+                return false;
+              });
+    int64_t count = (int64_t)keys.size();
+    out.write((const char*)&count, 8);
+    for (const std::string* key : keys) {
+      const Entry& e = table.at(*key);
+      out.write(key->data(), key->size());
+      out.write((const char*)&e.prob, 4);
+      out.write((const char*)&e.backoff, 4);
+    }
+  }
+  return out.good();
+}
+
+bool NGramLM::LoadBinary(const std::string& path) {
+  int fd = open(path.c_str(), O_RDONLY);
+  if (fd < 0) return false;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 24) {
+    close(fd);
+    return false;
+  }
+  map_size_ = (size_t)st.st_size;
+  map_base_ = mmap(nullptr, map_size_, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);  // mapping survives the close
+  if (map_base_ == MAP_FAILED) {
+    map_base_ = nullptr;
+    return false;
+  }
+  const uint8_t* p = (const uint8_t*)map_base_;
+  const uint8_t* end = p + map_size_;
+  p += 8;  // magic (verified by Load)
+  int32_t order32, nv;
+  std::memcpy(&order32, p, 4);
+  std::memcpy(&nv, p + 4, 4);
+  p += 8;
+  int64_t blob_size;
+  std::memcpy(&blob_size, p, 8);
+  p += 8;
+  if (p + blob_size > end) return false;
+  // vocab hash rebuilt from the blob (small next to the tables)
+  const char* w = (const char*)p;
+  vocab_.reserve(nv);
+  for (int32_t i = 0; i < nv; ++i) {
+    size_t len = strnlen(w, (size_t)(end - (const uint8_t*)w));
+    vocab_.emplace(std::string(w, len), i);
+    w += len + 1;
+  }
+  p += blob_size;
+  size_t off = (size_t)(p - (const uint8_t*)map_base_);
+  p += (8 - off % 8) % 8;
+  order_ = order32;
+  bin_tables_.resize(order_);
+  for (int k = 1; k <= order_; ++k) {
+    if (p + 8 > end) return false;
+    int64_t count;
+    std::memcpy(&count, p, 8);
+    p += 8;
+    BinTable& t = bin_tables_[k - 1];
+    t.base = p;
+    t.count = count;
+    t.k = k;
+    p += (size_t)count * t.record_bytes();
+    if (p > end) return false;
+  }
+  return order_ > 0;
+}
+
+bool NGramLM::Find(const std::vector<int>& ids, Entry* e) const {
+  int k = (int)ids.size();
+  if (k < 1 || k > order_) return false;
+  if (!bin_tables_.empty()) {
+    const BinTable& t = bin_tables_[k - 1];
+    size_t rec = t.record_bytes();
+    int64_t lo = 0, hi = t.count;
+    while (lo < hi) {
+      int64_t mid = lo + (hi - lo) / 2;
+      const int* rid = (const int*)(t.base + (size_t)mid * rec);
+      int cmp = 0;
+      for (int i = 0; i < k; ++i) {
+        if (rid[i] != ids[i]) {
+          cmp = rid[i] < ids[i] ? -1 : 1;
+          break;
+        }
+      }
+      if (cmp == 0) {
+        std::memcpy(e, t.base + (size_t)mid * rec + (size_t)k * 4, 8);
+        return true;
+      }
+      if (cmp < 0)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    return false;
+  }
+  const auto& table = tables_[k - 1];
+  auto it = table.find(Key(ids));
+  if (it == table.end()) return false;
+  *e = it->second;
+  return true;
+}
+
 double NGramLM::Lookup(std::vector<int> ctx, int word) const {
   // direct hit on (ctx, word)?
   std::vector<int> full = ctx;
   full.push_back(word);
-  if ((int)full.size() <= order_) {
-    auto& table = tables_[full.size() - 1];
-    auto it = table.find(Key(full));
-    if (it != table.end()) return it->second.prob;
-  }
+  Entry e;
+  if ((int)full.size() <= order_ && Find(full, &e)) return e.prob;
   if (ctx.empty()) {
-    auto& uni = tables_[0];
-    auto it = uni.find(Key({word}));
-    if (it != uni.end()) return it->second.prob;
+    if (Find({word}, &e)) return e.prob;
     auto unk = vocab_.find("<unk>");
-    if (unk != vocab_.end()) {
-      auto u = uni.find(Key({unk->second}));
-      if (u != uni.end()) return u->second.prob;
-    }
+    if (unk != vocab_.end() && Find({unk->second}, &e)) return e.prob;
     return -99.0;
   }
   // back off: weight of ctx + recurse on shorter context
   double bo = 0.0;
-  if ((int)ctx.size() <= order_) {
-    auto& table = tables_[ctx.size() - 1];
-    auto it = table.find(Key(ctx));
-    if (it != table.end()) bo = it->second.backoff;
-  }
+  if ((int)ctx.size() <= order_ && Find(ctx, &e)) bo = e.backoff;
   ctx.erase(ctx.begin());
   return bo + Lookup(std::move(ctx), word);
 }

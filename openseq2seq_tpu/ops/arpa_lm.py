@@ -31,6 +31,38 @@ class ArpaLM:
         self.vocab = {k[0] for k in self.ngrams[0]} if self.ngrams else set()
 
     def _load(self, path: str):
+        with open(path, "rb") as probe:
+            if probe.read(8) == b"OS2SLM01":
+                return self._load_binary(path)
+        self._load_text(path)
+
+    def _load_binary(self, path: str):
+        """Parse the native decoder's mmap binary format
+        (`native/ctc_decoder/ngram_lm.cc:SaveBinary`) so the Python
+        fallback consumes .blm artifacts too."""
+        import struct
+        with open(path, "rb") as f:
+            data = f.read()
+        order, nv = struct.unpack_from("<ii", data, 8)
+        (blob_size,) = struct.unpack_from("<q", data, 16)
+        blob = data[24:24 + blob_size]
+        words = blob.split(b"\0")[:nv]
+        id2word = [w.decode("utf-8") for w in words]
+        off = 24 + blob_size
+        off += (8 - off % 8) % 8
+        self.order = order
+        self.ngrams = [{} for _ in range(order)]
+        for k in range(1, order + 1):
+            (count,) = struct.unpack_from("<q", data, off)
+            off += 8
+            rec = struct.Struct("<{}iff".format(k))
+            for _ in range(count):
+                fields = rec.unpack_from(data, off)
+                off += rec.size
+                gram = tuple(id2word[i] for i in fields[:k])
+                self.ngrams[k - 1][gram] = (fields[k], fields[k + 1])
+
+    def _load_text(self, path: str):
         section = None
         with open(path, encoding="utf-8") as f:
             for line in f:

@@ -81,11 +81,19 @@ class Scorer:
 
     def __init__(self, alpha: float, beta: float, model_path: str,
                  vocabulary: Optional[Sequence[str]] = None,
-                 trie_vocab: Optional[Sequence[str]] = None):
+                 trie_vocab: Optional[Sequence[str]] = None,
+                 dict_constrained: bool = False):
+        """``dict_constrained`` enables the hard lexicon constraint: a
+        beam may only close words present in the trie (the reference's
+        FSTMATCH mode, `decoders/ctc_beam_search_decoder.cpp:104-120`).
+        ``model_path`` may be text ARPA or the mmap binary format
+        (``scripts/build_lm.py --binarize``), auto-detected."""
         self.alpha = alpha
         self.beta = beta
         self.model_path = model_path
         self.custom_trie_vocab = trie_vocab
+        self.dict_constrained = dict_constrained
+        self._native_scorer = None  # lazy NativeScorer cache
         self.lm = ArpaLM(model_path)
         content = self.lm.vocab - {"<s>", "</s>", "<unk>"}
         self.is_character_based = bool(content) and all(
@@ -251,6 +259,13 @@ def _maybe_score_word(logp, ext_prefix, ctx, cid, space_ids, alphabet,
         text = "".join(chars)
         word = text.rsplit(" ", 1)[-1]
         if word:
+            # hard lexicon constraint (reference FSTMATCH): the word
+            # must be complete in the trie, not just a valid prefix
+            if getattr(scorer, "dict_constrained", False) and \
+                    trie is not None:
+                node = trie.walk(word)
+                if node is None or not node.is_word:
+                    return LOG0, ctx
             logp += scorer.score_word(word, list(ctx))
             return logp, ctx + (word,)
         return logp, ctx
@@ -262,24 +277,68 @@ def _maybe_score_word(logp, ext_prefix, ctx, cid, space_ids, alphabet,
     return logp, ctx
 
 
+def _native_scorer_for(ext_scorer):
+    """Build (and cache on the Scorer) the C++ twin of a Python Scorer,
+    when the native library is available and the scorer has no custom
+    trie vocabulary (the native trie always mirrors the LM vocab)."""
+    native = _get_native()
+    if native is None or ext_scorer is None:
+        return None
+    if ext_scorer.custom_trie_vocab is not None:
+        return None
+    if ext_scorer._native_scorer is None:
+        try:
+            ext_scorer._native_scorer = native.NativeScorer(
+                ext_scorer.alpha, ext_scorer.beta, ext_scorer.model_path,
+                dict_constrained=ext_scorer.dict_constrained)
+        except (RuntimeError, ValueError):
+            return None
+    return ext_scorer._native_scorer
+
+
 def ctc_beam_search_decoder_batch(probs_list, seq_lens, alphabet,
                                   beam_size=100, num_processes=1,
                                   cutoff_prob=1.0, cutoff_top_n=40,
                                   ext_scorer=None, blank_id=None):
     """Batch decode (the native backend threads this; the Python path
-    is sequential)."""
+    is sequential). Dispatches to C++ both with and without an LM
+    scorer (the scorer's native twin is built from the same ARPA)."""
     native = _get_native()
-    if native is not None and ext_scorer is None:
-        return native.decode_batch(probs_list, seq_lens, alphabet,
-                                   beam_size, cutoff_prob, cutoff_top_n,
-                                   -1 if blank_id is None else blank_id,
-                                   num_threads=num_processes)
+    if native is not None:
+        native_scorer = _native_scorer_for(ext_scorer) \
+            if ext_scorer is not None else None
+        if ext_scorer is None or native_scorer is not None:
+            return native.decode_batch(
+                probs_list, seq_lens, alphabet, beam_size, cutoff_prob,
+                cutoff_top_n, -1 if blank_id is None else blank_id,
+                scorer=native_scorer, num_threads=num_processes)
     out = []
     for probs, n in zip(probs_list, seq_lens):
         out.append(ctc_beam_search_decoder(
             np.asarray(probs)[:int(n)], alphabet, beam_size,
             cutoff_prob, cutoff_top_n, ext_scorer, blank_id))
     return out
+
+
+def ctc_beam_search_decoder_nbest(probs, alphabet, nbest, beam_size=100,
+                                  cutoff_prob=1.0, cutoff_top_n=40,
+                                  ext_scorer=None, blank_id=None):
+    """Top-``nbest`` hypotheses for one utterance: [(score, text), ...]
+    best-first — the n-best list feeds the neural rescorer
+    (`apps/lm_rescorer.py`; reference dumps beams for its external
+    TXL rescorer the same way)."""
+    native_scorer = _native_scorer_for(ext_scorer)
+    native = _get_native()
+    if native is not None and (ext_scorer is None or
+                               native_scorer is not None):
+        return native.decode_nbest(
+            np.asarray(probs), alphabet, nbest, beam_size, cutoff_prob,
+            cutoff_top_n, -1 if blank_id is None else blank_id,
+            scorer=native_scorer)
+    res = ctc_beam_search_decoder(np.asarray(probs), alphabet, beam_size,
+                                  cutoff_prob, cutoff_top_n, ext_scorer,
+                                  blank_id)
+    return [(s, t) for s, t in res[:nbest]]
 
 
 def ctc_greedy_decoder(probs: np.ndarray, alphabet: Sequence[str],

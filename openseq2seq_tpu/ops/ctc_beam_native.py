@@ -43,6 +43,15 @@ def _load():
     lib.os2s_scorer_create.argtypes = [ctypes.c_double, ctypes.c_double,
                                        ctypes.c_char_p, ctypes.c_int]
     lib.os2s_scorer_destroy.argtypes = [ctypes.c_void_p]
+    lib.os2s_scorer_set_dict.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.os2s_lm_binarize.restype = ctypes.c_int
+    lib.os2s_lm_binarize.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.os2s_decode_nbest.restype = ctypes.c_int
+    lib.os2s_decode_nbest.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
     lib.os2s_decode.restype = ctypes.c_int
     lib.os2s_decode.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -78,7 +87,11 @@ def available() -> bool:
 
 class NativeScorer:
     def __init__(self, alpha: float, beta: float, arpa_path: str,
-                 build_trie: bool = True):
+                 build_trie: bool = True, dict_constrained: bool = False):
+        """``arpa_path`` may be a text ARPA or the mmap binary format
+        produced by :func:`binarize` (auto-detected).
+        ``dict_constrained`` enables the hard lexicon constraint
+        (reference FSTMATCH, `decoders/scorer.h:77-89`)."""
         lib = _load()
         if lib is None:
             raise RuntimeError("native decoder library not available")
@@ -88,11 +101,27 @@ class NativeScorer:
                                            1 if build_trie else 0)
         if not self._ptr:
             raise ValueError("failed to load ARPA LM: " + arpa_path)
+        if dict_constrained:
+            lib.os2s_scorer_set_dict(self._ptr, 1)
 
     def __del__(self):
         if getattr(self, "_ptr", None):
             self._lib.os2s_scorer_destroy(self._ptr)
             self._ptr = None
+
+
+def binarize(arpa_path: str, out_path: str) -> None:
+    """Convert a text ARPA LM into the mmap-able binary format (the
+    KenLM-binary analogue, reference `generate_trie.cpp` /
+    `scorer.cpp:60-62` LoadVirtual). Loading the result is near-instant
+    (tables stay inside the mapping, binary-searched in place)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder library not available")
+    rc = lib.os2s_lm_binarize(arpa_path.encode(), out_path.encode())
+    if rc != 0:
+        raise ValueError(
+            "binarize failed (rc={}): {}".format(rc, arpa_path))
 
 
 def _alphabet_bytes(alphabet: Sequence[str]) -> bytes:
@@ -119,6 +148,32 @@ def decode(probs: np.ndarray, alphabet: Sequence[str],
         ctypes.byref(score), times, T)
     text = out.value.decode("latin-1")
     return [(score.value, text, [times[i] for i in range(n)])]
+
+
+def decode_nbest(probs: np.ndarray, alphabet: Sequence[str],
+                 nbest: int, beam_size: int = 100,
+                 cutoff_prob: float = 1.0, cutoff_top_n: int = 40,
+                 blank_id: int = -1,
+                 scorer: Optional[NativeScorer] = None):
+    """Top-``nbest`` hypotheses for one utterance: [(score, text), ...]
+    best-first (feeds the neural rescorer, `apps/lm_rescorer.py`)."""
+    lib = _load()
+    probs = np.ascontiguousarray(probs, np.float32)
+    T, V = probs.shape
+    stride = T + 1
+    outs = ctypes.create_string_buffer(nbest * stride)
+    scores = (ctypes.c_double * nbest)()
+    n = lib.os2s_decode_nbest(
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), T, V,
+        _alphabet_bytes(alphabet), beam_size, cutoff_prob, cutoff_top_n,
+        blank_id, scorer._ptr if scorer else None, nbest, outs, stride,
+        scores)
+    results = []
+    for i in range(max(n, 0)):
+        raw = outs.raw[i * stride:(i + 1) * stride]
+        results.append((scores[i], raw.split(b"\0", 1)[0]
+                        .decode("latin-1")))
+    return results
 
 
 def decode_batch(probs_list, seq_lens, alphabet, beam_size=100,

@@ -28,6 +28,11 @@ def main(argv=None):
     parser.add_argument("--order", type=int, default=3)
     parser.add_argument("--max_vocab", type=int, default=None)
     parser.add_argument("--lowercase", action="store_true")
+    parser.add_argument("--binarize", default=None, metavar="OUT_BLM",
+                        help="also write the mmap-able binary LM (fast "
+                             "load; KenLM-binary analogue — reference "
+                             "generate_trie.cpp). Accepts an output "
+                             "path; requires the native decoder build.")
     args = parser.parse_args(argv)
 
     counts = collections.Counter()
@@ -49,6 +54,10 @@ def main(argv=None):
     build_arpa(sentences, args.out, order=args.order)
     print("Wrote {}-gram ARPA LM ({} sentences, {} vocab) to {}".format(
         args.order, len(sentences), len(counts), args.out))
+    if args.binarize:
+        from openseq2seq_tpu.ops import ctc_beam_native
+        ctc_beam_native.binarize(args.out, args.binarize)
+        print("Wrote binary LM (mmap format) to {}".format(args.binarize))
     return 0
 
 

@@ -268,3 +268,115 @@ def test_native_matches_python_character_lm(native, char_lm):
                             scorer=scorer_nat)
         assert nat[0][1] == py[0][1], "trial {}".format(trial)
         assert nat[0][0] == pytest.approx(py[0][0], rel=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# binary LM format, dictionary-constrained mode, n-best
+# ---------------------------------------------------------------------------
+
+def test_binary_lm_matches_arpa(native, toy_lm, tmp_path):
+    """The mmap binary format must score identically to the text ARPA —
+    in both the Python loader and the native decoder (reference loads
+    KenLM *binaries*, `decoders/scorer.cpp:60-62`)."""
+    blm = str(tmp_path / "toy.blm")
+    native.binarize(toy_lm, blm)
+    lm_txt = ArpaLM(toy_lm)
+    lm_bin = ArpaLM(blm)
+    assert lm_bin.order == lm_txt.order
+    for ctx, w in [([], "cat"), (["a"], "cat"), (["a"], "tab"),
+                   (["the"], "cat"), (["cat"], "a"), (["zzz"], "cat")]:
+        assert lm_bin.log10_cond(ctx, w) == pytest.approx(
+            lm_txt.log10_cond(ctx, w), abs=1e-5)
+    # native decode with the binary LM == native decode with the ARPA
+    sc_txt = native.NativeScorer(alpha=1.5, beta=0.5, arpa_path=toy_lm)
+    sc_bin = native.NativeScorer(alpha=1.5, beta=0.5, arpa_path=blm)
+    rng = np.random.RandomState(4)
+    for _ in range(3):
+        logits = rng.randn(10, 6) * 2
+        probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        a = native.decode(probs, ALPHABET, beam_size=16, scorer=sc_txt)
+        b = native.decode(probs, ALPHABET, beam_size=16, scorer=sc_bin)
+        assert a[0][1] == b[0][1]
+        assert a[0][0] == pytest.approx(b[0][0], rel=1e-6)
+
+
+def test_dictionary_constrained_mode(native, toy_lm):
+    """FSTMATCH-equivalent hard lexicon constraint: completed words must
+    exist in the vocabulary, not merely extend a trie prefix (reference
+    `decoders/ctc_beam_search_decoder.cpp:104-120`)."""
+    chars = {c: i for i, c in enumerate(ALPHABET)}
+    # acoustics strongly say "ca " — 'ca' is a valid trie PREFIX
+    # ("cat"/"cab") but not a complete word
+    path = [chars[c] for c in "ca "] + [chars["a"]]
+    probs = np.full((len(path), 6), 0.02)
+    for t, k in enumerate(path):
+        probs[t, k] = 0.9
+    probs = probs / probs.sum(-1, keepdims=True)
+
+    plain = Scorer(alpha=0.3, beta=0.0, model_path=toy_lm)
+    res_plain = ctc_beam_search_decoder(probs, ALPHABET, beam_size=16,
+                                        ext_scorer=plain)
+    assert res_plain[0][1].startswith("ca ")   # prefix constraint only
+
+    constrained = Scorer(alpha=0.3, beta=0.0, model_path=toy_lm,
+                         dict_constrained=True)
+    res_dict = ctc_beam_search_decoder(probs, ALPHABET, beam_size=16,
+                                       ext_scorer=constrained)
+    closed = res_dict[0][1].split(" ")[:-1]    # completed words only
+    assert all(w in ("a", "cat", "cab", "tab", "the") for w in closed), \
+        res_dict[0][1]
+
+    # native twin must agree
+    sc_nat = native.NativeScorer(alpha=0.3, beta=0.0, arpa_path=toy_lm,
+                                 dict_constrained=True)
+    nat = native.decode(probs, ALPHABET, beam_size=16, scorer=sc_nat)
+    assert nat[0][1] == res_dict[0][1]
+    assert nat[0][0] == pytest.approx(res_dict[0][0], rel=1e-3)
+
+
+def test_nbest_decoding(native, toy_lm):
+    """n-best output: best-first, first entry == 1-best, scores
+    descending; native and Python fallback agree."""
+    from openseq2seq_tpu.ops.ctc_beam import ctc_beam_search_decoder_nbest
+    rng = np.random.RandomState(5)
+    logits = rng.randn(12, 6) * 1.5
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+
+    nb = ctc_beam_search_decoder_nbest(probs, ALPHABET, nbest=5,
+                                       beam_size=16)
+    assert 1 <= len(nb) <= 5
+    scores = [s for s, _ in nb]
+    assert scores == sorted(scores, reverse=True)
+    assert len({t for _, t in nb}) == len(nb)    # distinct hypotheses
+    one_best = ctc_beam_search_decoder(probs, ALPHABET, beam_size=16)
+    assert nb[0][1] == one_best[0][1]
+
+    # with LM scorer: native path must match the Python oracle's ranking
+    scorer = Scorer(alpha=1.0, beta=0.2, model_path=toy_lm)
+    nb_lm = ctc_beam_search_decoder_nbest(probs, ALPHABET, nbest=4,
+                                          beam_size=16, ext_scorer=scorer)
+    py = ctc_beam_search_decoder(probs, ALPHABET, beam_size=16,
+                                 ext_scorer=scorer)
+    assert nb_lm[0][1] == py[0][1]
+
+
+def test_batch_decode_with_lm_uses_native(native, toy_lm):
+    """ctc_beam_search_decoder_batch with a scorer must produce the
+    Python oracle's transcripts (it now dispatches to C++)."""
+    scorer = Scorer(alpha=1.5, beta=0.5, model_path=toy_lm)
+    rng = np.random.RandomState(6)
+    probs_list, lens = [], []
+    for _ in range(4):
+        T = rng.randint(5, 12)
+        logits = rng.randn(T, 6) * 2
+        probs_list.append(np.exp(logits) /
+                          np.exp(logits).sum(-1, keepdims=True))
+        lens.append(T)
+    batch = ctc_beam_search_decoder_batch(probs_list, lens, ALPHABET,
+                                          beam_size=16,
+                                          ext_scorer=scorer)
+    assert scorer._native_scorer is not None   # the dispatch happened
+    for i in range(4):
+        py = ctc_beam_search_decoder(probs_list[i], ALPHABET,
+                                     beam_size=16, ext_scorer=scorer)
+        assert batch[i][0][1] == py[0][1]
