@@ -75,7 +75,9 @@ base_params = {
     },
 
     "loss": BasicSequenceLoss,
-    "loss_params": {"offset_target_by_one": False,
+    # the LAS decoder feeds y[:, :-1] and emits T-1 logits predicting
+    # y[1:], so the loss must offset (decoders/las_decoder.py:227)
+    "loss_params": {"offset_target_by_one": True,
                     "average_across_timestep": True,
                     "do_mask": True},
 

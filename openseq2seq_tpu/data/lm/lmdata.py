@@ -154,7 +154,8 @@ class TextClassificationDataLayer(DataLayer):
     def get_required_params():
         return dict(DataLayer.get_required_params(), **{
             "lm_vocab_file": str,
-            "shuffle": bool,
+            # shuffle stays optional (base DataLayer defaults it to
+            # mode=="train"), matching every other data layer
             "repeat": bool,
             "max_length": int,
             "processed_data_folder": str,

@@ -113,6 +113,7 @@ def inv_poly_decay(global_step, learning_rate: float, decay_steps: int,
 
 LR_POLICY_REGISTRY: Dict[str, Callable] = {
     "fixed_lr": fixed_lr,
+    "fixed": fixed_lr,   # alias used by the lm/transfer recipes
     "piecewise_constant": piecewise_constant,
     "exp_decay": exp_decay,
     "poly_decay": poly_decay,
