@@ -36,6 +36,12 @@ base_params = jasper_model_params(
         "dither": 1e-5,
         "max_duration": 16.7,
         "backend": "librosa",
+        # base logfbank features are cached to npz after epoch 1 and the
+        # SpecAugment masks drawn per epoch on load — featurization is
+        # the classic host bottleneck (reference acknowledges it,
+        # docs/speech-commands.rst:28) and this recipe's augmentation is
+        # masks-only, so caching is safe (data/speech2text/speech2text.py)
+        "cache_features": True,
     },
     num_blocks=10, block_repeat=5,
     batch_size_per_gpu=32,

@@ -112,6 +112,69 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(put, batch)
 
 
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+    """Wrap a host-batch iterator so the H2D transfer of batch N+1
+    overlaps the device computation of batch N instead of sitting on
+    the critical path. The JAX analogue of tf.data's prefetch-to-device
+    / flax.jax_utils.prefetch_to_device, and it matters most when
+    transfers are slow relative to the step (measured: Jasper bs128's
+    33 MB feature batch costs ~0.4 s over a relay link vs a 0.78 s
+    step).
+
+    The transfer runs in a dedicated daemon thread: jax.device_put can
+    block the calling thread until the copy lands (it does over relayed
+    transports), so an in-generator device_put would stay on the
+    consumer's critical path — a thread overlaps it regardless.
+    ``size`` bounds how many batches sit in HBM ahead of consumption.
+
+    Yields (host_batch, device_batch) pairs — trainers need the host
+    view for bookkeeping (num objects, eval bookkeeping)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _worker():
+        try:
+            for batch in iterator:
+                if not _put((batch, shard_batch(batch, mesh))):
+                    return      # consumer closed: drop HBM refs and exit
+        except BaseException as e:  # surface in the consumer, not stderr
+            _put((_END, e))
+            return
+        _put((_END, None))
+
+    t = threading.Thread(target=_worker, daemon=True,
+                         name="prefetch_to_device")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item[0] is _END:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        # train loops abandon the (infinite) iterator at last_step; let
+        # the worker exit so its queued device batches free their HBM
+        # before the final eval runs
+        stop.set()
+        with q.mutex:
+            q.queue.clear()
+
+
 # ---------------------------------------------------------------------------
 # tensor-parallel parameter layouts (megatron-style; no reference
 # counterpart — OpenSeq2Seq has no TP at all, SURVEY §2.2)

@@ -34,12 +34,36 @@ TRANSCRIPTS = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# decode-ladder corpus (offline inference-stack evaluation): the third
+# word is a DETERMINISTIC function of the first — a long-range
+# dependency a bigram LM cannot capture but a neural rescorer can — and
+# the third-word vocabulary comes in acoustically-confusable pairs
+# (final chars adjacent in tone frequency), so a degraded acoustic
+# model makes word errors that (a) an n-gram LM fixes when they form
+# non-words and (b) only the rescorer fixes when they form valid-but-
+# inconsistent words. Mirrors the reference's published WER ladder
+# greedy -> beam+LM -> neural rescore (speech-recognition/jasper.rst).
+LADDER_W1 = ["abc", "dec", "egg", "had"]
+LADDER_W2 = ["ha", "he", "cab", "fed"]
+LADDER_W3 = {"abc": "bca", "dec": "bcb", "egg": "dfe", "had": "dfd"}
+
+
+def ladder_sentences() -> List[str]:
+    return ["{} {} {}".format(w1, w2, LADDER_W3[w1])
+            for w1 in LADDER_W1 for w2 in LADDER_W2]
+
+
 def _char_freq(c: str) -> float:
     idx = VOCAB.index(c)
     return _BASE_FREQ * (1.3 ** idx)
 
 
-def synth_transcript(text: str, rng: np.random.RandomState) -> np.ndarray:
+def synth_transcript(text: str, rng: np.random.RandomState,
+                     noise: float = 0.01) -> np.ndarray:
+    """``noise`` is the additive-Gaussian level relative to unit tones —
+    raise it to synthesize acoustically degraded (low-SNR) utterances
+    for decode-ladder evaluations."""
     n = int(CHAR_SECONDS * SAMPLE_RATE)
     t = np.arange(n) / SAMPLE_RATE
     # fade in/out to avoid clicks
@@ -55,12 +79,13 @@ def synth_transcript(text: str, rng: np.random.RandomState) -> np.ndarray:
             pieces.append(tone * env)
     pieces.append(np.zeros(n // 2))
     signal = np.concatenate(pieces)
-    signal = signal + 0.01 * rng.randn(len(signal))
+    signal = signal + noise * rng.randn(len(signal))
     return (signal / np.max(np.abs(signal)) * 0.8 * 32767).astype(np.int16)
 
 
 def generate(out_dir: str, transcripts: List[str] = None,
-             seed: int = 0) -> Tuple[str, str]:
+             seed: int = 0, noise: float = 0.01,
+             csv_name: str = "toy_data.csv") -> Tuple[str, str]:
     """Write wavs + CSV + vocab into ``out_dir``. Returns
     (csv_path, vocab_path)."""
     transcripts = transcripts or TRANSCRIPTS
@@ -69,11 +94,11 @@ def generate(out_dir: str, transcripts: List[str] = None,
     rows = ["wav_filename,wav_filesize,transcript"]
     for i, text in enumerate(transcripts):
         wav_path = os.path.join(out_dir, "toy_{}.wav".format(i))
-        signal = synth_transcript(text, rng)
+        signal = synth_transcript(text, rng, noise=noise)
         wavfile.write(wav_path, SAMPLE_RATE, signal)
         rows.append("{},{},{}".format(wav_path, os.path.getsize(wav_path),
                                       text))
-    csv_path = os.path.join(out_dir, "toy_data.csv")
+    csv_path = os.path.join(out_dir, csv_name)
     with open(csv_path, "w") as f:
         f.write("\n".join(rows) + "\n")
     vocab_path = os.path.join(out_dir, "vocab.txt")

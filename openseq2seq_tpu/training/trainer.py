@@ -24,8 +24,8 @@ import jax
 import numpy as np
 
 from ..parallel import collective
-from ..parallel.mesh import (make_mesh, replicated_sharding, shard_batch,
-                             tp_state_sharding)
+from ..parallel.mesh import (make_mesh, prefetch_to_device,
+                             replicated_sharding, tp_state_sharding)
 from ..utils.logging import deco_print
 from .checkpoint import CheckpointManager
 
@@ -116,7 +116,9 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
     base_rng = make_base_rng(train_model.params)
 
     dl = train_model.get_data_layer()
-    batches = dl.prefetch(dl.iterate_forever())
+    # two-stage pipeline: featurization in a thread (host overlap),
+    # then device_put two steps ahead (H2D-transfer overlap)
+    batches = prefetch_to_device(dl.prefetch(dl.iterate_forever()), mesh)
 
     last_step = train_model.last_step
     print_loss_steps = params.get("print_loss_steps", 10)
@@ -140,9 +142,8 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
 
     step = start_step
     while step < last_step:
-        batch = next(batches)
+        batch, device_batch = next(batches)
         num_objects = train_model.get_num_objects_per_step(batch)
-        device_batch = shard_batch(batch, mesh)
         rng = jax.random.fold_in(base_rng, step)
         t0 = time.time()
         state, metrics = step_fn(state, device_batch, rng)
@@ -296,8 +297,8 @@ def evaluate_with_state(model, state, training_step=None) -> Dict[str, Any]:
     eval_fn = _jitted_eval_fn(model)
     dl = model.get_data_layer()
     results = []
-    for batch in dl.prefetch(dl.iterate_one_epoch()):
-        device_batch = shard_batch(batch, mesh)
+    for batch, device_batch in prefetch_to_device(
+            dl.prefetch(dl.iterate_one_epoch()), mesh):
         out = jax.device_get(eval_fn(state, device_batch))
         results.append(model.evaluate(batch, out))
     # each process evaluated its own contiguous data shard; gather the
@@ -325,8 +326,8 @@ def infer(model, checkpoint: Optional[str], output_file: str):
     eval_fn = _jitted_eval_fn(model)
     dl = model.get_data_layer()
     results = []
-    for batch in dl.prefetch(dl.iterate_one_epoch()):
-        device_batch = shard_batch(batch, mesh)
+    for batch, device_batch in prefetch_to_device(
+            dl.prefetch(dl.iterate_one_epoch()), mesh):
         out = jax.device_get(eval_fn(state, device_batch))
         results.append(model.infer(batch, out))
     # gather each process's shard, write the output file once
