@@ -49,6 +49,11 @@ class TransformerDecoderModule(nn.Module):
     mode: str
     norm_params: Any = None
     use_flash: bool = False      # fused Pallas attention kernel (TPU)
+    # lazy beam reordering: KV-cache rows never gather on reorders; an
+    # ancestry matrix resolves history inside attention (ops/
+    # beam_search.py). Equivalent outputs; ~3x less per-step cache
+    # traffic. Off switch kept for A/B tests.
+    lazy_decode: bool = True
 
     def setup(self):
         L = self.num_hidden_layers
@@ -82,13 +87,15 @@ class TransformerDecoderModule(nn.Module):
                      caches: Optional[Dict] = None,
                      decode_pos=None):
         drop = lambda h: self.post_drop(h, deterministic=not train)  # noqa: E731
+        ancestry = None if caches is None else caches.get("beam_ancestry")
         new_self_caches = []
         for i in range(self.num_hidden_layers):
             h = self.sa_norms[i](x, train=train)
             h, new_c = self.self_attns[i](
                 h, bias=self_bias, train=train,
                 cache=None if caches is None else caches["self"][i],
-                decode_pos=decode_pos)
+                decode_pos=decode_pos,
+                beam_ancestry=ancestry, beam_size=self.beam_size)
             new_self_caches.append(new_c)
             x = x + drop(h)
 
@@ -173,6 +180,8 @@ class TransformerDecoderModule(nn.Module):
             logits = project_logits(table, x[:, 0, :], self.tgt_vocab_size)
             new_cache = {"self": new_self, "cross": cache["cross"],
                          "enc_bias": cache["enc_bias"]}
+            if "beam_ancestry" in cache:
+                new_cache["beam_ancestry"] = cache["beam_ancestry"]
             return logits, new_cache
 
         if self.is_initializing():
@@ -192,7 +201,7 @@ class TransformerDecoderModule(nn.Module):
             vocab_size=self.tgt_vocab_size,
             max_decode_length=max_len, eos_id=self.eos_id,
             alpha=self.alpha, bos_id=self.go_symbol,
-            static_cache=static_cache)
+            static_cache=static_cache, lazy_cache=self.lazy_decode)
 
         top = decoded[:, 0, 1:]                       # strip BOS
         lengths = sequence_lengths_from_ids(top, self.eos_id)
@@ -230,6 +239,7 @@ class TransformerDecoder(Decoder):
             "END_SYMBOL": int,
             "norm_params": dict,
             "use_flash_attention": bool,
+            "lazy_decode": bool,
         })
 
     def make_module(self):
@@ -254,4 +264,5 @@ class TransformerDecoder(Decoder):
             dtype_=dtype,
             mode=self._mode,
             norm_params=p.get("norm_params"),
-            use_flash=p.get("use_flash_attention", False))
+            use_flash=p.get("use_flash_attention", False),
+            lazy_decode=p.get("lazy_decode", True))

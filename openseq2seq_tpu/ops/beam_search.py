@@ -26,6 +26,14 @@ KV cache, not FLOPs):
   * the dynamic cache is gathered ONCE per step with composed
     alive-beam indices (grow-2K then select-K is done on indices, not
     by materializing a 2K-wide cache);
+  * with ``lazy_cache=True`` the per-step cache gather disappears
+    entirely: cache rows stay physically fixed and a tiny (B, K, T)
+    int32 ancestry matrix records, for each live beam, which slot's
+    row holds its KV at every past position. The step fn sees it as
+    ``cache["beam_ancestry"]`` (flattened (B*K, T)) and resolves
+    history inside attention (attend over all K slots, select by
+    ancestry — K x more MXU FLOPs, which a bandwidth-bound decode has
+    to spare, for ~3x less HBM cache traffic);
   * the top-2K search runs per-beam over V first, then over the K*2K
     survivors — mathematically exact (any global top-2K candidate is
     in its own beam's top-2K) and avoids reshaping a (B, K*V) buffer.
@@ -109,7 +117,8 @@ def beam_search(symbols_to_logits_fn: Callable,
                 eos_id: int,
                 alpha: float = 0.6,
                 bos_id: int = 0,
-                static_cache: Optional[dict] = None
+                static_cache: Optional[dict] = None,
+                lazy_cache: bool = False
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (decoded_ids (B, K, T_max+1), scores (B, K)), best first.
 
@@ -120,8 +129,18 @@ def beam_search(symbols_to_logits_fn: Callable,
     (requires ``init_cache`` to be a dict); whatever the step fn
     returns under those keys is dropped — they never enter the loop
     carry or the per-step beam gathers.
+
+    ``lazy_cache``: never gather the dynamic cache on beam reorders;
+    instead maintain an ancestry matrix the step fn receives as
+    ``cache["beam_ancestry"]`` ((B*K, T) int32 — row bk, column t
+    names the beam slot whose cache row holds this beam's state for
+    position t). Requires a step fn whose attention resolves ancestry
+    (see ``parts/transformer/attention.SelfAttention``); the cache it
+    returns under ``beam_ancestry`` is ignored.
     """
     B, K, V, T = batch_size, beam_size, vocab_size, max_decode_length
+    if lazy_cache and K == 1:
+        lazy_cache = False      # greedy already skips every gather
 
     # replicate the cache over K beams: leaves (B, ...) -> (B, K, ...)
     tile = lambda x: jnp.broadcast_to(  # noqa: E731
@@ -148,9 +167,15 @@ def beam_search(symbols_to_logits_fn: Callable,
     finished_seq = jnp.zeros((B, K, T + 1), jnp.int32)
     finished_scores = jnp.full((B, K), NEG_INF, jnp.float32)
     finished_flags = jnp.zeros((B, K), jnp.bool_)
+    # ancestry starts as identity: every slot's history is its own row
+    # (all rows hold identical copies of the initial state)
+    anc_identity = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, T))
+    ancestry = anc_identity if lazy_cache else jnp.zeros((0,), jnp.int32)
 
     def condition(state):
-        i, seq, alive_lp, cache, fin_seq, fin_scores, fin_flags = state
+        i, seq, alive_lp, cache, ancestry, fin_seq, fin_scores, \
+            fin_flags = state
         max_lp = _length_penalty(alpha, T)
         best_alive = alive_lp[:, 0] / max_lp
         worst_finished = jnp.min(
@@ -161,15 +186,20 @@ def beam_search(symbols_to_logits_fn: Callable,
         return jnp.logical_and(i < T, still_improving)
 
     def body(state):
-        i, seq, alive_lp, cache, fin_seq, fin_scores, fin_flags = state
+        i, seq, alive_lp, cache, ancestry, fin_seq, fin_scores, \
+            fin_flags = state
 
         # ---- one decoder step on the current token of each alive beam
         ids = jax.lax.dynamic_slice_in_dim(seq, i, 1, axis=2)     # (B,K,1)
         flat_cache = jax.tree_util.tree_map(_flatten_beam, cache)
         if static_keys:
             flat_cache = {**flat_cache, **flat_static}
+        if lazy_cache:
+            flat_cache["beam_ancestry"] = _flatten_beam(ancestry)
         logits, flat_new_cache = symbols_to_logits_fn(
             _flatten_beam(ids), i, flat_cache)                    # (B*K, V)
+        flat_new_cache = dict(flat_new_cache)
+        flat_new_cache.pop("beam_ancestry", None)
         if static_keys:
             flat_new_cache = {k: v for k, v in flat_new_cache.items()
                               if k not in static_keys}
@@ -207,7 +237,20 @@ def beam_search(symbols_to_logits_fn: Callable,
         new_seq = _gather_beams(top_seq, alive_sel)
         alive_beam_idx = jnp.take_along_axis(beam_idx, alive_sel,
                                              axis=1)             # (B,K)
-        new_cache = _gather_beams(new_cache, alive_beam_idx)
+        if lazy_cache:
+            # rows stay put; only the ancestry matrix reorders. Columns
+            # < i inherit the parent's history, column i records which
+            # row the parent wrote this step's KV into, columns > i
+            # reset to identity (each slot writes its own future rows).
+            tpos = jnp.arange(T)[None, None, :]
+            ganc = _gather_beams(ancestry, alive_beam_idx)
+            new_ancestry = jnp.where(
+                tpos < i, ganc,
+                jnp.where(tpos == i, alive_beam_idx[:, :, None],
+                          anc_identity))
+        else:
+            new_ancestry = ancestry
+            new_cache = _gather_beams(new_cache, alive_beam_idx)
 
         # finished: merge EOS candidates with existing finished set
         cand_scores = top_lp / _length_penalty(alpha, i + 1)
@@ -219,12 +262,12 @@ def beam_search(symbols_to_logits_fn: Callable,
         new_fin_seq = _gather_beams(all_seq, fin_sel)
         new_fin_flags = _gather_beams(all_flags, fin_sel)
 
-        return (i + 1, new_seq, new_alive_lp, new_cache,
+        return (i + 1, new_seq, new_alive_lp, new_cache, new_ancestry,
                 new_fin_seq, new_fin_scores, new_fin_flags)
 
-    state = (jnp.int32(0), seq, alive_log_probs, cache,
+    state = (jnp.int32(0), seq, alive_log_probs, cache, ancestry,
              finished_seq, finished_scores, finished_flags)
-    (_, seq, alive_lp, _, fin_seq, fin_scores, fin_flags) = \
+    (_, seq, alive_lp, _, _, fin_seq, fin_scores, fin_flags) = \
         jax.lax.while_loop(condition, body, state)
 
     # fall back to alive beams for rows with nothing finished

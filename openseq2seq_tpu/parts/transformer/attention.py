@@ -46,6 +46,49 @@ def _attend(q, k, v, bias, dropout_rate, train, dtype, dropout_mod):
     return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(dtype), v)
 
 
+def _attend_lazy_beam(q, k_buf, v_buf, bias, ancestry, beam_size, dtype):
+    """Incremental-decode attention over a beam-search cache whose rows
+    were never physically reordered (``ops/beam_search.py``
+    ``lazy_cache=True``).
+
+    ``ancestry[(b*K+k), t]`` names the beam slot whose cache row holds
+    beam k's KV for position t. Rather than gathering (K, T, h, d)
+    keys/values per beam (a materialized copy the size of the cache),
+    scores are computed against ALL K slots' keys in one einsum and
+    selected by ancestry afterwards; the value contraction folds the
+    ancestry one-hot into the attention weights so it is again one
+    dense einsum. K x the MXU FLOPs of gathered attention — decode is
+    HBM-bound, so trading a (tiny) matmul for cache-sized gather
+    traffic wins (measured: 12-layer transformer-big beam-4 KV
+    maintenance was 10.4 ms of a 25 ms step before).
+
+    Shapes: q (B*K, 1, h, d); k_buf/v_buf (B*K, T, h, d);
+    bias broadcastable to (B, K, h, T); ancestry (B*K, T) int32.
+    """
+    BK, T, h, d = k_buf.shape
+    K = beam_size
+    B = BK // K
+    q = (q[:, 0] * (d ** -0.5)).reshape(B, K, h, d)
+    kb = k_buf.reshape(B, K, T, h, d)
+    anc = ancestry.reshape(B, K, T)
+    # scores vs every slot j, then pick j = anc[b, k, t]
+    s_all = jnp.einsum("bkhd,bjthd->bkhjt", q, kb,
+                       preferred_element_type=jnp.float32)
+    idx = jnp.broadcast_to(anc[:, :, None, None, :], (B, K, h, 1, T))
+    logits = jnp.take_along_axis(s_all, idx, axis=3)[:, :, :, 0, :]
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32).reshape(
+            bias.shape[0], 1, 1, -1)                     # (B?|1,1,1,T)
+    weights = jax.nn.softmax(logits, axis=-1)            # (B,K,h,T)
+    onehot = (anc[:, :, None, :] ==
+              jnp.arange(K, dtype=anc.dtype)[None, None, :, None])
+    wfull = weights[:, :, :, None, :] * \
+        onehot[:, :, None, :, :].astype(weights.dtype)   # (B,K,h,K,T)
+    vb = v_buf.reshape(B, K, T, h, d)
+    out = jnp.einsum("bkhjt,bjthd->bkhd", wfull.astype(dtype), vb)
+    return out.reshape(BK, 1, h, d)
+
+
 def _flash_ok(q, k):
     """Whether the fused TPU kernel applies to these shapes/backend."""
     return jax.default_backend() == "tpu" and \
@@ -131,6 +174,8 @@ class SelfAttention(nn.Module):
     def __call__(self, x, bias=None, train: bool = False,
                  cache: Optional[Dict[str, jnp.ndarray]] = None,
                  decode_pos: Optional[jnp.ndarray] = None,
+                 beam_ancestry: Optional[jnp.ndarray] = None,
+                 beam_size: Optional[int] = None,
                  ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
         qkv = nn.DenseGeneral(3 * self.hidden_size, dtype=self.dtype,
                               param_dtype=jnp.float32, name="qkv")(x)
@@ -148,6 +193,14 @@ class SelfAttention(nn.Module):
             v_buf = jax.lax.dynamic_update_slice(
                 cache["v"], v.astype(cache["v"].dtype), (0, decode_pos, 0, 0))
             new_cache = {"k": k_buf, "v": v_buf}
+            if beam_ancestry is not None:
+                out = _attend_lazy_beam(q, k_buf, v_buf, bias,
+                                        beam_ancestry, beam_size,
+                                        self.dtype)
+                out = nn.DenseGeneral(
+                    self.hidden_size, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="out")(_merge_heads(out))
+                return out, new_cache
             k, v = k_buf, v_buf
 
         drop = nn.Dropout(rate=self.attention_dropout,

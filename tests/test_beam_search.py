@@ -155,3 +155,64 @@ def test_static_cache_merges_and_stays_out_of_carry():
                     batch_size=B, beam_size=K, vocab_size=V,
                     max_decode_length=T, eos_id=eos,
                     static_cache={"enc": jnp.ones((B, 1))})
+
+
+def test_lazy_cache_rows_stay_put_and_ancestry_resolves():
+    """lazy_cache=True: the dynamic cache must NOT be gathered on beam
+    reorders; instead the step fn receives ``beam_ancestry`` and
+    resolves history through it. Port of the cache-gather test: logits
+    favor the token this beam wrote at step 0 — but here each slot's
+    write stays in its own row, so consistency (step-1 token == step-0
+    token) holds only if ancestry resolution works."""
+    V, eos, B, K, T = 4, 1, 2, 2, 5
+
+    def fn(ids, pos, cache):
+        anc = cache["beam_ancestry"]                      # (B*K, T+1)
+        toks = cache["toks"]                              # (B*K, T)
+        BK = ids.shape[0]
+        row = jnp.arange(BK)
+        new_toks = toks.at[row, pos].set(ids[:, 0].astype(jnp.float32))
+        # my step-0 token lives in row (b*K + anc[:, 0]) — NOT my row
+        owner = (row // K) * K + anc[:, 0]
+        favored = new_toks[owner, 0].astype(jnp.int32)
+        bonus = jax.nn.one_hot(favored, V) * 3.0
+        eos_bias = jnp.zeros((V,)).at[eos].set(1.0)
+        logits = jnp.where(pos >= 2,
+                           eos_bias[None, :] * 10.0,
+                           bonus)
+        return logits, {"toks": new_toks}
+
+    ids, _ = beam_search(fn, init_cache={"toks": jnp.zeros((B, 5))},
+                         batch_size=B, beam_size=K, vocab_size=V,
+                         max_decode_length=T, eos_id=eos, alpha=0.0,
+                         lazy_cache=True)
+    arr = np.asarray(ids)
+    for b in range(B):
+        seq = arr[b, 0, 1:]
+        assert seq[1] == seq[0]
+
+
+def test_lazy_beam_decode_matches_eager(tmp_path):
+    """Transformer incremental decode: lazy (ancestry) and eager
+    (gathered-cache) beam search must produce identical beams."""
+    import jax
+    from openseq2seq_tpu.models import Text2Text
+    from openseq2seq_tpu.test_utils import toy_nmt
+
+    data = toy_nmt.generate(str(tmp_path))
+    outs = {}
+    for lazy in (True, False):
+        cfg = toy_nmt.transformer_toy_config(data, mode_files="eval",
+                                             num_epochs=1)
+        cfg["decoder_params"]["lazy_decode"] = lazy
+        cfg["data_layer_params"]["shuffle"] = False
+        model = Text2Text(params=cfg, mode="eval")
+        batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+        state = model.init_state(batch)
+        db = jax.tree_util.tree_map(np.asarray, batch)
+        out = jax.device_get(jax.jit(model.eval_step)(state, db))
+        outs[lazy] = out["outputs"]["decoder_output"]
+    np.testing.assert_array_equal(outs[True]["beams"],
+                                  outs[False]["beams"])
+    np.testing.assert_allclose(outs[True]["scores"],
+                               outs[False]["scores"], rtol=1e-4)
