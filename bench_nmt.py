@@ -55,7 +55,13 @@ def main():
     # diagnostic: BENCH_NMT_NODROP=1 zeroes all dropout rates to
     # isolate PRNG/mask-generation cost from the matmul path
     DROP = 0.0 if os.environ.get("BENCH_NMT_NODROP") == "1" else 1.0
-    seq_len = 64
+    # realistic WMT bucketed batches run to T=256; sweep with
+    # BENCH_NMT_SEQ=256 BENCH_NMT_BS=16 (keep the token budget ~flat).
+    # BENCH_NMT_PADFRAC>0 pads a fraction of each sequence (bucketed
+    # corpora have within-bucket padding) so remove_padding is
+    # actually exercised; tokens/s counts VALID tokens only.
+    seq_len = int(os.environ.get("BENCH_NMT_SEQ", "64"))
+    pad_frac = float(os.environ.get("BENCH_NMT_PADFRAC", "0"))
     d_model = 1024
 
     mesh = make_mesh(num_data=n_chips, num_model=1)
@@ -112,6 +118,7 @@ def main():
             "tgt_vocab_size": 32768,
             "src_length": seq_len,
             "tgt_length": seq_len,
+            "pad_fraction": pad_frac,
             "num_batches": 4,
         },
     }
@@ -156,6 +163,9 @@ def main():
 
     result = {
         "metric": "transformer_big_train_tokens_per_sec_per_chip",
+        "seq_len": seq_len,
+        "batch_per_chip": batch_per_chip,
+        "pad_fraction": pad_frac,
         "value": round(tokens_per_sec_per_chip, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_sec_per_chip /

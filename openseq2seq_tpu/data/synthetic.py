@@ -88,6 +88,11 @@ class SyntheticTextDataLayer(DataLayer):
             "src_length": int,
             "tgt_length": int,
             "num_batches": int,
+            # fraction of each sequence that is PAD (0 = dense). Valid
+            # lengths draw uniformly from [T(1-2f), T] (mean (1-f)T),
+            # modeling within-bucket padding of a bucketed real corpus
+            # so `remove_padding` has actual work to do in benchmarks
+            "pad_fraction": float,
         })
 
     def __init__(self, params, model, num_workers=1, worker_id=0):
@@ -113,9 +118,23 @@ class SyntheticTextDataLayer(DataLayer):
         y = rng.randint(4, p["tgt_vocab_size"],
                         size=(B, Tt)).astype(np.int32)
         y[:, 0] = 2          # GO
-        y[:, -1] = 1         # EOS
-        batch = {"source_tensors": [x, np.full((B,), Ts, np.int32)],
-                 "target_tensors": [y, np.full((B,), Tt, np.int32)],
+        f = float(p.get("pad_fraction", 0.0) or 0.0)
+        if f > 0.0:
+            x_len = rng.randint(max(int(Ts * (1 - 2 * f)), 2), Ts + 1,
+                                size=(B,)).astype(np.int32)
+            y_len = rng.randint(max(int(Tt * (1 - 2 * f)), 3), Tt + 1,
+                                size=(B,)).astype(np.int32)
+            for i in range(B):
+                x[i, x_len[i] - 1:] = 0
+                x[i, x_len[i] - 1] = 1            # EOS then PADs
+                y[i, y_len[i] - 1:] = 0
+                y[i, y_len[i] - 1] = 1
+        else:
+            x_len = np.full((B,), Ts, np.int32)
+            y_len = np.full((B,), Tt, np.int32)
+            y[:, -1] = 1     # EOS
+        batch = {"source_tensors": [x, x_len],
+                 "target_tensors": [y, y_len],
                  "source_ids": np.arange(B, dtype=np.int32),
                  "batch_valid": np.int32(B)}
         for _ in range(p["num_batches"]):

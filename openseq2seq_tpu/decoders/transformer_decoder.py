@@ -54,6 +54,22 @@ class TransformerDecoderModule(nn.Module):
     # beam_search.py). Equivalent outputs; ~3x less per-step cache
     # traffic. Off switch kept for A/B tests.
     lazy_decode: bool = True
+    sp_mesh: Any = None     # sequence parallelism for the TRAINING
+                            # pass: shard the decoder residual stream's
+                            # time axis over the mesh "model" axis
+                            # (same Megatron-SP layout as the encoder);
+                            # incremental decode (T=1) is untouched —
+                            # the divisibility guard falls through
+
+    def _sp(self, x):
+        if self.sp_mesh is None or x.ndim != 3:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        msize = self.sp_mesh.shape.get("model", 1)
+        if msize <= 1 or x.shape[1] % msize != 0:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.sp_mesh, P("data", "model", None)))
 
     def setup(self):
         L = self.num_hidden_layers
@@ -97,17 +113,17 @@ class TransformerDecoderModule(nn.Module):
                 decode_pos=decode_pos,
                 beam_ancestry=ancestry, beam_size=self.beam_size)
             new_self_caches.append(new_c)
-            x = x + drop(h)
+            x = self._sp(x + drop(h))
 
             h = self.ca_norms[i](x, train=train)
             h = self.cross_attns[i](
                 h, memory=memory, bias=enc_bias, train=train,
                 kv_cache=None if caches is None else caches["cross"][i])
-            x = x + drop(h)
+            x = self._sp(x + drop(h))
 
             h = self.ffn_norms[i](x, train=train)
             h = self.ffns[i](h, train=train)
-            x = x + drop(h)
+            x = self._sp(x + drop(h))
             # layer-boundary remat anchor (model remat="blocks" policy)
             x = checkpoint_name(x, "block_boundary")
         return self.out_norm(x, train=train), new_self_caches
@@ -240,6 +256,7 @@ class TransformerDecoder(Decoder):
             "norm_params": dict,
             "use_flash_attention": bool,
             "lazy_decode": bool,
+            "sequence_parallel": bool,
         })
 
     def make_module(self):
@@ -265,4 +282,8 @@ class TransformerDecoder(Decoder):
             mode=self._mode,
             norm_params=p.get("norm_params"),
             use_flash=p.get("use_flash_attention", False),
-            lazy_decode=p.get("lazy_decode", True))
+            lazy_decode=p.get("lazy_decode", True),
+            sp_mesh=(self._model.mesh
+                     if (p.get("sequence_parallel", False) and
+                         self._model is not None and
+                         self._model.mesh is not None) else None))

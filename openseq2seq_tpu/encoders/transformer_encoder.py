@@ -46,6 +46,12 @@ class TransformerEncoderModule(nn.Module):
                             # axis (Megatron-SP); GSPMD inserts the
                             # all-gathers attention needs and keeps
                             # LN/dropout/FFN elementwise work sharded
+    pipeline_stages: int = 0     # >1: run the layer stack as a GPipe
+                                 # pipeline over the mesh "pipe" axis
+                                 # (stacked-parameter stack, parts/
+                                 # transformer/pipelined_stack.py)
+    pipeline_microbatches: int = 4
+    pipe_mesh: Any = None
 
     def _sp(self, x):
         if self.sp_mesh is None:
@@ -65,6 +71,25 @@ class TransformerEncoderModule(nn.Module):
             vocab_size=self.src_vocab_size, hidden_size=self.hidden_size,
             pad_vocab_to_eight=self.pad_embeddings_2_eight,
             dtype=self.dtype_)
+        if self.pipeline_stages > 1:
+            from ..parts.transformer.pipelined_stack import \
+                PipelinedTransformerLayers
+            self.pipeline_layers = PipelinedTransformerLayers(
+                num_layers=self.encoder_layers,
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                filter_size=self.filter_size,
+                attention_dropout=self.attention_dropout,
+                relu_dropout=self.relu_dropout,
+                postprocess_dropout=self.layer_postprocess_dropout,
+                dtype_=self.dtype_,
+                num_microbatches=self.pipeline_microbatches,
+                mesh=self.pipe_mesh,
+                name="pipeline_layers")
+            self.out_norm = make_norm(self.norm_params, self.dtype_)
+            self.post_drop = nn.Dropout(
+                rate=self.layer_postprocess_dropout)
+            return
         self.self_attns = [SelfAttention(
             hidden_size=self.hidden_size, num_heads=self.num_heads,
             attention_dropout=self.attention_dropout, dtype=self.dtype_,
@@ -100,6 +125,15 @@ class TransformerEncoderModule(nn.Module):
         x = x + jnp.asarray(pos, self.dtype_)[None, :, :]
         drop = lambda h: self.post_drop(h, deterministic=not train)  # noqa: E731
         x = self._sp(drop(x))
+
+        if self.pipeline_stages > 1:
+            x = self.pipeline_layers(x, bias, train=train)
+            x = self.out_norm(x, train=train)
+            return {"outputs": x,
+                    "inputs": ids,
+                    "src_length": lengths,
+                    "attention_bias": bias,
+                    "embedding_table": self.embedding.table()}
 
         moe_aux = 0.0
         for i in range(self.encoder_layers):
@@ -153,10 +187,33 @@ class TransformerEncoder(Encoder):
             "moe_num_experts": int,
             "moe_loss_weight": float,
             "use_flash_attention": bool,
+            "num_pipeline_stages": int,
+            "num_pipeline_microbatches": int,
         })
 
     def make_module(self):
         p = self._params
+        model_cfg = getattr(self._model, "params", {}) or {} \
+            if self._model is not None else {}
+        stages = int(p.get("num_pipeline_stages",
+                           model_cfg.get("num_pipeline_stages", 0)) or 0)
+        if stages > 1:
+            incompatible = [k for k in ("moe_num_experts",
+                                        "sequence_parallel",
+                                        "use_flash_attention")
+                            if p.get(k)]
+            if p.get("norm_params", {}).get("type") == "batch_norm":
+                incompatible.append("norm_params.batch_norm")
+            if incompatible:
+                raise ValueError(
+                    "num_pipeline_stages is incompatible with {} (the "
+                    "pipelined stack is a homogeneous pre-norm LN "
+                    "stack)".format(incompatible))
+            if p["encoder_layers"] % stages != 0:
+                raise ValueError(
+                    "encoder_layers {} must divide into "
+                    "num_pipeline_stages {}".format(
+                        p["encoder_layers"], stages))
         return TransformerEncoderModule(
             encoder_layers=p["encoder_layers"],
             hidden_size=p["hidden_size"],
@@ -175,4 +232,11 @@ class TransformerEncoder(Encoder):
             sp_mesh=(self._model.mesh
                      if (p.get("sequence_parallel", False) and
                          self._model is not None and
-                         self._model.mesh is not None) else None))
+                         self._model.mesh is not None) else None),
+            pipeline_stages=stages,
+            pipeline_microbatches=int(
+                p.get("num_pipeline_microbatches",
+                      model_cfg.get("num_pipeline_microbatches", 4))),
+            pipe_mesh=(self._model.mesh
+                       if (stages > 1 and self._model is not None)
+                       else None))

@@ -99,6 +99,11 @@ class Model(abc.ABC):
             "processed_data_folder": str,
             "num_model_partitions": int,  # TPU: model-parallel mesh axis
             "num_data_partitions": int,
+            "num_pipeline_stages": int,   # TPU: GPipe pipeline over a
+                                          # "pipe" mesh axis (transformer
+                                          # encoder stack; parallel/
+                                          # pipeline.py)
+            "num_pipeline_microbatches": int,
             "profile_dir": str,           # jax.profiler trace output
             "use_xla_jit": bool,          # accepted for config parity;
                                           # everything is jitted anyway

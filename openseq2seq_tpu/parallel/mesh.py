@@ -55,6 +55,7 @@ def mesh_from_config(config: Dict[str, Any]) -> Mesh:
     ``num_data_partitions`` isn't given — a reference config asking for
     4 of 8 devices gets 4."""
     num_model = int(config.get("num_model_partitions", 1))
+    num_pipe = int(config.get("num_pipeline_stages", 0) or 0)
     num_data = config.get("num_data_partitions", None)
     if not num_data:          # 0 / None -> auto (all remaining devices)
         num_data = None
@@ -62,8 +63,15 @@ def mesh_from_config(config: Dict[str, Any]) -> Mesh:
         if num_gpus > 0 and jax.process_count() == 1:
             # single-host only: a device-prefix mesh on a pod would
             # exclude other hosts' devices and desync shard_batch
-            avail = len(jax.devices()) // num_model
+            avail = len(jax.devices()) // max(num_model, 1)
             num_data = min(num_gpus, max(avail, 1))
+    if num_pipe > 1:
+        if num_model > 1:
+            raise ValueError(
+                "num_pipeline_stages and num_model_partitions cannot "
+                "be combined yet — pick pipeline OR tensor parallelism")
+        from .pipeline import make_pipeline_mesh
+        return make_pipeline_mesh(num_stages=num_pipe, num_data=num_data)
     return make_mesh(num_data=num_data, num_model=num_model)
 
 
@@ -213,13 +221,24 @@ def tp_state_sharding(state, mesh: Mesh, rules=DEFAULT_TP_RULES):
     by parameter name (optimizer moments mirror the param tree names,
     so they pick up the same layout), everything else replicated.
     Falls back to fully replicated when the model axis has size 1 or a
-    shape doesn't divide."""
-    msize = mesh.shape[MODEL_AXIS]
+    shape doesn't divide.
+
+    Pipeline meshes: leaves of a stacked pipelined layer stack
+    (``pipeline_layers`` in the path, leading layer axis) shard that
+    axis over ``pipe`` so each stage's devices hold only their own
+    layers' params and optimizer moments."""
+    msize = mesh.shape.get(MODEL_AXIS, 1)
+    psize = mesh.shape.get("pipe", 1)
 
     def spec_for(path, leaf):
-        if msize == 1 or not hasattr(leaf, "ndim") or leaf.ndim == 0:
+        if not hasattr(leaf, "ndim") or leaf.ndim == 0:
             return P()
         name = _path_str(path)
+        if psize > 1 and "pipeline_layers" in name and \
+                leaf.shape[0] % psize == 0:
+            return P(*(("pipe",) + (None,) * (leaf.ndim - 1)))
+        if msize == 1:
+            return P()
         for pat, spec in rules:
             if re.search(pat, name):
                 for dim, ax in enumerate(spec):

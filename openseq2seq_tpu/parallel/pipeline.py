@@ -57,48 +57,55 @@ def stack_stage_params(per_stage_params: Sequence[Any], mesh: Mesh):
         stacked)
 
 
-def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
+def pipeline_apply(stage_fn: Callable[[Any, Any], Any],
                    stacked_params: Any,
-                   x: jax.Array,
+                   x: Any,
                    *,
                    mesh: Mesh,
                    num_microbatches: int):
     """Run ``x`` through S pipelined stages.
 
-    stage_fn(params_slice, h) -> h' must be shape-preserving (the
+    ``stage_fn(local_params, h) -> h'`` must be shape-preserving (the
     homogeneous-stage contract, e.g. k transformer layers).
-    ``stacked_params`` leaves carry a leading stage axis of size S
-    (see :func:`stack_stage_params`). ``x`` is (B, ...) with B
-    divisible by num_microbatches (per data shard).
+    ``stacked_params`` leaves carry a leading LAYER axis divisible by
+    S; each pipe shard receives its local (layers/S, ...) slice —
+    stage_fn scans over that leading axis itself (a single-layer-per-
+    stage caller just squeezes it). ``x`` may be a single (B, ...)
+    array or a PYTREE of (B, ...) arrays (activations plus side inputs
+    like attention biases / rng rows that must travel with their
+    microbatch); B divisible by num_microbatches (per data shard).
     """
     S = mesh.shape[PIPE_AXIS]
     M = num_microbatches
     dsize = mesh.shape.get(DATA_AXIS, 1)
-    per_shard = x.shape[0] // dsize
+    tmap = jax.tree_util.tree_map
+    x_leaves = jax.tree_util.tree_leaves(x)
+    per_shard = x_leaves[0].shape[0] // dsize
     if per_shard % M != 0 or per_shard == 0:
         raise ValueError(
             "pipeline_apply: per-data-shard batch {} must be divisible "
             "by num_microbatches {} (global batch {}, data shards "
-            "{})".format(per_shard, M, x.shape[0], dsize))
+            "{})".format(per_shard, M, x_leaves[0].shape[0], dsize))
 
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    param_specs = jax.tree_util.tree_map(
+    param_specs = tmap(
         lambda l: P(*((PIPE_AXIS,) + (None,) * (l.ndim - 1))),
         stacked_params)
-    x_spec = P(DATA_AXIS) if DATA_AXIS in mesh.axis_names else P()
+    x_spec = tmap(
+        lambda l: P(DATA_AXIS) if DATA_AXIS in mesh.axis_names else P(),
+        x)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(param_specs, x_spec), out_specs=x_spec)
-    def run(params, xl):
-        # params leaves: (1, ...) local stage slice
-        local = jax.tree_util.tree_map(lambda l: l[0], params)
+    def run(local, xl):
+        # local leaves: (layers/S, ...) slice owned by this pipe shard
         stage = jax.lax.axis_index(PIPE_AXIS)
-        b = xl.shape[0] // M
-        mb = xl.reshape((M, b) + xl.shape[1:])
+        b = jax.tree_util.tree_leaves(xl)[0].shape[0] // M
+        mb = tmap(lambda a: a.reshape((M, b) + a.shape[1:]), xl)
         # the carry becomes pipe-varying after ppermute/axis_index;
         # mark the zero inits accordingly (new shard_map VMA typing)
         def _vary(z):
@@ -107,26 +114,32 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
             except (AttributeError, TypeError):  # older jax
                 return jax.lax.pvary(z, PIPE_AXIS)
 
-        out = _vary(jnp.zeros_like(mb))
-        state = _vary(jnp.zeros_like(mb[0]))
+        out = tmap(lambda a: _vary(jnp.zeros_like(a)), mb)
+        state = tmap(lambda a: _vary(jnp.zeros_like(a[0])), mb)
         perm = [(i, i + 1) for i in range(S - 1)]
 
         def tick(t, carry):
             state, out = carry
             # stage 0 ingests microbatch t (zeros once drained)
             feed_idx = jnp.minimum(t, M - 1)
-            feed = jax.lax.dynamic_index_in_dim(mb, feed_idx, 0,
-                                                keepdims=False)
-            feed = jnp.where(t < M, feed, jnp.zeros_like(feed))
-            inp = jnp.where(stage == 0, feed, state)
+            feed = tmap(lambda a: jnp.where(
+                t < M,
+                jax.lax.dynamic_index_in_dim(a, feed_idx, 0,
+                                             keepdims=False),
+                jnp.zeros_like(a[0])), mb)
+            inp = tmap(lambda f, s: jnp.where(stage == 0, f, s),
+                       feed, state)
             y = stage_fn(local, inp)
             # last stage emits microbatch t-(S-1)
             emit_idx = jnp.clip(t - (S - 1), 0, M - 1)
             emit = jnp.logical_and(stage == S - 1, t >= S - 1)
-            cur = jax.lax.dynamic_index_in_dim(out, emit_idx, 0,
-                                               keepdims=False)
-            out = jax.lax.dynamic_update_index_in_dim(
-                out, jnp.where(emit, y, cur), emit_idx, 0)
+
+            def _emit(o, yl):
+                cur = jax.lax.dynamic_index_in_dim(o, emit_idx, 0,
+                                                   keepdims=False)
+                return jax.lax.dynamic_update_index_in_dim(
+                    o, jnp.where(emit, yl, cur), emit_idx, 0)
+            out = tmap(_emit, out, y)
             # hand activations to the next stage over the ICI ring
             state = jax.lax.ppermute(y, PIPE_AXIS, perm)
             return state, out
@@ -136,9 +149,9 @@ def pipeline_apply(stage_fn: Callable[[Any, jax.Array], jax.Array],
         # activations live on the LAST shard — mask + psum broadcasts
         # them so the output is replicated over pipe
         if S > 1:
-            out = jax.lax.psum(
-                jnp.where(stage == S - 1, out, jnp.zeros_like(out)),
-                PIPE_AXIS)
-        return out.reshape(xl.shape)
+            out = tmap(lambda o: jax.lax.psum(
+                jnp.where(stage == S - 1, o, jnp.zeros_like(o)),
+                PIPE_AXIS), out)
+        return tmap(lambda o, a: o.reshape(a.shape), out, xl)
 
     return run(stacked_params, x)

@@ -174,6 +174,7 @@ def test_sequence_parallel_matches_single_device(tmp_path):
             cfg["encoder_params"][k] = 0.0
             cfg["decoder_params"][k] = 0.0
         cfg["encoder_params"]["sequence_parallel"] = sp
+        cfg["decoder_params"]["sequence_parallel"] = sp
         # SP shards the time axis over the model axis: pad T to 8
         cfg["data_layer_params"]["pad_lengths_to_eight"] = True
         return Text2Text(params=cfg, mode="train", mesh=mesh)
@@ -219,12 +220,13 @@ def test_pipeline_parallel_matches_sequential():
     x = jnp.asarray(rng.randn(B, D), jnp.float32)
 
     def stage_fn(p, h):
-        return jax.nn.relu(h @ p["w"] + p["b"])
+        # local slice carries a leading (layers-per-stage = 1) axis
+        return jax.nn.relu(h @ p["w"][0] + p["b"][0])
 
     # sequential reference
     ref = x
     for p in per_stage:
-        ref = stage_fn(p, ref)
+        ref = jax.nn.relu(ref @ p["w"] + p["b"])
 
     mesh = make_pipeline_mesh(num_stages=S, num_data=2)
     stacked = stack_stage_params(per_stage, mesh)
@@ -303,3 +305,66 @@ def test_expert_parallel_moe_matches_single_device(tmp_path):
     sd = md.init_state(batch)
     _, metrics_d = jax.jit(md.train_step)(sd, b1, rng)
     assert float(metrics_d["loss"]) != float(metrics1["loss"])
+
+
+def test_config_driven_pipeline_parallel_text2text(tmp_path):
+    """`num_pipeline_stages` in a model config builds a (data, pipe)
+    mesh, stacks the transformer encoder layers over the pipe axis
+    (params + moments sharded), and the pipelined train step matches
+    the unpipelined layer-scan of the SAME parameter tree exactly."""
+    import jax
+    import jax.numpy as jnp
+    from openseq2seq_tpu.models import Text2Text
+    from openseq2seq_tpu.parallel.mesh import (mesh_from_config,
+                                               shard_batch,
+                                               tp_state_sharding)
+    from openseq2seq_tpu.test_utils import toy_nmt
+
+    data = toy_nmt.generate(str(tmp_path))
+    cfg = toy_nmt.transformer_toy_config(data, num_epochs=1)
+    cfg["encoder_params"]["encoder_layers"] = 4
+    for k in ("attention_dropout", "relu_dropout",
+              "layer_postprocess_dropout"):
+        cfg["encoder_params"][k] = 0.0
+    cfg["num_pipeline_stages"] = 4
+    cfg["num_pipeline_microbatches"] = 4
+
+    mesh = mesh_from_config(cfg)
+    assert dict(mesh.shape) == {"data": 2, "pipe": 4}
+    m_pp = Text2Text(params=dict(cfg), mode="train", mesh=mesh)
+    batch = next(iter(m_pp.get_data_layer().iterate_one_epoch()))
+    state = m_pp.init_state(batch)
+    sh = tp_state_sharding(state, mesh)
+    pipe_leaves = [s for p, s in
+                   jax.tree_util.tree_flatten_with_path(sh.params)[0]
+                   if "pipe" in str(s.spec)]
+    assert len(pipe_leaves) == 12          # 12 stacked leaves per stack
+    state = jax.device_put(state, sh)
+    db = shard_batch(batch, mesh)
+    new_state, metrics = jax.jit(m_pp.train_step)(
+        state, db, jax.random.PRNGKey(0))
+    pp_loss = float(metrics["loss"])
+
+    # identical params (same seed), plain scan path (no pipe mesh)
+    m_sc = Text2Text(params=dict(cfg), mode="train", mesh=None)
+    state_sc = m_sc.init_state(batch)
+    db_host = jax.tree_util.tree_map(np.asarray, batch)
+    _, metrics_sc = jax.jit(m_sc.train_step)(
+        state_sc, db_host, jax.random.PRNGKey(0))
+    assert pp_loss == pytest.approx(float(metrics_sc["loss"]), abs=1e-5)
+
+    # grads flowed into every stage's stacked params
+    g0 = jax.tree_util.tree_leaves(new_state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in g0)
+
+    # dropout path (rng rows through the pipeline) still trains
+    cfg_d = dict(cfg)
+    cfg_d["encoder_params"] = dict(
+        cfg["encoder_params"], attention_dropout=0.1, relu_dropout=0.1,
+        layer_postprocess_dropout=0.1)
+    m_d = Text2Text(params=cfg_d, mode="train", mesh=mesh)
+    state_d = jax.device_put(
+        m_d.init_state(batch), tp_state_sharding(state, mesh))
+    _, metrics_d = jax.jit(m_d.train_step)(
+        state_d, db, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics_d["loss"]))
