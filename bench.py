@@ -39,8 +39,11 @@ def main():
                                                shard_batch)
     from openseq2seq_tpu.zoo import jasper_model_params
 
+    import os
     n_chips = len(jax.devices())
-    batch_per_chip = 128
+    # sweep knobs (defaults reproduce the headline): BENCH_BS,
+    # BENCH_REMAT (""/"true"/"blocks"), BENCH_MOMENTS ("bfloat16")
+    batch_per_chip = int(os.environ.get("BENCH_BS", "128"))
     time_steps = 1000
 
     mesh = make_mesh(num_data=n_chips, num_model=1)
@@ -65,6 +68,12 @@ def main():
     # bs192 remat="blocks" 101 utt/s, bs256 fails remote compile
     # (scripts/bench_sweep.py) — bs128 remains optimal on v5e.
     params["loss_params"] = {"use_pallas": True}
+    remat = os.environ.get("BENCH_REMAT", "")
+    if remat:
+        params["remat"] = True if remat == "true" else remat
+    if os.environ.get("BENCH_MOMENTS"):
+        params["optimizer_params"]["moments_dtype"] = \
+            os.environ["BENCH_MOMENTS"]
     # dropout masks from the TPU RngBitGenerator (see bench_nmt.py /
     # trainer.make_base_rng; threefry mask generation is pure-VPU work)
     params["prng_impl"] = "rbg"

@@ -194,12 +194,16 @@ def ctc_beam_search_decoder(probs: np.ndarray,
                     # ...and a blank-separated repeat extends it
                     if pb.lp_b > LOG0:
                         ext = prefix + (cid,)
-                        e2 = get(ext)
                         add = pb.lp_b + lp_c
                         add, ectx = _maybe_score_word(
                             add, ext, ctx, cid, space_ids, alphabet,
                             ext_scorer, trie)
+                        # create the beam entry only for admitted
+                        # extensions — a scorer/trie-rejected (-inf)
+                        # one would otherwise survive wide-beam
+                        # pruning as a ctx-less empty prefix
                         if add > LOG0:
+                            e2 = get(ext)
                             e2.lp_nb = _logsumexp(e2.lp_nb, add)
                             e2.times = e2.times or (pb.times + (t,))
                             new_ctx.setdefault(ext, ectx)

@@ -45,7 +45,11 @@ TRANSCRIPTS = [
 # inconsistent words. Mirrors the reference's published WER ladder
 # greedy -> beam+LM -> neural rescore (speech-recognition/jasper.rst).
 LADDER_W1 = ["abc", "dec", "egg", "had"]
-LADDER_W2 = ["ha", "he", "cab", "fed"]
+# second words are mutually acoustically DISTINCT (no equiprobable
+# near-homophones): an error no language model could fix — "ha" vs
+# "he" are both valid continuations of every first word with equal
+# prior — must not dominate the residual error mass
+LADDER_W2 = ["ha", "gag", "cab", "fed"]
 LADDER_W3 = {"abc": "bca", "dec": "bcb", "egg": "dfe", "had": "dfd"}
 
 

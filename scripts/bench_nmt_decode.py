@@ -12,7 +12,19 @@ static (beam-invariant) caches + single composed beam gather -> 22.2
 after the grouped exact top-k removed XLA's full-sort lowering
 (profiled at 11.8 ms of the 33 ms step; see ops/beam_search.py).
 
-Usage: [BENCH_BS=64] python scripts/bench_nmt_decode.py
+Baseline context: the reference publishes NO decode-throughput figure
+(BASELINE.md "Notes" — throughput exists only as training scaling
+plots), so vs_baseline is defined against a stated assumption:
+incremental beam decode is HBM-bandwidth-bound and V100 HBM2
+(900 GB/s) ~= v5e HBM2 (819 GB/s), so a faithful port of the
+reference's decode schedule (per-step gathered KV caches + full-sort
+top-k, `parts/transformer/beam_search.py:29-541`) would run on V100
+at roughly what OUR faithful-schedule implementation measured on v5e:
+11.8 sent/s/chip. vs_baseline = value / 11.8 therefore reports the
+TPU-native design wins (static caches, grouped exact top-k, lazy
+ancestry-resolved beam reordering) over a straight translation.
+
+Usage: [BENCH_BS=64] [BENCH_LAZY=0] python scripts/bench_nmt_decode.py
 """
 from __future__ import annotations
 
@@ -39,6 +51,7 @@ def main():
 
     n_chips = len(jax.devices())
     bs = int(os.environ.get("BENCH_BS", "64"))
+    lazy = os.environ.get("BENCH_LAZY", "1") == "1"
     seq_len = 64
     d_model = 1024
 
@@ -66,6 +79,7 @@ def main():
             "num_heads": 16, "attention_dropout": 0.0,
             "relu_dropout": 0.0, "filter_size": 4 * d_model,
             "beam_size": 4, "alpha": 0.6, "extra_decode_length": 50,
+            "lazy_decode": lazy,
         },
         "loss": PaddedCrossEntropyLossWithSmoothing,
         "loss_params": {"label_smoothing": 0.1},
@@ -102,6 +116,8 @@ def main():
         "metric": "transformer_big_beam4_infer_sentences_per_sec_per_chip",
         "value": round(sent_per_sec_chip, 2),
         "unit": "sentences/s/chip",
+        "vs_baseline": round(sent_per_sec_chip / 11.8, 2),
+        "lazy_decode": lazy,
         "batch_latency_ms": round(wall / n * 1e3, 1),
         "beam_size": 4,
         "decode_len": seq_len + 50,

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from openseq2seq_tpu.data.speech2text.speech2text import \
     load_pre_existing_vocabulary  # noqa: E402
 from openseq2seq_tpu.ops.ctc_beam import (Scorer,  # noqa: E402
-                                          ctc_beam_search_decoder)
+                                          ctc_beam_search_decoder_batch)
 from openseq2seq_tpu.utils.metrics import levenshtein  # noqa: E402
 
 
@@ -37,21 +37,33 @@ def softmax(x):
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def wer_for_params(logits_map, labels, alphabet, lm_path, alpha, beta,
-                   beam_width):
+def _decode_all(logits_map, wavs, alphabet, lm_path, alpha, beta,
+                beam_width):
+    """Batch-decode through the native C++ decoder (threaded across
+    utterances; the reference's decode.py drives its SWIG decoder the
+    same way) — the pure-Python single-utterance oracle is ~100x
+    slower at beam 2048."""
     scorer = None
     if lm_path:
         scorer = Scorer(alpha=alpha, beta=beta, model_path=lm_path)
+    probs_list = [softmax(np.asarray(logits_map[w], np.float32))
+                  for w in wavs]
+    lens = [p.shape[0] for p in probs_list]
+    res = ctc_beam_search_decoder_batch(
+        probs_list, lens, alphabet, beam_size=beam_width,
+        num_processes=max(os.cpu_count() or 1, 1), ext_scorer=scorer)
+    return {w: r[0][1] for w, r in zip(wavs, res)}
+
+
+def wer_for_params(logits_map, labels, alphabet, lm_path, alpha, beta,
+                   beam_width):
+    wavs = [w for w in labels if w in logits_map]
+    hyps = _decode_all(logits_map, wavs, alphabet, lm_path, alpha, beta,
+                       beam_width)
     total_dist, total_words = 0, 0
-    for wav, ref in labels.items():
-        if wav not in logits_map:
-            continue
-        probs = softmax(np.asarray(logits_map[wav], np.float32))
-        res = ctc_beam_search_decoder(probs, alphabet,
-                                      beam_size=beam_width,
-                                      ext_scorer=scorer)
-        hyp = res[0][1]
-        total_dist += levenshtein(ref.split(), hyp.split())
+    for wav in wavs:
+        ref = labels[wav]
+        total_dist += levenshtein(ref.split(), hyps[wav].split())
         total_words += len(ref.split())
     return total_dist / max(total_words, 1)
 
@@ -107,17 +119,14 @@ def main(argv=None):
     print("BEST: alpha={} beta={} WER={:.4f}".format(*best))
 
     if args.infer_output_file:
-        scorer = Scorer(alpha=best[0], beta=best[1],
-                        model_path=args.lm) if args.lm else None
+        wavs = list(logits_map)
+        hyps = _decode_all(logits_map, wavs, alphabet, args.lm,
+                           best[0], best[1], args.beam_width)
         with open(args.infer_output_file, "w", newline="") as f:
             writer = csv.writer(f)
             writer.writerow(["wav_filename", "predicted_transcript"])
-            for wav, logits in logits_map.items():
-                probs = softmax(np.asarray(logits, np.float32))
-                res = ctc_beam_search_decoder(
-                    probs, alphabet, beam_size=args.beam_width,
-                    ext_scorer=scorer)
-                writer.writerow([wav, res[0][1]])
+            for wav in wavs:
+                writer.writerow([wav, hyps[wav]])
     return 0
 
 

@@ -122,3 +122,181 @@ def test_logits_dump_and_offline_decode(trained_toy_asr, tmp_path):
     wer = float(best_line.rsplit("WER=", 1)[1])
     assert wer < 0.2, proc.stdout
     assert os.path.exists(out_csv)
+
+
+def test_decode_ladder_strictly_improves(tmp_path):
+    """The reference's published offline-ASR WER ladder — greedy ->
+    beam-2048 + n-gram LM -> neural-LM rescoring, each rung strictly
+    better (3.61 -> 2.78 -> 2.58 on LibriSpeech,
+    `docs/sources/source/speech-recognition/jasper.rst:44-50`) —
+    reproduced end-to-end on the ladder toy corpus through the REAL
+    product surfaces: trained Jasper -> infer logits dump ->
+    `scripts/build_lm.py` word-bigram ARPA -> `scripts/decode.py` at
+    beam 2048 -> 32-best + `apps/lm_rescorer.NeuralRescorer` (LSTM LM
+    trained in-test). The corpus makes each rung's contribution
+    identifiable: acoustic confusions yield non-words (n-gram-fixable)
+    and valid-but-inconsistent third words (only the neural LM, which
+    sees the long-range w1->w3 dependency, can fix those)."""
+    import csv as csvmod
+    import time
+
+    import jax
+
+    from openseq2seq_tpu.apps.lm_rescorer import NeuralRescorer
+    from openseq2seq_tpu.data.speech2text import Speech2TextDataLayer
+    from openseq2seq_tpu.models import LSTMLM
+    from openseq2seq_tpu.ops.ctc_beam import (
+        ctc_beam_search_decoder_nbest, ctc_greedy_decoder, Scorer)
+    from openseq2seq_tpu.parallel import collective
+    from openseq2seq_tpu.parallel.mesh import shard_batch
+    from openseq2seq_tpu.utils.metrics import levenshtein
+    from openseq2seq_tpu.zoo import jasper_model_params
+    from test_lm import _lm_config
+
+    base = str(tmp_path)
+    sents = toy_speech.ladder_sentences()
+    train_csv, vocab = toy_speech.generate(
+        os.path.join(base, "train"), transcripts=sents * 2, seed=0,
+        noise=0.01, csv_name="train.csv")
+    # acoustically degraded eval set (3 draws per sentence)
+    eval_csv, _ = toy_speech.generate(
+        os.path.join(base, "eval"), transcripts=sents * 3, seed=7,
+        noise=0.45, csv_name="eval.csv")
+
+    def cfg(files):
+        p = jasper_model_params(
+            Speech2TextDataLayer,
+            {"num_audio_features": 40, "input_type": "logfbank",
+             "vocab_file": vocab, "dataset_files": [files],
+             "shuffle": True, "pad_to": 16, "norm_per_feature": True,
+             "window": "hanning", "precompute_mel_basis": True,
+             "sample_freq": 16000},
+            num_blocks=2, block_repeat=2, width_scale=0.25,
+            batch_size_per_gpu=8, dtype="float32")
+        p["loss_params"] = {}
+        p["num_epochs"] = 120
+        p["print_loss_steps"] = 200
+        p["logdir"] = ""
+        p["lr_policy_params"] = {
+            "learning_rate": 0.01, "min_lr": 1e-5, "power": 2.0,
+            "decay_steps": 120 * len(sents) * 2 // 8}
+        return p
+
+    model = Speech2Text(params=cfg(train_csv), mode="train")
+    result = trainer.train(model)
+    assert float(result["last_metrics"]["loss"]) < 1.0
+
+    # ---- logits dump via the infer pipeline (infer_logits_to_pickle)
+    infer_p = cfg(eval_csv)
+    infer_p["data_layer_params"]["shuffle"] = False
+    infer_p["decoder_params"] = {"use_language_model": False,
+                                 "infer_logits_to_pickle": True}
+    infer_model = Speech2Text(params=infer_p, mode="infer")
+    mesh, state = trainer._eval_setup(infer_model, result["state"])
+    eval_fn = trainer._jitted_eval_fn(infer_model)
+    dl = infer_model.get_data_layer()
+    results = []
+    for batch in dl.prefetch(dl.iterate_one_epoch()):
+        out = jax.device_get(eval_fn(state, shard_batch(batch, mesh)))
+        results.append(infer_model.infer(batch, out))
+    results = collective.collect_results(results, mode="gather")
+    dump = os.path.join(base, "logits.pkl")
+    infer_model.finalize_inference(results, dump)
+    with open(dump, "rb") as f:
+        logits_map = pickle.load(f)
+    assert len(logits_map) == len(sents) * 3
+
+    refs = {}
+    with open(eval_csv) as f:
+        for row in csvmod.DictReader(f):
+            refs[row["wav_filename"]] = row["transcript"]
+    alphabet = list(toy_speech.VOCAB)
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    def wer(hyps):
+        d = w = 0
+        for wav, ref in refs.items():
+            d += levenshtein(ref.split(), hyps[wav].split())
+            w += len(ref.split())
+        return d / w
+
+    # ---- rung 1: greedy
+    greedy = {w: ctc_greedy_decoder(
+        softmax(np.asarray(l, np.float32)), alphabet)
+        for w, l in logits_map.items()}
+    wer_greedy = wer(greedy)
+
+    # ---- rung 2: scripts/build_lm.py -> scripts/decode.py, beam 2048
+    corpus_txt = os.path.join(base, "lm_corpus.txt")
+    with open(corpus_txt, "w") as f:
+        for s in sents:
+            f.write(s + "\n")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    lm_path = os.path.join(base, "lm.arpa")
+    proc = subprocess.run(
+        [sys.executable, "scripts/build_lm.py", "--corpus", corpus_txt,
+         "--out", lm_path, "--order", "2"],
+        capture_output=True, text=True, timeout=300, cwd=root, env=env)
+    assert proc.returncode == 0, proc.stderr
+    out_csv = os.path.join(base, "beam2048.csv")
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "scripts/decode.py", "--logits", dump,
+         "--labels", eval_csv, "--vocab", vocab, "--lm", lm_path,
+         "--alpha", "0.8", "--beta", "0.4", "--beam_width", "2048",
+         "--infer_output_file", out_csv],
+        capture_output=True, text=True, timeout=1200, cwd=root, env=env)
+    assert proc.returncode == 0, proc.stderr
+    beam_wall = time.time() - t0
+    beam_hyps = {}
+    with open(out_csv) as f:
+        for row in csvmod.DictReader(f):
+            beam_hyps[row["wav_filename"]] = row["predicted_transcript"]
+    wer_beam = wer(beam_hyps)
+    print("\nbeam-2048 decode wall-clock: {:.1f}s for {} utts "
+          "({:.2f} utt/s, host C++ decoder)".format(
+              beam_wall, len(refs), len(refs) / beam_wall))
+
+    # ---- rung 3: 32-best + neural rescorer (LSTM LM, trained here).
+    # Sentence order is shuffled per corpus copy so bptt windows see
+    # varying contexts (a fixed repetition order starves the
+    # transitions that always straddle window boundaries).
+    lm_dir = os.path.join(base, "lmdata")
+    os.makedirs(lm_dir, exist_ok=True)
+    lm_rng = np.random.RandomState(3)
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(lm_dir, split + ".txt"), "w") as f:
+            for _ in range(30):
+                for i in lm_rng.permutation(len(sents)):
+                    f.write(sents[i] + "\n")
+    lm_cfg = _lm_config(lm_dir, base, num_epochs=40)
+    lm_cfg["logdir"] = os.path.join(base, "lm_logs")
+    lm_cfg["save_checkpoint_steps"] = 10 ** 9
+    lm_cfg["print_loss_steps"] = 200
+    lm_cfg["optimizer_params"] = {"learning_rate": 3e-3}
+    lm_result = trainer.train(LSTMLM(params=lm_cfg, mode="train"))
+    ck = os.path.join(lm_cfg["logdir"], "checkpoints")
+    ckpt = os.path.join(ck, max(os.listdir(ck), key=int))
+    resc = NeuralRescorer(
+        LSTMLM(params=_lm_config(lm_dir, base), mode="eval"), ckpt)
+
+    scorer = Scorer(alpha=0.8, beta=0.4, model_path=lm_path)
+    wavs = list(logits_map)
+    nbest_all = [ctc_beam_search_decoder_nbest(
+        softmax(np.asarray(logits_map[w], np.float32)), alphabet,
+        nbest=32, beam_size=2048, ext_scorer=scorer) for w in wavs]
+    best = resc.rescore(nbest_all, lm_weight=0.8)
+    wer_resc = wer({w: t for w, t in zip(wavs, best)})
+
+    print("WER ladder: greedy {:.4f} -> beam2048+LM {:.4f} -> "
+          "rescored {:.4f}".format(wer_greedy, wer_beam, wer_resc))
+    # the reference ladder's shape: every rung strictly improves
+    assert wer_greedy > wer_beam, (wer_greedy, wer_beam)
+    assert wer_beam > wer_resc, (wer_beam, wer_resc)
+    # and absolute quality is sane at each rung
+    assert wer_greedy < 0.35
+    assert wer_beam < 0.08
