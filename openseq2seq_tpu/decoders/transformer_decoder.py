@@ -166,9 +166,14 @@ class TransformerDecoderModule(nn.Module):
         h = self.num_heads
         dh = self.hidden_size // h
 
+        lazy = self.lazy_decode and self.beam_size > 1
+        # lazy mode keeps the cache head-merged (B, T, D): lane-full
+        # rows, and _attend_lazy_beam's dots read it exactly as stored
+        kv_shape = (B, max_len, self.hidden_size) if lazy \
+            else (B, max_len, h, dh)
         init_cache = {
-            "self": [{"k": jnp.zeros((B, max_len, h, dh), self.dtype_),
-                      "v": jnp.zeros((B, max_len, h, dh), self.dtype_)}
+            "self": [{"k": jnp.zeros(kv_shape, self.dtype_),
+                      "v": jnp.zeros(kv_shape, self.dtype_)}
                      for _ in range(self.num_hidden_layers)],
         }
         # beam-invariant: cross-attention KV over the encoder memory and
@@ -202,9 +207,18 @@ class TransformerDecoderModule(nn.Module):
 
         if self.is_initializing():
             # during init, run ONE eager decoder step to materialize all
-            # params — flax cannot create params inside lax.while_loop
+            # params — flax cannot create params inside lax.while_loop.
+            # Use eager-shaped (B, T, h, dh) caches: params are cache-
+            # shape-independent and the plain path covers every module
             dummy = jnp.zeros((B, 1), jnp.int32)
-            symbols_to_logits_fn(dummy, 0, {**init_cache, **static_cache})
+            init_kv = {
+                "self": [{"k": jnp.zeros((B, max_len, h, dh),
+                                         self.dtype_),
+                          "v": jnp.zeros((B, max_len, h, dh),
+                                         self.dtype_)}
+                         for _ in range(self.num_hidden_layers)],
+            }
+            symbols_to_logits_fn(dummy, 0, {**init_kv, **static_cache})
             zeros = jnp.zeros((B, max_len), jnp.int32)
             return {"outputs": [zeros, jnp.zeros((B,), jnp.int32)],
                     "scores": jnp.zeros((B,), jnp.float32),

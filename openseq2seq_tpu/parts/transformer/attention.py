@@ -46,7 +46,8 @@ def _attend(q, k, v, bias, dropout_rate, train, dtype, dropout_mod):
     return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(dtype), v)
 
 
-def _attend_lazy_beam(q, k_buf, v_buf, bias, ancestry, beam_size, dtype):
+def _attend_lazy_beam(q, k_buf, v_buf, bias, ancestry, beam_size,
+                      num_heads, dtype):
     """Incremental-decode attention over a beam-search cache whose rows
     were never physically reordered (``ops/beam_search.py``
     ``lazy_cache=True``).
@@ -54,38 +55,57 @@ def _attend_lazy_beam(q, k_buf, v_buf, bias, ancestry, beam_size, dtype):
     ``ancestry[(b*K+k), t]`` names the beam slot whose cache row holds
     beam k's KV for position t. Rather than gathering (K, T, h, d)
     keys/values per beam (a materialized copy the size of the cache),
-    scores are computed against ALL K slots' keys in one einsum and
-    selected by ancestry afterwards; the value contraction folds the
-    ancestry one-hot into the attention weights so it is again one
-    dense einsum. K x the MXU FLOPs of gathered attention — decode is
-    HBM-bound, so trading a (tiny) matmul for cache-sized gather
-    traffic wins (measured: 12-layer transformer-big beam-4 KV
-    maintenance was 10.4 ms of a 25 ms step before).
+    scores are computed against ALL K slots' keys and selected by
+    ancestry afterwards; the value contraction folds the ancestry
+    one-hot into the attention weights. K x the MXU FLOPs of gathered
+    attention — decode is HBM-bound, so trading matmul work for
+    cache-sized gather traffic wins.
 
-    Shapes: q (B*K, 1, h, d); k_buf/v_buf (B*K, T, h, d);
-    bias broadcastable to (B, K, h, T); ancestry (B*K, T) int32.
+    Layout is the whole trick. The cache stays HEAD-MERGED,
+    (B*K, T, D=h*d): lane-full rows (no dh=64 half-lane padding), and
+    both dots read it EXACTLY as stored — no transposes. Per-head
+    scores come from a block-diagonal query: q expanded to
+    (B, K*h, D) with head h's values in the head-h slice and zeros
+    elsewhere, so q_bd . k_row contracts over D yet yields exact
+    per-head logits (cross-head terms hit zeros). The value dot runs
+    the same way and the per-head output is the diagonal block of the
+    (B, K*h, D) result. A naive per-head einsum ("bkhd,bjthd->bkhjt")
+    needs (b, h) as dot batch dims, which forces XLA to physically
+    transpose the entire cache every step/layer — measured 9.3 vs
+    22.2 sent/s/chip, i.e. worse than the gathers it replaced.
+
+    Shapes: q (B*K, 1, D); k_buf/v_buf (B*K, T, D); bias broadcastable
+    to (B, K, h, T) fp32; ancestry (B*K, T) int32.
     """
-    BK, T, h, d = k_buf.shape
-    K = beam_size
+    BK, T, D = k_buf.shape
+    K, h = beam_size, num_heads
+    d = D // h
     B = BK // K
-    q = (q[:, 0] * (d ** -0.5)).reshape(B, K, h, d)
-    kb = k_buf.reshape(B, K, T, h, d)
+    q4 = (q.reshape(B, K, h, d) * (d ** -0.5)).astype(dtype)
+    eye = jnp.eye(h, dtype=dtype)
+    q_bd = (q4[:, :, :, None, :] *
+            eye[None, None, :, :, None]).reshape(B, K * h, D)
+    kb = k_buf.reshape(B, K * T, D)
+    s_all = jax.lax.dot_general(
+        q_bd, kb, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (B,K*h,K*T)
     anc = ancestry.reshape(B, K, T)
-    # scores vs every slot j, then pick j = anc[b, k, t]
-    s_all = jnp.einsum("bkhd,bjthd->bkhjt", q, kb,
-                       preferred_element_type=jnp.float32)
+    s5 = s_all.reshape(B, K, h, K, T)
     idx = jnp.broadcast_to(anc[:, :, None, None, :], (B, K, h, 1, T))
-    logits = jnp.take_along_axis(s_all, idx, axis=3)[:, :, :, 0, :]
+    logits = jnp.take_along_axis(s5, idx, axis=3)[:, :, :, 0, :]
     if bias is not None:
         logits = logits + bias.astype(jnp.float32).reshape(
             bias.shape[0], 1, 1, -1)                     # (B?|1,1,1,T)
     weights = jax.nn.softmax(logits, axis=-1)            # (B,K,h,T)
     onehot = (anc[:, :, None, :] ==
               jnp.arange(K, dtype=anc.dtype)[None, None, :, None])
-    wfull = weights[:, :, :, None, :] * \
-        onehot[:, :, None, :, :].astype(weights.dtype)   # (B,K,h,K,T)
-    vb = v_buf.reshape(B, K, T, h, d)
-    out = jnp.einsum("bkhjt,bjthd->bkhd", wfull.astype(dtype), vb)
+    wfull = (weights[:, :, :, None, :] *
+             onehot[:, :, None, :, :].astype(weights.dtype))
+    wf = wfull.astype(dtype).reshape(B, K * h, K * T)
+    vb = v_buf.reshape(B, K * T, D)
+    o = jax.lax.dot_general(
+        wf, vb, (((2,), (1,)), ((0,), (0,))))            # (B,K*h,D)
+    out = jnp.einsum("bkhhd->bkhd", o.reshape(B, K, h, h, d))
     return out.reshape(BK, 1, h, d)
 
 
@@ -180,6 +200,26 @@ class SelfAttention(nn.Module):
         qkv = nn.DenseGeneral(3 * self.hidden_size, dtype=self.dtype,
                               param_dtype=jnp.float32, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        if cache is not None and beam_ancestry is not None:
+            # lazy beam decode: the cache stays HEAD-MERGED (B*K, T, D)
+            # — see _attend_lazy_beam for why layout is everything here
+            if decode_pos is None:
+                raise ValueError("decode cache requires decode_pos")
+            k_buf = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype),
+                (0, decode_pos, 0))
+            v_buf = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype),
+                (0, decode_pos, 0))
+            out = _attend_lazy_beam(q, k_buf, v_buf, bias,
+                                    beam_ancestry, beam_size,
+                                    self.num_heads, self.dtype)
+            out = nn.DenseGeneral(
+                self.hidden_size, dtype=self.dtype,
+                param_dtype=jnp.float32, name="out")(_merge_heads(out))
+            return out, {"k": k_buf, "v": v_buf}
+
         q = _split_heads(q, self.num_heads)
         k = _split_heads(k, self.num_heads)
         v = _split_heads(v, self.num_heads)
@@ -193,14 +233,6 @@ class SelfAttention(nn.Module):
             v_buf = jax.lax.dynamic_update_slice(
                 cache["v"], v.astype(cache["v"].dtype), (0, decode_pos, 0, 0))
             new_cache = {"k": k_buf, "v": v_buf}
-            if beam_ancestry is not None:
-                out = _attend_lazy_beam(q, k_buf, v_buf, bias,
-                                        beam_ancestry, beam_size,
-                                        self.dtype)
-                out = nn.DenseGeneral(
-                    self.hidden_size, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="out")(_merge_heads(out))
-                return out, new_cache
             k, v = k_buf, v_buf
 
         drop = nn.Dropout(rate=self.attention_dropout,
