@@ -51,9 +51,13 @@ class TransformerDecoderModule(nn.Module):
     use_flash: bool = False      # fused Pallas attention kernel (TPU)
     # lazy beam reordering: KV-cache rows never gather on reorders; an
     # ancestry matrix resolves history inside attention (ops/
-    # beam_search.py). Equivalent outputs; ~3x less per-step cache
-    # traffic. Off switch kept for A/B tests.
-    lazy_decode: bool = True
+    # beam_search.py). Equivalent outputs, ~3x less per-step cache
+    # traffic on paper — but MEASURED SLOWER on v5e (11.45 vs 22.2
+    # sent/s, both the per-head einsum and the head-merged layout):
+    # the ancestry-resolved attention forces XLA into cache-transposing
+    # dot layouts that cost more than the gathers saved. Kept as an
+    # opt-in experiment; default stays on the eager-reorder schedule.
+    lazy_decode: bool = False
     sp_mesh: Any = None     # sequence parallelism for the TRAINING
                             # pass: shard the decoder residual stream's
                             # time axis over the mesh "model" axis
@@ -296,7 +300,7 @@ class TransformerDecoder(Decoder):
             mode=self._mode,
             norm_params=p.get("norm_params"),
             use_flash=p.get("use_flash_attention", False),
-            lazy_decode=p.get("lazy_decode", True),
+            lazy_decode=p.get("lazy_decode", False),
             sp_mesh=(self._model.mesh
                      if (p.get("sequence_parallel", False) and
                          self._model is not None and

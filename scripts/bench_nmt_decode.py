@@ -21,8 +21,13 @@ reference's decode schedule (per-step gathered KV caches + full-sort
 top-k, `parts/transformer/beam_search.py:29-541`) would run on V100
 at roughly what OUR faithful-schedule implementation measured on v5e:
 11.8 sent/s/chip. vs_baseline = value / 11.8 therefore reports the
-TPU-native design wins (static caches, grouped exact top-k, lazy
-ancestry-resolved beam reordering) over a straight translation.
+TPU-native design wins (static caches, grouped exact top-k) over a
+straight translation.
+
+Lazy (ancestry-resolved) beam reordering was tried twice and measured
+SLOWER on v5e both times (9.3 sent/s per-head einsum, 11.45 head-merged
+layout, vs 22.2 eager) — the attention rewrite forces cache-transposing
+dot layouts. BENCH_LAZY=1 keeps the A/B available.
 
 Usage: [BENCH_BS=64] [BENCH_LAZY=0] python scripts/bench_nmt_decode.py
 """
@@ -37,9 +42,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def main():
+def build_decode_step(bs: int, lazy: bool, seq_len: int = 64):
+    """Build the jitted transformer-big beam-4 infer step.
+
+    Returns (step, state, device_batch) — shared by this bench and
+    ``scripts/profile_decode.py`` so both measure the same program.
+    """
     import jax
-    import numpy as np
     from openseq2seq_tpu.data.synthetic import SyntheticTextDataLayer
     from openseq2seq_tpu.decoders import TransformerDecoder
     from openseq2seq_tpu.encoders import TransformerEncoder
@@ -50,9 +59,6 @@ def main():
                                                shard_batch)
 
     n_chips = len(jax.devices())
-    bs = int(os.environ.get("BENCH_BS", "64"))
-    lazy = os.environ.get("BENCH_LAZY", "1") == "1"
-    seq_len = 64
     d_model = 1024
 
     mesh = make_mesh(num_data=n_chips, num_model=1)
@@ -100,6 +106,17 @@ def main():
     state = jax.device_put(state, replicated_sharding(mesh))
     device_batch = shard_batch(batch, mesh)
     step = jax.jit(model.eval_step)
+    return step, state, device_batch
+
+
+def main():
+    import jax
+    import numpy as np
+
+    bs = int(os.environ.get("BENCH_BS", "64"))
+    lazy = os.environ.get("BENCH_LAZY", "0") == "1"
+    seq_len = 64
+    step, state, device_batch = build_decode_step(bs, lazy, seq_len)
 
     out = step(state, device_batch)
     np.asarray(jax.tree.leaves(jax.device_get(out))[0])  # force
