@@ -14,6 +14,8 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax
 import jax.numpy as jnp
 
@@ -118,7 +120,7 @@ class CentaurDecoderModule(nn.Module):
             y = blk["conv"](h)
             y = blk["bn"](y, use_running_average=not train)
             y = jax.nn.relu(y)
-            y = nn.Dropout(rate=self.cnn_dropout_prob,
+            y = Dropout(rate=self.cnn_dropout_prob,
                            deterministic=not train)(y)
             h = (h + y) if y.shape == h.shape else y
             # cross-attention sub-block
@@ -141,11 +143,11 @@ class CentaurDecoderModule(nn.Module):
                 logits = jnp.where(win, logits, _NEG)
             w = jax.nn.softmax(logits, axis=-1)
             aligns.append(w)
-            w = nn.Dropout(rate=self.attention_dropout,
+            w = Dropout(rate=self.attention_dropout,
                            deterministic=not train)(w)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", w.astype(self.dtype_), v)
             ctx = blk["o"](ctx.reshape(B, T, nh * dh))
-            h = h + nn.Dropout(rate=self.layer_postprocess_dropout,
+            h = h + Dropout(rate=self.layer_postprocess_dropout,
                                deterministic=not train)(ctx)
         frame = mods["frame"](h.astype(jnp.float32))
         stop = mods["stop"](h.astype(jnp.float32))

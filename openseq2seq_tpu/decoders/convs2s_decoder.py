@@ -14,6 +14,8 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax
 import jax.numpy as jnp
 
@@ -76,7 +78,7 @@ class ConvS2SDecoderModule(nn.Module):
             residual = x if layer["res"] is None else layer["res"](x)
             h = x
             if self.hidden_dropout_keep_prob < 1.0:
-                h = nn.Dropout(rate=1.0 - self.hidden_dropout_keep_prob,
+                h = Dropout(rate=1.0 - self.hidden_dropout_keep_prob,
                                deterministic=not train)(h)
             h = layer["conv"](h)
             a, b = jnp.split(h, 2, axis=-1)
@@ -130,7 +132,7 @@ class ConvS2SDecoderModule(nn.Module):
 
         def project(x, train_):
             h = pre_out(x)
-            h = nn.Dropout(rate=1.0 - self.out_dropout_keep_prob,
+            h = Dropout(rate=1.0 - self.out_dropout_keep_prob,
                            deterministic=not train_)(h)
             return out_proj(h.astype(jnp.float32))
 
@@ -139,7 +141,7 @@ class ConvS2SDecoderModule(nn.Module):
         if targets is not None and self.mode != "infer":
             y = targets[0]
             dec_in = embed(y[:, :-1])
-            dec_in = nn.Dropout(
+            dec_in = Dropout(
                 rate=1.0 - self.embedding_dropout_keep_prob,
                 deterministic=not train)(dec_in)
             feats = self._stack(layers, dec_in, enc_keys,

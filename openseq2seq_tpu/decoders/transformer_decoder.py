@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
@@ -100,7 +102,7 @@ class TransformerDecoderModule(nn.Module):
         self.ca_norms = [ln() for _ in range(L)]
         self.ffn_norms = [ln() for _ in range(L)]
         self.out_norm = ln()
-        self.post_drop = nn.Dropout(rate=self.layer_postprocess_dropout)
+        self.post_drop = Dropout(rate=self.layer_postprocess_dropout)
 
     # ------------------------------------------------------------------
     def _layer_stack(self, x, self_bias, enc_bias, memory, train,

@@ -7,6 +7,8 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax
 import jax.numpy as jnp
 
@@ -45,7 +47,7 @@ class CentaurEncoderModule(nn.Module):
                              param_dtype=jnp.float32,
                              name="bn{}".format(i + 1))(x)
             x = jax.nn.relu(x)
-            x = nn.Dropout(rate=self.cnn_dropout_prob,
+            x = Dropout(rate=self.cnn_dropout_prob,
                            deterministic=not train)(x)
         x = nn.Dense(self.output_size, dtype=self.dtype_,
                      param_dtype=jnp.float32, name="proj")(x)

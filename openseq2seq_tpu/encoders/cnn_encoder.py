@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax.numpy as jnp
 
 from .encoder import Encoder
@@ -80,7 +82,7 @@ class CNNNet(nn.Module):
             elif kind == "flatten":
                 x = x.reshape(x.shape[0], -1)
             elif kind == "dropout":
-                x = nn.Dropout(rate=spec.get("rate", 0.5),
+                x = Dropout(rate=spec.get("rate", 0.5),
                                deterministic=not train)(x)
             elif kind in ("batch_norm", "bn"):
                 x = nn.BatchNorm(use_running_average=not train,

@@ -15,6 +15,8 @@ import math
 from typing import Any, Dict
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax
 import jax.numpy as jnp
 
@@ -28,7 +30,7 @@ def glu_conv_block(x, n_channels, k_width, dtype, name, train,
     """conv -> GLU with residual (projected if widths differ)."""
     residual = x
     if keep_prob < 1.0:
-        x = nn.Dropout(rate=1.0 - keep_prob,
+        x = Dropout(rate=1.0 - keep_prob,
                        deterministic=not train)(x)
     padding = "CAUSAL" if causal else "SAME"
     h = nn.Conv(2 * n_channels, kernel_size=(k_width,), padding=padding,
@@ -64,7 +66,7 @@ class ConvS2SEncoderModule(nn.Module):
                          jnp.float32)
         x = jnp.take(tok, ids, axis=0) + pos[None, :T]
         x = x.astype(self.dtype_)
-        x = nn.Dropout(rate=1.0 - self.embedding_dropout_keep_prob,
+        x = Dropout(rate=1.0 - self.embedding_dropout_keep_prob,
                        deterministic=not train)(x)
         mask = (jnp.arange(T)[None, :] < lengths[:, None])
         x = x * mask[:, :, None].astype(x.dtype)

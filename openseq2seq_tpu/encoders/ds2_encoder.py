@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
@@ -66,7 +68,7 @@ class DS2Net(nn.Module):
         x = _mask_time(x, lengths)
 
         if keep < 1.0:
-            x = nn.Dropout(rate=1.0 - keep, deterministic=not train)(x)
+            x = Dropout(rate=1.0 - keep, deterministic=not train)(x)
         for i in range(self.num_rnn_layers):
             name = "rnn{}".format(i + 1)
             if self.rnn_unidirectional:
@@ -80,7 +82,7 @@ class DS2Net(nn.Module):
                 x = BiRNN(self.rnn_cell_dim, cell_type=self.rnn_type,
                           dtype=self.dtype, name=name)(x, lengths)
             if keep < 1.0:
-                x = nn.Dropout(rate=1.0 - keep,
+                x = Dropout(rate=1.0 - keep,
                                deterministic=not train)(x)
             # layer-boundary remat anchor (model remat="blocks" policy)
             x = checkpoint_name(x, "block_boundary")
@@ -102,7 +104,7 @@ class DS2Net(nn.Module):
                      param_dtype=jnp.float32, name="fully_connected")(x)
         x = self.activation_fn(x)
         if keep < 1.0:
-            x = nn.Dropout(rate=1.0 - keep, deterministic=not train)(x)
+            x = Dropout(rate=1.0 - keep, deterministic=not train)(x)
         x = _mask_time(x, lengths)
         return x, lengths
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax
 import jax.numpy as jnp
 
@@ -66,7 +68,7 @@ class LMNet(nn.Module):
             out_keep = (self.last_output_keep_prob if is_last
                         else self.output_keep_prob) if train else 1.0
             if in_keep < 1.0:
-                h = nn.Dropout(rate=1.0 - in_keep, broadcast_dims=(1,),
+                h = Dropout(rate=1.0 - in_keep, broadcast_dims=(1,),
                                deterministic=not train)(h)
             size = self.hidden_size if not (is_last and self.lm_mode and
                                             self.weight_tied) \
@@ -99,7 +101,7 @@ class LMNet(nn.Module):
                                 name=name)(h, lengths)
                 states.append(state)
             if out_keep < 1.0:
-                h = nn.Dropout(rate=1.0 - out_keep, broadcast_dims=(1,),
+                h = Dropout(rate=1.0 - out_keep, broadcast_dims=(1,),
                                deterministic=not train)(h)
 
         if self.lm_mode:

@@ -9,6 +9,8 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax.numpy as jnp
 
 from .encoder import Encoder
@@ -50,9 +52,9 @@ class _RNNEncBase(nn.Module):
             self.src_emb_size ** -0.5),
             (self.src_vocab_size, self.src_emb_size), jnp.float32)
         x = jnp.take(emb.astype(self.dtype_), ids, axis=0)
-        drop_in = nn.Dropout(rate=1.0 - self.input_keep_prob,
+        drop_in = Dropout(rate=1.0 - self.input_keep_prob,
                              deterministic=not train)
-        drop_out = nn.Dropout(rate=1.0 - self.output_keep_prob,
+        drop_out = Dropout(rate=1.0 - self.output_keep_prob,
                               deterministic=not train)
 
         if self.layout == "uni":

@@ -9,6 +9,8 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax
 import jax.numpy as jnp
 
@@ -102,7 +104,7 @@ class Tacotron2Net(nn.Module):
                              param_dtype=jnp.float32,
                              name="bn{}".format(i + 1))(x)
             x = self.activation_fn(x)
-            x = nn.Dropout(rate=self.cnn_dropout_prob,
+            x = Dropout(rate=self.cnn_dropout_prob,
                            deterministic=not train)(x)
             if s > 1:
                 lengths = (lengths + s - 1) // s
@@ -111,7 +113,7 @@ class Tacotron2Net(nn.Module):
             x = BiRNN(self.rnn_cell_dim, cell_type=self.rnn_type,
                       dtype=self.dtype_, name="rnn{}".format(i + 1))(
                 x, lengths)
-            x = nn.Dropout(rate=self.rnn_dropout_prob,
+            x = Dropout(rate=self.rnn_dropout_prob,
                            deterministic=not train)(x)
         x = _mask_time(x, lengths)
         return x, lengths

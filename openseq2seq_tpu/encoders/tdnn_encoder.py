@@ -23,6 +23,8 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, List, Optional
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
@@ -183,7 +185,7 @@ class TDNNNet(nn.Module):
 
                 x = self.activation_fn(x)
                 if keep < 1.0:
-                    x = nn.Dropout(rate=1.0 - keep,
+                    x = Dropout(rate=1.0 - keep,
                                    deterministic=not train)(x)
             # block-boundary remat anchor: under the model's
             # remat="blocks" policy only these activations are saved

@@ -13,6 +13,8 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+
+from ..parts.dropout import Dropout
 import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
@@ -87,7 +89,7 @@ class TransformerEncoderModule(nn.Module):
                 mesh=self.pipe_mesh,
                 name="pipeline_layers")
             self.out_norm = make_norm(self.norm_params, self.dtype_)
-            self.post_drop = nn.Dropout(
+            self.post_drop = Dropout(
                 rate=self.layer_postprocess_dropout)
             return
         self.self_attns = [SelfAttention(
@@ -112,7 +114,7 @@ class TransformerEncoderModule(nn.Module):
         self.sa_norms = [mknorm() for _ in range(self.encoder_layers)]
         self.ffn_norms = [mknorm() for _ in range(self.encoder_layers)]
         self.out_norm = mknorm()
-        self.post_drop = nn.Dropout(rate=self.layer_postprocess_dropout)
+        self.post_drop = Dropout(rate=self.layer_postprocess_dropout)
 
     def __call__(self, input_dict: Dict[str, Any], train: bool):
         ids = input_dict["source_tensors"][0]

@@ -33,6 +33,7 @@ Design (TPU-first, not a port):
   (B, T, V) bf16 matmul with fp32 accumulate rides the MXU).
 """
 from __future__ import annotations
+from ..parts.dropout import Dropout
 
 from typing import Any, Dict, Optional, Sequence
 
@@ -111,7 +112,7 @@ class RelMultiHeadAttention(nn.Module):
             logits = jnp.where(pad_mask[:, None, None, :], logits,
                                NEG_INF)
         weights = jax.nn.softmax(logits, axis=-1)
-        weights = nn.Dropout(rate=self.dropout,
+        weights = Dropout(rate=self.dropout,
                              deterministic=not train)(weights)
         out = jnp.einsum("bhtk,bkhd->bthd", weights.astype(self.dtype), v)
         return nn.DenseGeneral(D, axis=(-2, -1), use_bias=False,
@@ -147,7 +148,7 @@ class TransformerXLNet(nn.Module):
             "embedding", nn.initializers.normal(D ** -0.5),
             (self.vocab_size, D), jnp.float32)
         h = table.astype(self.dtype_)[x]
-        h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        h = Dropout(rate=self.dropout, deterministic=not train)(h)
 
         M = 0 if mems is None else mems[0].shape[1]
         cur_valid = jnp.arange(T)[None, :] < lengths[:, None]
@@ -179,7 +180,7 @@ class TransformerXLNet(nn.Module):
                 dropout=self.attention_dropout, dtype=self.dtype_,
                 name=f"layer{i}_attn")(h, mems=layer_mem, train=train,
                                        pad_mask=pad_mask)
-            attn = nn.Dropout(rate=self.dropout,
+            attn = Dropout(rate=self.dropout,
                               deterministic=not train)(attn)
             h = nn.LayerNorm(dtype=self.dtype_, param_dtype=jnp.float32,
                              name=f"layer{i}_ln1")(h + attn)
@@ -187,16 +188,16 @@ class TransformerXLNet(nn.Module):
                           param_dtype=jnp.float32,
                           name=f"layer{i}_ff1")(h)
             ff = jax.nn.relu(ff)
-            ff = nn.Dropout(rate=self.dropout,
+            ff = Dropout(rate=self.dropout,
                             deterministic=not train)(ff)
             ff = nn.Dense(D, dtype=self.dtype_, param_dtype=jnp.float32,
                           name=f"layer{i}_ff2")(ff)
-            ff = nn.Dropout(rate=self.dropout,
+            ff = Dropout(rate=self.dropout,
                             deterministic=not train)(ff)
             h = nn.LayerNorm(dtype=self.dtype_, param_dtype=jnp.float32,
                              name=f"layer{i}_ln2")(h + ff)
 
-        h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        h = Dropout(rate=self.dropout, deterministic=not train)(h)
         # tied softmax: bf16 matmul, fp32 accumulate (MXU-friendly)
         logits = jnp.einsum("btd,vd->btv", h,
                             table.astype(self.dtype_),

@@ -121,6 +121,12 @@ class Model(abc.ABC):
                                           # generation is ~40% of a
                                           # transformer-big step under
                                           # threefry)
+            "dropout_bits": [8, 32],      # dropout mask entropy width:
+                                          # 32 = exact bernoulli (flax
+                                          # semantics), 8 = u8 threshold
+                                          # masks (4x less RNG volume;
+                                          # keep prob quantized to 1/256)
+                                          # — see parts/dropout.py
         }
 
     def __init__(self, params: Dict[str, Any], mode: str = "train",
@@ -161,6 +167,11 @@ class Model(abc.ABC):
         self._dtype_policy = get_mp_policy(self._params.get("dtype"))
         self._params.setdefault("iter_size", 1)
         self._params.setdefault("regularizer_params", {})
+
+        # process-global dropout mask width (read at jit-trace time;
+        # see parts/dropout.py for why it is not a module attribute)
+        from ..parts.dropout import set_dropout_bits
+        set_dropout_bits(self._params.get("dropout_bits", 32))
 
         base_seed = self._params.get("random_seed", 0)
         # per-worker seed offset for the DATA pipeline (reference

@@ -20,6 +20,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+
+from ..dropout import Dropout
 import jax
 import jax.numpy as jnp
 
@@ -235,7 +237,7 @@ class SelfAttention(nn.Module):
             new_cache = {"k": k_buf, "v": v_buf}
             k, v = k_buf, v_buf
 
-        drop = nn.Dropout(rate=self.attention_dropout,
+        drop = Dropout(rate=self.attention_dropout,
                           deterministic=not train)
         if self.use_flash and cache is None and _flash_ok(q, k):
             out = _attend_flash(q, k, v, bias, self.causal, self.dtype)
@@ -268,7 +270,7 @@ class CrossAttention(nn.Module):
         self.k_proj = mk("k")
         self.v_proj = mk("v")
         self.out_proj = mk("out")
-        self.drop = nn.Dropout(rate=self.attention_dropout)
+        self.drop = Dropout(rate=self.attention_dropout)
 
     def _kv(self, memory):
         return (_split_heads(self.k_proj(memory), self.num_heads),

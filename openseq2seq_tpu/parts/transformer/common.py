@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+
+from ..dropout import Dropout
 import jax.numpy as jnp
 import numpy as np
 
@@ -128,7 +130,7 @@ class PreNormResidual(nn.Module):
         extra = None
         if isinstance(y, tuple):
             y, extra = y
-        y = nn.Dropout(rate=self.dropout_rate,
+        y = Dropout(rate=self.dropout_rate,
                        deterministic=not train)(y)
         out = x + y
         if extra is not None:

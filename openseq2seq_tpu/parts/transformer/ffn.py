@@ -5,6 +5,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+
+from ..dropout import Dropout
 import jax
 import jax.numpy as jnp
 
@@ -20,7 +22,7 @@ class FeedForwardNetwork(nn.Module):
         x = nn.DenseGeneral(self.filter_size, dtype=self.dtype,
                             param_dtype=jnp.float32, name="filter")(x)
         x = jax.nn.relu(x)
-        x = nn.Dropout(rate=self.relu_dropout, deterministic=not train)(x)
+        x = Dropout(rate=self.relu_dropout, deterministic=not train)(x)
         return nn.DenseGeneral(self.hidden_size, dtype=self.dtype,
                                param_dtype=jnp.float32, name="output")(x)
 
@@ -61,7 +63,7 @@ class MoEFeedForward(nn.Module):
         xc = x.astype(self.dtype)
         h = jnp.einsum("btd,edf->betf", xc, w1.astype(self.dtype))
         h = jax.nn.relu(h + b1.astype(self.dtype)[None, :, None, :])
-        h = nn.Dropout(rate=self.relu_dropout,
+        h = Dropout(rate=self.relu_dropout,
                        deterministic=not train)(h)
         y = jnp.einsum("betf,efd->betd", h, w2.astype(self.dtype))
         y = y + b2.astype(self.dtype)[None, :, None, :]

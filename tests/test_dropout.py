@@ -1,0 +1,90 @@
+"""Tests for parts/dropout.py (u8-bits dropout masks)."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openseq2seq_tpu.parts.dropout import (Dropout, get_dropout_bits,
+                                           set_dropout_bits)
+
+
+@pytest.fixture(autouse=True)
+def _restore_bits():
+    yield
+    set_dropout_bits(32)
+
+
+def _apply(layer, x, seed=0):
+    return layer.apply({}, x, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(seed)})
+
+
+def test_default_matches_flax_exactly():
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 128))
+    ours = _apply(Dropout(rate=0.3), x)
+    flax = _apply(nn.Dropout(rate=0.3), x)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(flax))
+
+
+def test_u8_keep_rate_and_mean():
+    set_dropout_bits(8)
+    assert get_dropout_bits() == 8
+    rate = 0.1
+    x = jnp.ones((256, 1024))
+    y = np.asarray(_apply(Dropout(rate=rate), x))
+    kept = (y != 0).mean()
+    q = round((1.0 - rate) * 256) / 256
+    assert abs(kept - q) < 0.01
+    # rescaling by the QUANTIZED keep prob keeps the mean unbiased
+    assert abs(y.mean() - 1.0) < 0.01
+    # kept elements scaled by exactly 1/q
+    np.testing.assert_allclose(y[y != 0], 1.0 / q, rtol=1e-6)
+
+
+def test_u8_deterministic_and_seed_sensitive():
+    set_dropout_bits(8)
+    x = jnp.ones((32, 64))
+    a = np.asarray(_apply(Dropout(rate=0.4), x, seed=7))
+    b = np.asarray(_apply(Dropout(rate=0.4), x, seed=7))
+    c = np.asarray(_apply(Dropout(rate=0.4), x, seed=8))
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+
+
+def test_u8_broadcast_dims():
+    set_dropout_bits(8)
+    x = jnp.ones((8, 16, 32))
+    y = np.asarray(_apply(Dropout(rate=0.5, broadcast_dims=(1,)), x))
+    # mask shared along axis 1: each (b, :, f) column all-zero or all-kept
+    col_kept = (y != 0).all(axis=1)
+    col_dropped = (y == 0).all(axis=1)
+    assert np.logical_or(col_kept, col_dropped).all()
+
+
+def test_deterministic_mode_and_edge_rates():
+    set_dropout_bits(8)
+    x = jnp.ones((4, 4))
+    out = Dropout(rate=0.5).apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    out = _apply(Dropout(rate=0.0), x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    out = _apply(Dropout(rate=1.0), x)
+    np.testing.assert_array_equal(np.asarray(out), np.zeros_like(x))
+
+
+def test_model_param_wires_global(tmp_path):
+    from openseq2seq_tpu.models import Speech2Text
+    from openseq2seq_tpu.test_utils import toy_speech
+    from openseq2seq_tpu.test_utils.test_speech_configs import \
+        w2l_test_config
+
+    csv_path, vocab_path = toy_speech.generate(str(tmp_path))
+    cfg, _ = w2l_test_config(csv_path, vocab_path, num_epochs=1)
+    cfg["dropout_bits"] = 8
+    Speech2Text(params=cfg, mode="train")
+    assert get_dropout_bits() == 8
+    with pytest.raises(ValueError):
+        cfg2 = dict(cfg)
+        cfg2["dropout_bits"] = 16
+        Speech2Text(params=cfg2, mode="train")
