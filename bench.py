@@ -77,6 +77,10 @@ def main():
     # dropout masks from the TPU RngBitGenerator (see bench_nmt.py /
     # trainer.make_base_rng; threefry mask generation is pure-VPU work)
     params["prng_impl"] = "rbg"
+    # u8 threshold masks (quarter the RNG volume; parts/dropout.py):
+    # sweep with BENCH_DROPBITS=8
+    if os.environ.get("BENCH_DROPBITS"):
+        params["dropout_bits"] = int(os.environ["BENCH_DROPBITS"])
     model = Speech2Text(params=params, mode="train", mesh=mesh)
     dl = model.get_data_layer()
     batch = next(iter(dl.iterate_one_epoch()))

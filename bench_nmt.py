@@ -62,6 +62,9 @@ def main():
     # actually exercised; tokens/s counts VALID tokens only.
     seq_len = int(os.environ.get("BENCH_NMT_SEQ", "64"))
     pad_frac = float(os.environ.get("BENCH_NMT_PADFRAC", "0"))
+    # u8 threshold dropout masks (quarter the RNG volume; see
+    # parts/dropout.py) — sweep with BENCH_NMT_DROPBITS=8
+    drop_bits = int(os.environ.get("BENCH_NMT_DROPBITS", "32"))
     d_model = 1024
 
     mesh = make_mesh(num_data=n_chips, num_model=1)
@@ -73,6 +76,7 @@ def main():
         "random_seed": 0,
         "max_steps": 1000000,
         "prng_impl": prng_impl,
+        "dropout_bits": drop_bits,
         "batch_size_per_gpu": batch_per_chip,
         "print_loss_steps": None,
         "optimizer": "NovoGrad",
@@ -166,6 +170,7 @@ def main():
         "seq_len": seq_len,
         "batch_per_chip": batch_per_chip,
         "pad_fraction": pad_frac,
+        "dropout_bits": drop_bits,
         "value": round(tokens_per_sec_per_chip, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_sec_per_chip /

@@ -60,6 +60,12 @@ class TransformerDecoderModule(nn.Module):
     # dot layouts that cost more than the gathers saved. Kept as an
     # opt-in experiment; default stays on the eager-reorder schedule.
     lazy_decode: bool = False
+    # "packed": ALL layers' decode K/V in ONE (B, T, L, 2, D) buffer,
+    # head-merged so rows are lane-full (D=1024 vs dh=64 half-lane) —
+    # L dus writes + ONE whole-buffer beam gather per step instead of
+    # 2L each (the 10.4 ms/step profiled under "per_layer").
+    # "per_layer": the round-2 list-of-{k,v} layout.
+    decode_cache: str = "packed"
     sp_mesh: Any = None     # sequence parallelism for the TRAINING
                             # pass: shard the decoder residual stream's
                             # time axis over the mesh "model" axis
@@ -110,15 +116,22 @@ class TransformerDecoderModule(nn.Module):
                      decode_pos=None):
         drop = lambda h: self.post_drop(h, deterministic=not train)  # noqa: E731
         ancestry = None if caches is None else caches.get("beam_ancestry")
+        packed = None if caches is None else caches.get("self_kv")
         new_self_caches = []
         for i in range(self.num_hidden_layers):
             h = self.sa_norms[i](x, train=train)
-            h, new_c = self.self_attns[i](
-                h, bias=self_bias, train=train,
-                cache=None if caches is None else caches["self"][i],
-                decode_pos=decode_pos,
-                beam_ancestry=ancestry, beam_size=self.beam_size)
-            new_self_caches.append(new_c)
+            if packed is not None:
+                h, packed = self.self_attns[i](
+                    h, bias=self_bias, train=train,
+                    decode_pos=decode_pos,
+                    packed_cache=packed, layer_idx=i)
+            else:
+                h, new_c = self.self_attns[i](
+                    h, bias=self_bias, train=train,
+                    cache=None if caches is None else caches["self"][i],
+                    decode_pos=decode_pos,
+                    beam_ancestry=ancestry, beam_size=self.beam_size)
+                new_self_caches.append(new_c)
             x = self._sp(x + drop(h))
 
             h = self.ca_norms[i](x, train=train)
@@ -132,7 +145,8 @@ class TransformerDecoderModule(nn.Module):
             x = self._sp(x + drop(h))
             # layer-boundary remat anchor (model remat="blocks" policy)
             x = checkpoint_name(x, "block_boundary")
-        return self.out_norm(x, train=train), new_self_caches
+        return self.out_norm(x, train=train), \
+            (packed if packed is not None else new_self_caches)
 
     def __call__(self, input_dict: Dict[str, Any], train: bool):
         enc = input_dict["encoder_output"]
@@ -173,15 +187,23 @@ class TransformerDecoderModule(nn.Module):
         dh = self.hidden_size // h
 
         lazy = self.lazy_decode and self.beam_size > 1
+        packed = (not lazy) and self.decode_cache == "packed"
         # lazy mode keeps the cache head-merged (B, T, D): lane-full
         # rows, and _attend_lazy_beam's dots read it exactly as stored
         kv_shape = (B, max_len, self.hidden_size) if lazy \
             else (B, max_len, h, dh)
-        init_cache = {
-            "self": [{"k": jnp.zeros(kv_shape, self.dtype_),
-                      "v": jnp.zeros(kv_shape, self.dtype_)}
-                     for _ in range(self.num_hidden_layers)],
-        }
+        if packed:
+            init_cache = {
+                "self_kv": jnp.zeros(
+                    (B, max_len, self.num_hidden_layers, 2,
+                     self.hidden_size), self.dtype_),
+            }
+        else:
+            init_cache = {
+                "self": [{"k": jnp.zeros(kv_shape, self.dtype_),
+                          "v": jnp.zeros(kv_shape, self.dtype_)}
+                         for _ in range(self.num_hidden_layers)],
+            }
         # beam-invariant: cross-attention KV over the encoder memory and
         # the encoder padding bias never change with beam reordering —
         # kept OUT of the gathered loop carry (they alone are ~400 MB at
@@ -205,8 +227,12 @@ class TransformerDecoderModule(nn.Module):
                 x, self_bias, cache["enc_bias"], None, train=False,
                 caches=cache, decode_pos=pos)
             logits = project_logits(table, x[:, 0, :], self.tgt_vocab_size)
-            new_cache = {"self": new_self, "cross": cache["cross"],
+            new_cache = {"cross": cache["cross"],
                          "enc_bias": cache["enc_bias"]}
+            if "self_kv" in cache:
+                new_cache["self_kv"] = new_self
+            else:
+                new_cache["self"] = new_self
             if "beam_ancestry" in cache:
                 new_cache["beam_ancestry"] = cache["beam_ancestry"]
             return logits, new_cache
@@ -276,6 +302,7 @@ class TransformerDecoder(Decoder):
             "norm_params": dict,
             "use_flash_attention": bool,
             "lazy_decode": bool,
+            "decode_cache": ["packed", "per_layer"],
             "sequence_parallel": bool,
         })
 
@@ -303,6 +330,7 @@ class TransformerDecoder(Decoder):
             norm_params=p.get("norm_params"),
             use_flash=p.get("use_flash_attention", False),
             lazy_decode=p.get("lazy_decode", False),
+            decode_cache=p.get("decode_cache", "packed"),
             sp_mesh=(self._model.mesh
                      if (p.get("sequence_parallel", False) and
                          self._model is not None and

@@ -198,10 +198,41 @@ class SelfAttention(nn.Module):
                  decode_pos: Optional[jnp.ndarray] = None,
                  beam_ancestry: Optional[jnp.ndarray] = None,
                  beam_size: Optional[int] = None,
+                 packed_cache: Optional[jnp.ndarray] = None,
+                 layer_idx: int = 0,
                  ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
         qkv = nn.DenseGeneral(3 * self.hidden_size, dtype=self.dtype,
                               param_dtype=jnp.float32, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        if packed_cache is not None:
+            # Packed lane-full decode cache: ALL layers' K and V live in
+            # ONE (B, T, L, 2, D) buffer, head-MERGED so the minor dim
+            # is D=h*dh (a full 128-lane multiple) instead of dh=64
+            # half-lane rows. Per step this turns 2L small dus ops and
+            # 2L beam gathers over (B,T,h,dh) buffers into L dus ops
+            # here plus ONE whole-buffer gather in the beam loop —
+            # profiled at 10.4 of 25 ms/step under the per-layer
+            # layout (ROADMAP round-2 decode findings).
+            if decode_pos is None:
+                raise ValueError("decode cache requires decode_pos")
+            upd = jnp.stack([k, v], axis=2)[:, :, None]   # (B,1,1,2,D)
+            buf = jax.lax.dynamic_update_slice(
+                packed_cache, upd.astype(packed_cache.dtype),
+                (0, decode_pos, layer_idx, 0, 0))
+            # static layer index: XLA sees a view, not a gather
+            k_full = _split_heads(buf[:, :, layer_idx, 0],
+                                  self.num_heads)
+            v_full = _split_heads(buf[:, :, layer_idx, 1],
+                                  self.num_heads)
+            q = _split_heads(q, self.num_heads)
+            out = _attend(q, k_full, v_full, bias,
+                          self.attention_dropout, train, self.dtype,
+                          lambda w: w)
+            out = nn.DenseGeneral(
+                self.hidden_size, dtype=self.dtype,
+                param_dtype=jnp.float32, name="out")(_merge_heads(out))
+            return out, buf
 
         if cache is not None and beam_ancestry is not None:
             # lazy beam decode: the cache stays HEAD-MERGED (B*K, T, D)

@@ -42,7 +42,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def build_decode_step(bs: int, lazy: bool, seq_len: int = 64):
+def build_decode_step(bs: int, lazy: bool, seq_len: int = 64,
+                      decode_cache: str = None):
     """Build the jitted transformer-big beam-4 infer step.
 
     Returns (step, state, device_batch) — shared by this bench and
@@ -86,6 +87,10 @@ def build_decode_step(bs: int, lazy: bool, seq_len: int = 64):
             "relu_dropout": 0.0, "filter_size": 4 * d_model,
             "beam_size": 4, "alpha": 0.6, "extra_decode_length": 50,
             "lazy_decode": lazy,
+            # packed (default): all-layer lane-full KV buffer; sweep
+            # with BENCH_CACHE=per_layer for the round-2 layout
+            "decode_cache": decode_cache or os.environ.get(
+                "BENCH_CACHE", "packed"),
         },
         "loss": PaddedCrossEntropyLossWithSmoothing,
         "loss_params": {"label_smoothing": 0.1},
@@ -135,6 +140,7 @@ def main():
         "unit": "sentences/s/chip",
         "vs_baseline": round(sent_per_sec_chip / 11.8, 2),
         "lazy_decode": lazy,
+        "decode_cache": os.environ.get("BENCH_CACHE", "packed"),
         "batch_latency_ms": round(wall / n * 1e3, 1),
         "beam_size": 4,
         "decode_len": seq_len + 50,

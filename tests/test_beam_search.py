@@ -216,3 +216,30 @@ def test_lazy_beam_decode_matches_eager(tmp_path):
                                   outs[False]["beams"])
     np.testing.assert_allclose(outs[True]["scores"],
                                outs[False]["scores"], rtol=1e-4)
+
+
+def test_packed_decode_cache_matches_per_layer(tmp_path):
+    """The packed all-layer lane-full KV buffer and the per-layer
+    {k,v}-list layout are storage layouts of the same schedule — beams
+    and scores must be identical."""
+    import jax
+    from openseq2seq_tpu.models import Text2Text
+    from openseq2seq_tpu.test_utils import toy_nmt
+
+    data = toy_nmt.generate(str(tmp_path))
+    outs = {}
+    for layout in ("packed", "per_layer"):
+        cfg = toy_nmt.transformer_toy_config(data, mode_files="eval",
+                                             num_epochs=1)
+        cfg["decoder_params"]["decode_cache"] = layout
+        cfg["data_layer_params"]["shuffle"] = False
+        model = Text2Text(params=cfg, mode="eval")
+        batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+        state = model.init_state(batch)
+        db = jax.tree_util.tree_map(np.asarray, batch)
+        out = jax.device_get(jax.jit(model.eval_step)(state, db))
+        outs[layout] = out["outputs"]["decoder_output"]
+    np.testing.assert_array_equal(outs["packed"]["beams"],
+                                  outs["per_layer"]["beams"])
+    np.testing.assert_allclose(outs["packed"]["scores"],
+                               outs["per_layer"]["scores"], rtol=1e-4)
