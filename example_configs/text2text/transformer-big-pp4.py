@@ -30,6 +30,11 @@ base_params["logdir"] = os.environ.get("OS2S_LOGDIR",
 base_params["num_pipeline_stages"] = 4
 base_params["num_pipeline_microbatches"] = 8
 base_params["encoder_params"]["encoder_layers"] = 12
+# the decoder stack pipelines too (stacked layers, 2 per stage);
+# like the encoder it is deepened so the depth divides the stages
+base_params["decoder_params"]["num_hidden_layers"] = 8
 # homogeneous-stack constraints (see TransformerEncoder.make_module)
 base_params["encoder_params"].pop("sequence_parallel", None)
 base_params["encoder_params"].pop("use_flash_attention", None)
+base_params["decoder_params"].pop("sequence_parallel", None)
+base_params["decoder_params"].pop("use_flash_attention", None)

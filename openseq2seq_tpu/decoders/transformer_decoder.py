@@ -72,6 +72,13 @@ class TransformerDecoderModule(nn.Module):
                             # (same Megatron-SP layout as the encoder);
                             # incremental decode (T=1) is untouched —
                             # the divisibility guard falls through
+    pipeline_stages: int = 0     # >1: stacked-parameter layer stack,
+                                 # GPipe-pipelined over the mesh "pipe"
+                                 # axis in training; incremental decode
+                                 # scans the same stacked params (see
+                                 # PipelinedTransformerDecoderLayers)
+    pipeline_microbatches: int = 4
+    pipe_mesh: Any = None
 
     def _sp(self, x):
         if self.sp_mesh is None or x.ndim != 3:
@@ -85,6 +92,26 @@ class TransformerDecoderModule(nn.Module):
 
     def setup(self):
         L = self.num_hidden_layers
+        from ..parts.transformer.common import make_norm as _mk_norm
+        if self.pipeline_stages > 1:
+            from ..parts.transformer.pipelined_stack import \
+                PipelinedTransformerDecoderLayers
+            self.pipeline_layers = PipelinedTransformerDecoderLayers(
+                num_layers=L,
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                filter_size=self.filter_size,
+                attention_dropout=self.attention_dropout,
+                relu_dropout=self.relu_dropout,
+                postprocess_dropout=self.layer_postprocess_dropout,
+                dtype_=self.dtype_,
+                num_microbatches=self.pipeline_microbatches,
+                mesh=self.pipe_mesh,
+                name="pipeline_layers")
+            self.out_norm = _mk_norm(self.norm_params, self.dtype_)
+            self.post_drop = Dropout(
+                rate=self.layer_postprocess_dropout)
+            return
         # the flash self-attention path replaces the triangular bias
         # with the kernel's causal mask; the plain fallback (and the
         # cached incremental-decode path) still consume the bias
@@ -114,6 +141,14 @@ class TransformerDecoderModule(nn.Module):
     def _layer_stack(self, x, self_bias, enc_bias, memory, train,
                      caches: Optional[Dict] = None,
                      decode_pos=None):
+        if self.pipeline_stages > 1:
+            # stacked-parameter stack (GPipe-pipelined when the mesh
+            # has a pipe axis); decode goes through decode() directly
+            assert caches is None, \
+                "pipelined decode is handled in decode()"
+            x = self.pipeline_layers(x, self_bias, memory, enc_bias,
+                                     train=train)
+            return self.out_norm(x, train=train), None
         drop = lambda h: self.post_drop(h, deterministic=not train)  # noqa: E731
         ancestry = None if caches is None else caches.get("beam_ancestry")
         packed = None if caches is None else caches.get("self_kv")
@@ -176,6 +211,62 @@ class TransformerDecoderModule(nn.Module):
         return out
 
     # ------------------------------------------------------------------
+    def _decode_stacked(self, enc, table, memory, enc_bias, B, max_len):
+        """Beam decode over the stacked-parameter (pipelined) stack:
+        a lax.scan over the layer axis per step against the packed
+        (B, T, L, 2, D) KV buffer. The decode loop itself is not
+        pipelined (no microbatch stream in autoregressive decoding);
+        on a pipe mesh it runs with the stacked params broadcast."""
+        L, D = self.num_hidden_layers, self.hidden_size
+        positions = jnp.arange(max_len)
+        pos_table = jnp.asarray(get_position_encoding(max_len, D),
+                                self.dtype_)
+        init_cache = {"self_kv": jnp.zeros((B, max_len, L, 2, D),
+                                           self.dtype_)}
+        cross = self.pipeline_layers.precompute_cross_kv(memory)
+        static_cache = {"cross_k": cross["k"], "cross_v": cross["v"],
+                        "enc_bias": enc_bias}
+
+        def symbols_to_logits_fn(ids, pos, cache):
+            x = embed_ids(table, ids, D, self.dtype_)
+            x = x + jax.lax.dynamic_slice_in_dim(
+                pos_table, pos, 1, axis=0)[None]
+            self_bias_row = jnp.where(positions > pos, NEG_INF,
+                                      0.0)[None, None, None, :]
+            y, buf = self.pipeline_layers.decode_step(
+                x, pos, cache["self_kv"], cache["cross_k"],
+                cache["cross_v"], cache["enc_bias"], self_bias_row)
+            y = self.out_norm(y, train=False)
+            logits = project_logits(table, y[:, 0, :],
+                                    self.tgt_vocab_size)
+            return logits, {"self_kv": buf,
+                            "cross_k": cache["cross_k"],
+                            "cross_v": cache["cross_v"],
+                            "enc_bias": cache["enc_bias"]}
+
+        if self.is_initializing():
+            dummy = jnp.zeros((B, 1), jnp.int32)
+            symbols_to_logits_fn(dummy, 0,
+                                 {**init_cache, **static_cache})
+            zeros = jnp.zeros((B, max_len), jnp.int32)
+            return {"outputs": [zeros, jnp.zeros((B,), jnp.int32)],
+                    "scores": jnp.zeros((B,), jnp.float32),
+                    "beams": jnp.zeros((B, self.beam_size, max_len + 1),
+                                       jnp.int32)}
+
+        decoded, scores = beam_search(
+            symbols_to_logits_fn, init_cache,
+            batch_size=B, beam_size=self.beam_size,
+            vocab_size=self.tgt_vocab_size,
+            max_decode_length=max_len, eos_id=self.eos_id,
+            alpha=self.alpha, bos_id=self.go_symbol,
+            static_cache=static_cache)
+        top = decoded[:, 0, 1:]
+        lengths = sequence_lengths_from_ids(top, self.eos_id)
+        return {"outputs": [top, lengths], "scores": scores[:, 0],
+                "beams": decoded}
+
+    # ------------------------------------------------------------------
     def decode(self, enc: Dict[str, Any]) -> Dict[str, Any]:
         """Beam-search decode from encoder outputs."""
         table = enc["embedding_table"]
@@ -185,6 +276,10 @@ class TransformerDecoderModule(nn.Module):
         max_len = S + self.extra_decode_length
         h = self.num_heads
         dh = self.hidden_size // h
+
+        if self.pipeline_stages > 1:
+            return self._decode_stacked(enc, table, memory, enc_bias,
+                                        B, max_len)
 
         lazy = self.lazy_decode and self.beam_size > 1
         packed = (not lazy) and self.decode_cache == "packed"
@@ -304,6 +399,8 @@ class TransformerDecoder(Decoder):
             "lazy_decode": bool,
             "decode_cache": ["packed", "per_layer"],
             "sequence_parallel": bool,
+            "num_pipeline_stages": int,
+            "num_pipeline_microbatches": int,
         })
 
     def make_module(self):
@@ -311,6 +408,39 @@ class TransformerDecoder(Decoder):
         import jax.numpy as jnp
         dtype = jnp.float32 if self._model is None \
             else self._model.mp_policy.compute_dtype
+        model_cfg = getattr(self._model, "params", {}) or {} \
+            if self._model is not None else {}
+        stages = int(p.get("num_pipeline_stages",
+                           model_cfg.get("num_pipeline_stages", 0)) or 0)
+        if stages > 1:
+            incompatible = [k for k in ("sequence_parallel",
+                                        "use_flash_attention",
+                                        "lazy_decode")
+                            if p.get(k)]
+            if p.get("norm_params", {}).get("type") == "batch_norm":
+                incompatible.append("norm_params.batch_norm")
+            if incompatible:
+                raise ValueError(
+                    "num_pipeline_stages is incompatible with {} (the "
+                    "pipelined decoder stack is a homogeneous pre-norm "
+                    "LN stack)".format(incompatible))
+            if p["num_hidden_layers"] % stages != 0:
+                if "num_pipeline_stages" in p:
+                    raise ValueError(
+                        "num_hidden_layers {} must divide into "
+                        "num_pipeline_stages {}".format(
+                            p["num_hidden_layers"], stages))
+                # inherited from the model-level config: the encoder
+                # may still pipeline — leave the decoder on the plain
+                # per-layer path rather than fail the whole model
+                from ..utils.logging import deco_print
+                deco_print(
+                    "WARNING: decoder num_hidden_layers {} does not "
+                    "divide model-level num_pipeline_stages {} — the "
+                    "decoder stack will NOT be pipelined (set "
+                    "decoder_params/num_pipeline_stages to "
+                    "force)".format(p["num_hidden_layers"], stages))
+                stages = 0
         return TransformerDecoderModule(
             num_hidden_layers=p["num_hidden_layers"],
             hidden_size=p["hidden_size"],
@@ -334,4 +464,11 @@ class TransformerDecoder(Decoder):
             sp_mesh=(self._model.mesh
                      if (p.get("sequence_parallel", False) and
                          self._model is not None and
-                         self._model.mesh is not None) else None))
+                         self._model.mesh is not None) else None),
+            pipeline_stages=stages,
+            pipeline_microbatches=int(
+                p.get("num_pipeline_microbatches",
+                      model_cfg.get("num_pipeline_microbatches", 4))),
+            pipe_mesh=(self._model.mesh
+                       if (stages > 1 and self._model is not None)
+                       else None))

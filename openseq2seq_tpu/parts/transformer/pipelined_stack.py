@@ -200,3 +200,288 @@ class PipelinedTransformerLayers(nn.Module):
         out = pipeline_apply(stage_fn, p, tree, mesh=self.mesh,
                              num_microbatches=self.num_microbatches)
         return out["x"]
+
+
+# ---------------------------------------------------------------------
+# Decoder stack: pre-norm [causal self-attention, cross-attention, FFN]
+# ---------------------------------------------------------------------
+
+def transformer_decoder_layer(lp, x, self_bias, memory, enc_bias, key,
+                              *, num_heads: int,
+                              attention_dropout: float,
+                              relu_dropout: float,
+                              postprocess_dropout: float, train: bool):
+    """One pre-norm decoder layer over explicit params — the stacked-
+    parameter counterpart of ``TransformerDecoderModule``'s per-layer
+    path (reference `open_seq2seq/decoders/transformer_decoder.py:
+    160-210`): causal self-attention, encoder-decoder attention, FFN,
+    each with a residual + postprocess dropout."""
+    dtype = x.dtype
+    dropping = train and key is not None
+    if dropping:
+        ks = jax.random.split(key, 6)
+    drop = (lambda k, r, h: _dropout(k, r, h)) if dropping else \
+        (lambda k, r, h: h)
+    B, T, D = x.shape
+    dh = D // num_heads
+    scale = dh ** -0.5
+
+    # causal self-attention (fused QKV)
+    h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"]).astype(dtype)
+    qkv = h @ lp["qkv_kernel"].astype(dtype) + \
+        lp["qkv_bias"].astype(dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, num_heads, dh)
+    k = k.reshape(B, T, num_heads, dh)
+    v = v.reshape(B, T, num_heads, dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits + self_bias.astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1)
+    w = drop(ks[0] if dropping else None, attention_dropout, w)
+    o = jnp.einsum("bhqk,bkhd->bqhd", w.astype(dtype), v)
+    o = o.reshape(B, T, D) @ lp["sa_out_kernel"].astype(dtype) + \
+        lp["sa_out_bias"].astype(dtype)
+    x = x + drop(ks[1] if dropping else None, postprocess_dropout, o)
+
+    # encoder-decoder attention
+    h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"]).astype(dtype)
+    q = (h @ lp["q_kernel"].astype(dtype) +
+         lp["q_bias"].astype(dtype)).reshape(B, T, num_heads, dh)
+    S = memory.shape[1]
+    kc = (memory @ lp["ck_kernel"].astype(dtype) +
+          lp["ck_bias"].astype(dtype)).reshape(B, S, num_heads, dh)
+    vc = (memory @ lp["cv_kernel"].astype(dtype) +
+          lp["cv_bias"].astype(dtype)).reshape(B, S, num_heads, dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, kc,
+                        preferred_element_type=jnp.float32)
+    logits = logits + enc_bias.astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1)
+    w = drop(ks[2] if dropping else None, attention_dropout, w)
+    o = jnp.einsum("bhqk,bkhd->bqhd", w.astype(dtype), vc)
+    o = o.reshape(B, T, D) @ lp["ca_out_kernel"].astype(dtype) + \
+        lp["ca_out_bias"].astype(dtype)
+    x = x + drop(ks[3] if dropping else None, postprocess_dropout, o)
+
+    # FFN
+    h = _layer_norm(x, lp["ln3_scale"], lp["ln3_bias"]).astype(dtype)
+    h = jax.nn.relu(h @ lp["ffn1_kernel"].astype(dtype) +
+                    lp["ffn1_bias"].astype(dtype))
+    h = drop(ks[4] if dropping else None, relu_dropout, h)
+    h = h @ lp["ffn2_kernel"].astype(dtype) + \
+        lp["ffn2_bias"].astype(dtype)
+    return x + drop(ks[5] if dropping else None, postprocess_dropout, h)
+
+
+class PipelinedTransformerDecoderLayers(nn.Module):
+    """Stacked-parameter decoder layer stack (see the encoder-side
+    class above for the layout rationale). Adds what the decoder
+    needs beyond the encoder stack:
+
+      * cross-attention over the encoder memory — the memory and its
+        padding bias travel with each microbatch through the pipeline;
+      * an incremental ``decode_step`` that runs the same stacked
+        params through a ``lax.scan`` over the layer axis against the
+        PACKED (B, T, L, 2, D) beam-search KV buffer (the decode loop
+        itself is not pipelined — autoregressive steps have no
+        microbatch dimension to stream; on a pipe mesh the scan just
+        runs replicated).
+    """
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    filter_size: int
+    attention_dropout: float
+    relu_dropout: float
+    postprocess_dropout: float
+    dtype_: Any
+    num_microbatches: int = 4
+    mesh: Any = None
+
+    def setup(self):
+        L, D, F = self.num_layers, self.hidden_size, self.filter_size
+        lecun = nn.initializers.lecun_normal()
+        ones, zeros = nn.initializers.ones, nn.initializers.zeros
+        mk = lambda name, init, shape: self.param(  # noqa: E731
+            name, init, shape, jnp.float32)
+        self.p = {
+            "ln1_scale": mk("ln1_scale", ones, (L, D)),
+            "ln1_bias": mk("ln1_bias", zeros, (L, D)),
+            "qkv_kernel": mk("qkv_kernel", lecun, (L, D, 3 * D)),
+            "qkv_bias": mk("qkv_bias", zeros, (L, 3 * D)),
+            "sa_out_kernel": mk("sa_out_kernel", lecun, (L, D, D)),
+            "sa_out_bias": mk("sa_out_bias", zeros, (L, D)),
+            "ln2_scale": mk("ln2_scale", ones, (L, D)),
+            "ln2_bias": mk("ln2_bias", zeros, (L, D)),
+            "q_kernel": mk("q_kernel", lecun, (L, D, D)),
+            "q_bias": mk("q_bias", zeros, (L, D)),
+            "ck_kernel": mk("ck_kernel", lecun, (L, D, D)),
+            "ck_bias": mk("ck_bias", zeros, (L, D)),
+            "cv_kernel": mk("cv_kernel", lecun, (L, D, D)),
+            "cv_bias": mk("cv_bias", zeros, (L, D)),
+            "ca_out_kernel": mk("ca_out_kernel", lecun, (L, D, D)),
+            "ca_out_bias": mk("ca_out_bias", zeros, (L, D)),
+            "ln3_scale": mk("ln3_scale", ones, (L, D)),
+            "ln3_bias": mk("ln3_bias", zeros, (L, D)),
+            "ffn1_kernel": mk("ffn1_kernel", lecun, (L, D, F)),
+            "ffn1_bias": mk("ffn1_bias", zeros, (L, F)),
+            "ffn2_kernel": mk("ffn2_kernel", lecun, (L, F, D)),
+            "ffn2_bias": mk("ffn2_bias", zeros, (L, D)),
+        }
+
+    def _layer_kw(self, train):
+        return dict(num_heads=self.num_heads,
+                    attention_dropout=self.attention_dropout,
+                    relu_dropout=self.relu_dropout,
+                    postprocess_dropout=self.postprocess_dropout,
+                    train=train)
+
+    def __call__(self, x, self_bias, memory, enc_bias,
+                 train: bool = False):
+        dropping = train and (self.attention_dropout > 0 or
+                              self.relu_dropout > 0 or
+                              self.postprocess_dropout > 0)
+        key = self.make_rng("dropout") if dropping else None
+        layer_kw = self._layer_kw(train)
+
+        pipe_size = 0
+        if self.mesh is not None and not self.is_initializing():
+            pipe_size = self.mesh.shape.get("pipe", 0)
+        if pipe_size > 1:
+            return self._pipelined(x, self_bias, memory, enc_bias, key,
+                                   pipe_size, layer_kw)
+        return self._scanned(x, self_bias, memory, enc_bias, key,
+                             layer_kw)
+
+    def _scanned(self, x, self_bias, memory, enc_bias, key, layer_kw):
+        def body(carry, inp):
+            lp, i = inp
+            k = None if key is None else jax.random.fold_in(key, i)
+            return transformer_decoder_layer(
+                lp, carry, self_bias, memory, enc_bias, k,
+                **layer_kw), None
+        out, _ = jax.lax.scan(
+            body, x, (self.p, jnp.arange(self.num_layers)))
+        return out
+
+    def _pipelined(self, x, self_bias, memory, enc_bias, key,
+                   pipe_size, layer_kw):
+        from ...parallel.pipeline import PIPE_AXIS, pipeline_apply
+        S = pipe_size
+        if self.num_layers % S != 0:
+            raise ValueError(
+                "num_layers {} not divisible by pipeline stages "
+                "{}".format(self.num_layers, S))
+        k_local = self.num_layers // S
+        B = x.shape[0]
+        # self_bias is the (1, 1, T, T) causal triangle — a trace
+        # constant, identical for every microbatch, so it rides the
+        # stage closure instead of the microbatch tree
+        tree = {"x": x, "mem": memory, "enc_bias": enc_bias}
+        if key is not None:
+            tree["rng"] = jax.random.split(key, B)
+
+        def stage_fn(local, t):
+            stage = jax.lax.axis_index(PIPE_AXIS)
+
+            def body(carry, inp):
+                lp, j = inp
+                k = None
+                if key is not None:
+                    k = jax.random.fold_in(t["rng"][0],
+                                           stage * k_local + j)
+                return transformer_decoder_layer(
+                    lp, carry, self_bias, t["mem"], t["enc_bias"], k,
+                    **layer_kw), None
+            y, _ = jax.lax.scan(body, t["x"],
+                                (local, jnp.arange(k_local)))
+            return {**t, "x": y}
+
+        out = pipeline_apply(stage_fn, self.p, tree, mesh=self.mesh,
+                             num_microbatches=self.num_microbatches)
+        return out["x"]
+
+    # -- incremental decode against the packed (B, T, L, 2, D) cache --
+    def precompute_cross_kv(self, memory):
+        """All layers' cross-attention K/V in one shot:
+        (B, L, S, D) each — batch-first so beam search can treat them
+        as beam-invariant static cache entries."""
+        dtype = self.dtype_
+        k = jnp.einsum("bsd,lde->blse", memory.astype(dtype),
+                       self.p["ck_kernel"].astype(dtype)) + \
+            self.p["ck_bias"].astype(dtype)[None, :, None, :]
+        v = jnp.einsum("bsd,lde->blse", memory.astype(dtype),
+                       self.p["cv_kernel"].astype(dtype)) + \
+            self.p["cv_bias"].astype(dtype)[None, :, None, :]
+        return {"k": k, "v": v}
+
+    def decode_step(self, x, decode_pos, packed_kv, cross_k, cross_v,
+                    enc_bias, self_bias_row):
+        """One incremental decoder step over all L layers.
+
+        x (B, 1, D); packed_kv (B, T, L, 2, D); cross_k/v (B, L, S, D);
+        self_bias_row broadcastable (B?|1, 1, 1, T). Returns
+        (y (B, 1, D), new packed_kv).
+        """
+        nh = self.num_heads
+        dh = self.hidden_size // nh
+        dtype = self.dtype_
+        scale = dh ** -0.5
+        B = x.shape[0]
+        kw = self._layer_kw(train=False)
+
+        def body(carry, inp):
+            h_in, buf = carry
+            lp, l = inp
+            # --- causal self-attention against the packed buffer
+            h = _layer_norm(h_in, lp["ln1_scale"],
+                            lp["ln1_bias"]).astype(dtype)
+            qkv = h @ lp["qkv_kernel"].astype(dtype) + \
+                lp["qkv_bias"].astype(dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            upd = jnp.stack([k, v], axis=2)[:, :, None]  # (B,1,1,2,D)
+            buf = jax.lax.dynamic_update_slice(
+                buf, upd.astype(buf.dtype), (0, decode_pos, l, 0, 0))
+            kl = jax.lax.dynamic_index_in_dim(buf, l, axis=2)
+            k_full = kl[:, :, 0, 0].reshape(B, -1, nh, dh)
+            v_full = kl[:, :, 0, 1].reshape(B, -1, nh, dh)
+            q4 = q.reshape(B, 1, nh, dh)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q4 * scale, k_full,
+                                preferred_element_type=jnp.float32)
+            logits = logits + self_bias_row.astype(jnp.float32)
+            w = jax.nn.softmax(logits, axis=-1)
+            o = jnp.einsum("bhqk,bkhd->bqhd", w.astype(dtype), v_full)
+            o = o.reshape(B, 1, -1) @ lp["sa_out_kernel"].astype(dtype) \
+                + lp["sa_out_bias"].astype(dtype)
+            h_in = h_in + o
+            # --- cross-attention against precomputed per-layer K/V
+            h = _layer_norm(h_in, lp["ln2_scale"],
+                            lp["ln2_bias"]).astype(dtype)
+            q4 = (h @ lp["q_kernel"].astype(dtype) +
+                  lp["q_bias"].astype(dtype)).reshape(B, 1, nh, dh)
+            kc = jax.lax.dynamic_index_in_dim(
+                cross_k, l, axis=1)[:, 0].reshape(
+                B, -1, nh, dh)
+            vc = jax.lax.dynamic_index_in_dim(
+                cross_v, l, axis=1)[:, 0].reshape(
+                B, -1, nh, dh)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q4 * scale, kc,
+                                preferred_element_type=jnp.float32)
+            logits = logits + enc_bias.astype(jnp.float32)
+            w = jax.nn.softmax(logits, axis=-1)
+            o = jnp.einsum("bhqk,bkhd->bqhd", w.astype(dtype), vc)
+            o = o.reshape(B, 1, -1) @ lp["ca_out_kernel"].astype(dtype) \
+                + lp["ca_out_bias"].astype(dtype)
+            h_in = h_in + o
+            # --- FFN
+            h = _layer_norm(h_in, lp["ln3_scale"],
+                            lp["ln3_bias"]).astype(dtype)
+            h = jax.nn.relu(h @ lp["ffn1_kernel"].astype(dtype) +
+                            lp["ffn1_bias"].astype(dtype))
+            h = h @ lp["ffn2_kernel"].astype(dtype) + \
+                lp["ffn2_bias"].astype(dtype)
+            return (h_in + h, buf), None
+
+        (y, new_buf), _ = jax.lax.scan(
+            body, (x, packed_kv), (self.p, jnp.arange(self.num_layers)))
+        return y, new_buf

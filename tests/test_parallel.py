@@ -368,3 +368,118 @@ def test_config_driven_pipeline_parallel_text2text(tmp_path):
     _, metrics_d = jax.jit(m_d.train_step)(
         state_d, db, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics_d["loss"]))
+
+
+def test_decoder_pipeline_parallel_matches_scan(tmp_path):
+    """Model-level `num_pipeline_stages` now also stacks the DECODER
+    layers over the pipe axis: the pipelined train step must match the
+    plain layer-scan of the same parameter tree, with both stacks'
+    params sharded over `pipe`."""
+    import jax
+    from openseq2seq_tpu.models import Text2Text
+    from openseq2seq_tpu.parallel.mesh import (mesh_from_config,
+                                               shard_batch,
+                                               tp_state_sharding)
+    from openseq2seq_tpu.test_utils import toy_nmt
+
+    data = toy_nmt.generate(str(tmp_path))
+    cfg = toy_nmt.transformer_toy_config(data, num_epochs=1)
+    cfg["encoder_params"]["encoder_layers"] = 4
+    cfg["decoder_params"]["num_hidden_layers"] = 4
+    for k in ("attention_dropout", "relu_dropout",
+              "layer_postprocess_dropout"):
+        cfg["encoder_params"][k] = 0.0
+        cfg["decoder_params"][k] = 0.0
+    cfg["num_pipeline_stages"] = 4
+    cfg["num_pipeline_microbatches"] = 4
+
+    mesh = mesh_from_config(cfg)
+    m_pp = Text2Text(params=dict(cfg), mode="train", mesh=mesh)
+    batch = next(iter(m_pp.get_data_layer().iterate_one_epoch()))
+    state = m_pp.init_state(batch)
+    sh = tp_state_sharding(state, mesh)
+    dec_pipe = [s for p, s in
+                jax.tree_util.tree_flatten_with_path(sh.params)[0]
+                if "pipe" in str(s.spec) and "dec" in str(p)]
+    assert len(dec_pipe) == 22      # 22 stacked leaves in the decoder
+    state = jax.device_put(state, sh)
+    db = shard_batch(batch, mesh)
+    _, metrics = jax.jit(m_pp.train_step)(state, db,
+                                          jax.random.PRNGKey(0))
+    pp_loss = float(metrics["loss"])
+
+    m_sc = Text2Text(params=dict(cfg), mode="train", mesh=None)
+    state_sc = m_sc.init_state(batch)
+    db_host = jax.tree_util.tree_map(np.asarray, batch)
+    _, metrics_sc = jax.jit(m_sc.train_step)(
+        state_sc, db_host, jax.random.PRNGKey(0))
+    assert pp_loss == pytest.approx(float(metrics_sc["loss"]),
+                                    abs=1e-5)
+
+
+def test_stacked_decoder_decode_matches_teacher_forcing():
+    """The stacked decoder's incremental decode_step (packed
+    (B,T,L,2,D) cache, scan over layers) must reproduce the
+    full-sequence training forward position by position."""
+    import jax
+    import jax.numpy as jnp
+    from openseq2seq_tpu.parts.transformer.common import \
+        get_decoder_self_attention_bias
+    from openseq2seq_tpu.parts.transformer.pipelined_stack import \
+        PipelinedTransformerDecoderLayers
+
+    B, T, S, D, H, L = 2, 6, 5, 16, 4, 3
+    mod = PipelinedTransformerDecoderLayers(
+        num_layers=L, hidden_size=D, num_heads=H, filter_size=32,
+        attention_dropout=0.0, relu_dropout=0.0,
+        postprocess_dropout=0.0, dtype_=jnp.float32)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    memory = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    enc_bias = jnp.zeros((B, 1, 1, S), jnp.float32)
+    self_bias = jnp.asarray(get_decoder_self_attention_bias(T))
+
+    params = mod.init(jax.random.PRNGKey(0), x, self_bias, memory,
+                      enc_bias, train=False)
+    full = mod.apply(params, x, self_bias, memory, enc_bias,
+                     train=False)                       # (B, T, D)
+
+    cross = mod.apply(params, memory,
+                      method=PipelinedTransformerDecoderLayers.
+                      precompute_cross_kv)
+    buf = jnp.zeros((B, T, L, 2, D), jnp.float32)
+    positions = jnp.arange(T)
+    for t in range(T):
+        row = jnp.where(positions > t, -1e9, 0.0)[None, None, None, :]
+        y, buf = mod.apply(
+            params, x[:, t:t + 1], t, buf, cross["k"], cross["v"],
+            enc_bias, row,
+            method=PipelinedTransformerDecoderLayers.decode_step)
+        np.testing.assert_allclose(np.asarray(y[:, 0]),
+                                   np.asarray(full[:, t]),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_stacked_decoder_eval_decode_runs(tmp_path):
+    """Eval (beam decode) works on a pipeline-configured decoder: the
+    stacked params drive the packed-cache beam search end to end."""
+    import jax
+    from openseq2seq_tpu.models import Text2Text
+    from openseq2seq_tpu.test_utils import toy_nmt
+
+    data = toy_nmt.generate(str(tmp_path))
+    cfg = toy_nmt.transformer_toy_config(data, mode_files="eval",
+                                         num_epochs=1)
+    cfg["encoder_params"]["encoder_layers"] = 4
+    cfg["decoder_params"]["num_hidden_layers"] = 4
+    cfg["num_pipeline_stages"] = 4
+    cfg["data_layer_params"]["shuffle"] = False
+    model = Text2Text(params=cfg, mode="eval")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    db = jax.tree_util.tree_map(np.asarray, batch)
+    out = jax.device_get(jax.jit(model.eval_step)(state, db))
+    dec = out["outputs"]["decoder_output"]
+    ids, lengths = dec["outputs"]
+    assert ids.ndim == 2 and (lengths > 0).all()
+    assert np.isfinite(dec["scores"]).all()
