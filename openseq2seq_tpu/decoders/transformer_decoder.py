@@ -60,7 +60,7 @@ class TransformerDecoderModule(nn.Module):
     # dot layouts that cost more than the gathers saved. Kept as an
     # opt-in experiment; default stays on the eager-reorder schedule.
     lazy_decode: bool = False
-    # "packed": ALL layers' decode K/V in ONE (B, T, L, 2, D) buffer,
+    # "packed": ALL layers' decode K/V in ONE (B, T, 2*L*D) buffer,
     # head-merged so rows are lane-full (D=1024 vs dh=64 half-lane) —
     # L dus writes + ONE whole-buffer beam gather per step instead of
     # 2L each (the 10.4 ms/step profiled under "per_layer").
@@ -214,14 +214,14 @@ class TransformerDecoderModule(nn.Module):
     def _decode_stacked(self, enc, table, memory, enc_bias, B, max_len):
         """Beam decode over the stacked-parameter (pipelined) stack:
         a lax.scan over the layer axis per step against the packed
-        (B, T, L, 2, D) KV buffer. The decode loop itself is not
+        (B, T, 2*L*D) KV buffer. The decode loop itself is not
         pipelined (no microbatch stream in autoregressive decoding);
         on a pipe mesh it runs with the stacked params broadcast."""
         L, D = self.num_hidden_layers, self.hidden_size
         positions = jnp.arange(max_len)
         pos_table = jnp.asarray(get_position_encoding(max_len, D),
                                 self.dtype_)
-        init_cache = {"self_kv": jnp.zeros((B, max_len, L, 2, D),
+        init_cache = {"self_kv": jnp.zeros((B, max_len, 2 * L * D),
                                            self.dtype_)}
         cross = self.pipeline_layers.precompute_cross_kv(memory)
         static_cache = {"cross_k": cross["k"], "cross_v": cross["v"],
@@ -290,8 +290,9 @@ class TransformerDecoderModule(nn.Module):
         if packed:
             init_cache = {
                 "self_kv": jnp.zeros(
-                    (B, max_len, self.num_hidden_layers, 2,
-                     self.hidden_size), self.dtype_),
+                    (B, max_len,
+                     2 * self.num_hidden_layers * self.hidden_size),
+                    self.dtype_),
             }
         else:
             init_cache = {

@@ -207,23 +207,28 @@ class SelfAttention(nn.Module):
 
         if packed_cache is not None:
             # Packed lane-full decode cache: ALL layers' K and V live in
-            # ONE (B, T, L, 2, D) buffer, head-MERGED so the minor dim
-            # is D=h*dh (a full 128-lane multiple) instead of dh=64
-            # half-lane rows. Per step this turns 2L small dus ops and
-            # 2L beam gathers over (B,T,h,dh) buffers into L dus ops
-            # here plus ONE whole-buffer gather in the beam loop —
-            # profiled at 10.4 of 25 ms/step under the per-layer
-            # layout (ROADMAP round-2 decode findings).
+            # ONE (B, T, 2*L*D) buffer, head-MERGED so rows are full
+            # 128-lane multiples instead of dh=64 half-lane tiles, and
+            # deliberately THREE-dimensional: a 5-D (B,T,L,2,D) variant
+            # was profiled 18.7 vs 22.2 sent/s — XLA's layout
+            # assignment relayouted the whole 1.4 GB buffer twice per
+    # step and serialized the beam gather into 256-iteration
+            # while loops of row-sized dynamic-slices. With boring
+            # (B, T, C) rows the gather moves contiguous 2L*D-byte
+            # rows and layouts stay put. Layer l's K occupies columns
+            # [2lD, (2l+1)D), its V [(2l+1)D, (2l+2)D).
             if decode_pos is None:
                 raise ValueError("decode cache requires decode_pos")
-            upd = jnp.stack([k, v], axis=2)[:, :, None]   # (B,1,1,2,D)
+            D = self.hidden_size
+            col = 2 * layer_idx * D
+            upd = jnp.concatenate([k, v], axis=-1)        # (B,1,2D)
             buf = jax.lax.dynamic_update_slice(
                 packed_cache, upd.astype(packed_cache.dtype),
-                (0, decode_pos, layer_idx, 0, 0))
-            # static layer index: XLA sees a view, not a gather
-            k_full = _split_heads(buf[:, :, layer_idx, 0],
+                (0, decode_pos, col))
+            # static column slices: views, not gathers
+            k_full = _split_heads(buf[:, :, col:col + D],
                                   self.num_heads)
-            v_full = _split_heads(buf[:, :, layer_idx, 1],
+            v_full = _split_heads(buf[:, :, col + D:col + 2 * D],
                                   self.num_heads)
             q = _split_heads(q, self.num_heads)
             out = _attend(q, k_full, v_full, bias,

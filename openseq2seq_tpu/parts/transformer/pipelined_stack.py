@@ -282,7 +282,7 @@ class PipelinedTransformerDecoderLayers(nn.Module):
         padding bias travel with each microbatch through the pipeline;
       * an incremental ``decode_step`` that runs the same stacked
         params through a ``lax.scan`` over the layer axis against the
-        PACKED (B, T, L, 2, D) beam-search KV buffer (the decode loop
+        PACKED (B, T, 2*L*D) beam-search KV buffer (the decode loop
         itself is not pipelined — autoregressive steps have no
         microbatch dimension to stream; on a pipe mesh the scan just
         runs replicated).
@@ -401,7 +401,7 @@ class PipelinedTransformerDecoderLayers(nn.Module):
                              num_microbatches=self.num_microbatches)
         return out["x"]
 
-    # -- incremental decode against the packed (B, T, L, 2, D) cache --
+    # -- incremental decode against the packed (B, T, 2*L*D) cache --
     def precompute_cross_kv(self, memory):
         """All layers' cross-attention K/V in one shot:
         (B, L, S, D) each — batch-first so beam search can treat them
@@ -419,9 +419,11 @@ class PipelinedTransformerDecoderLayers(nn.Module):
                     enc_bias, self_bias_row):
         """One incremental decoder step over all L layers.
 
-        x (B, 1, D); packed_kv (B, T, L, 2, D); cross_k/v (B, L, S, D);
-        self_bias_row broadcastable (B?|1, 1, 1, T). Returns
-        (y (B, 1, D), new packed_kv).
+        x (B, 1, D); packed_kv (B, T, 2*L*D) — the 3-D packed cache
+        layout (see ``SelfAttention``: layer l's K at columns
+        [2lD, (2l+1)D), V at [(2l+1)D, (2l+2)D)); cross_k/v
+        (B, L, S, D); self_bias_row broadcastable (B?|1, 1, 1, T).
+        Returns (y (B, 1, D), new packed_kv).
         """
         nh = self.num_heads
         dh = self.hidden_size // nh
@@ -439,12 +441,15 @@ class PipelinedTransformerDecoderLayers(nn.Module):
             qkv = h @ lp["qkv_kernel"].astype(dtype) + \
                 lp["qkv_bias"].astype(dtype)
             q, k, v = jnp.split(qkv, 3, axis=-1)
-            upd = jnp.stack([k, v], axis=2)[:, :, None]  # (B,1,1,2,D)
+            D = self.hidden_size
+            col = 2 * l * D
+            upd = jnp.concatenate([k, v], axis=-1)       # (B,1,2D)
             buf = jax.lax.dynamic_update_slice(
-                buf, upd.astype(buf.dtype), (0, decode_pos, l, 0, 0))
-            kl = jax.lax.dynamic_index_in_dim(buf, l, axis=2)
-            k_full = kl[:, :, 0, 0].reshape(B, -1, nh, dh)
-            v_full = kl[:, :, 0, 1].reshape(B, -1, nh, dh)
+                buf, upd.astype(buf.dtype), (0, decode_pos, col))
+            kl = jax.lax.dynamic_slice(
+                buf, (0, 0, col), (B, buf.shape[1], 2 * D))
+            k_full = kl[:, :, :D].reshape(B, -1, nh, dh)
+            v_full = kl[:, :, D:].reshape(B, -1, nh, dh)
             q4 = q.reshape(B, 1, nh, dh)
             logits = jnp.einsum("bqhd,bkhd->bhqk", q4 * scale, k_full,
                                 preferred_element_type=jnp.float32)

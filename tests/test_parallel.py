@@ -419,7 +419,7 @@ def test_decoder_pipeline_parallel_matches_scan(tmp_path):
 
 def test_stacked_decoder_decode_matches_teacher_forcing():
     """The stacked decoder's incremental decode_step (packed
-    (B,T,L,2,D) cache, scan over layers) must reproduce the
+    (B,T,2*L*D) cache, scan over layers) must reproduce the
     full-sequence training forward position by position."""
     import jax
     import jax.numpy as jnp
@@ -447,7 +447,7 @@ def test_stacked_decoder_decode_matches_teacher_forcing():
     cross = mod.apply(params, memory,
                       method=PipelinedTransformerDecoderLayers.
                       precompute_cross_kv)
-    buf = jnp.zeros((B, T, L, 2, D), jnp.float32)
+    buf = jnp.zeros((B, T, 2 * L * D), jnp.float32)
     positions = jnp.arange(T)
     for t in range(T):
         row = jnp.where(positions > t, -1e9, 0.0)[None, None, None, :]
