@@ -95,13 +95,26 @@ def _topk_grouped(x, k):
         return jax.lax.top_k(x, k)
     Vp = G * _GROUP
     if Vp != V:
-        pad = jnp.full(x.shape[:-1] + (Vp - V,), -jnp.inf, x.dtype)
+        # pad with the dtype's finite min, NOT -inf: the candidate
+        # rows are pulled with a one-hot matmul below and 0 * -inf
+        # would poison it with NaNs (finite min never wins a top-k
+        # over any real logit, so the result is unchanged)
+        pad = jnp.full(x.shape[:-1] + (Vp - V,),
+                       jnp.finfo(x.dtype).min, x.dtype)
         x = jnp.concatenate([x, pad], axis=-1)
     xg = x.reshape(x.shape[:-1] + (G, _GROUP))
     gmax = jnp.max(xg, axis=-1)                          # (..., G)
     _, gidx = jax.lax.top_k(gmax, k)                     # (..., k)
-    cand = jnp.take_along_axis(
-        xg, gidx[..., None].repeat(_GROUP, -1), axis=-2)  # (..., k, 128)
+    # pull the k winning rows with a one-hot matmul: exact (each output
+    # element is 1.0 * x + zeros), and it rides the MXU. The obvious
+    # jnp.take_along_axis with indices .repeat(GROUP) was the single
+    # most expensive op of a profiled transformer-big decode step
+    # (3.2 ms for a 6 MB operand — XLA lowers the element-wise index
+    # form to a serialized scalar gather on TPU).
+    onehot = (gidx[..., None] ==
+              jnp.arange(G, dtype=gidx.dtype)).astype(x.dtype)
+    cand = jnp.einsum("...kg,...gc->...kc", onehot, xg,
+                      preferred_element_type=x.dtype)     # (..., k, 128)
     flat = cand.reshape(cand.shape[:-2] + (k * _GROUP,))
     top_v, flat_idx = jax.lax.top_k(flat, k)
     group_of = jnp.take_along_axis(gidx, flat_idx // _GROUP, axis=-1)
