@@ -78,9 +78,10 @@ def main():
     # trainer.make_base_rng; threefry mask generation is pure-VPU work)
     params["prng_impl"] = "rbg"
     # u8 threshold masks (quarter the RNG volume; parts/dropout.py):
-    # sweep with BENCH_DROPBITS=8
-    if os.environ.get("BENCH_DROPBITS"):
-        params["dropout_bits"] = int(os.environ["BENCH_DROPBITS"])
+    # measured 164.8 -> 168.5 utt/s/chip; ships in zoo/jasper.py so
+    # the recipe and this bench run the same configuration. Sweep
+    # with BENCH_DROPBITS=32 for exact-bernoulli masks.
+    params["dropout_bits"] = int(os.environ.get("BENCH_DROPBITS", "8"))
     model = Speech2Text(params=params, mode="train", mesh=mesh)
     dl = model.get_data_layer()
     batch = next(iter(dl.iterate_one_epoch()))

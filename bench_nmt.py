@@ -63,8 +63,10 @@ def main():
     seq_len = int(os.environ.get("BENCH_NMT_SEQ", "64"))
     pad_frac = float(os.environ.get("BENCH_NMT_PADFRAC", "0"))
     # u8 threshold dropout masks (quarter the RNG volume; see
-    # parts/dropout.py) — sweep with BENCH_NMT_DROPBITS=8
-    drop_bits = int(os.environ.get("BENCH_NMT_DROPBITS", "32"))
+    # parts/dropout.py): measured 140.2k -> 145.3k tokens/s at T=64 and
+    # 115.2k -> 127.3k (MFU 0.434 -> 0.479) at T=256/pad10%; ships in
+    # the transformer recipes. Sweep with BENCH_NMT_DROPBITS=32.
+    drop_bits = int(os.environ.get("BENCH_NMT_DROPBITS", "8"))
     d_model = 1024
 
     mesh = make_mesh(num_data=n_chips, num_model=1)

@@ -57,6 +57,7 @@ base_params = {
     "loss": CTCLoss,
     "loss_params": {"use_pallas": True},
     "prng_impl": "rbg",
+    "dropout_bits": 8,   # u8 threshold masks (parts/dropout.py)
     "data_layer": Speech2TextDataLayer,
     "data_layer_params": {
         "num_audio_features": 160,

@@ -26,6 +26,7 @@ base_model = Image2Label
 base_params = {
     "random_seed": 0,
     "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
+    "dropout_bits": 8,   # u8 threshold masks (parts/dropout.py)
     "num_epochs": 200,
     "logdir": os.environ.get("OS2S_LOGDIR", "jasper_commands_log"),
     "batch_size_per_gpu": 64,

@@ -20,6 +20,7 @@ base_model = Speech2Text
 base_params = {
     "random_seed": 0,
     "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
+    "dropout_bits": 8,   # u8 threshold masks (parts/dropout.py)
     "num_epochs": 50,
     "logdir": os.environ.get("OS2S_LOGDIR", "las_log_folder"),
     "batch_size_per_gpu": 64,

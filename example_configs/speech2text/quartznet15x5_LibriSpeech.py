@@ -48,6 +48,7 @@ base_model = Speech2Text
 base_params = {
     "random_seed": 0,
     "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
+    "dropout_bits": 8,   # u8 threshold masks (parts/dropout.py)
     "num_epochs": 400,
     "batch_size_per_gpu": 32,
     "save_summaries_steps": 100,

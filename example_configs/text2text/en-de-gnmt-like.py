@@ -14,6 +14,7 @@ base_model = Text2Text
 base_params = {
     "random_seed": 0,
     "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
+    "dropout_bits": 8,   # u8 threshold masks (parts/dropout.py)
     "num_epochs": 8,
     "logdir": os.environ.get("OS2S_LOGDIR", "gnmt-log"),
     "batch_size_per_gpu": 32,

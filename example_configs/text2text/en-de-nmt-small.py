@@ -15,6 +15,7 @@ base_model = Text2Text
 base_params = {
     "random_seed": 0,
     "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
+    "dropout_bits": 8,   # u8 threshold masks (parts/dropout.py)
     "max_steps": 160082,
     "logdir": os.environ.get("OS2S_LOGDIR", "nmt-small-log"),
     "batch_size_per_gpu": 64,

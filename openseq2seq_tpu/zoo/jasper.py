@@ -104,6 +104,10 @@ def jasper_model_params(data_layer, data_layer_params: Dict[str, Any],
         # threefry so checkpoints are unaffected)
         "loss_params": {"use_pallas": True},
         "prng_impl": "rbg",
+        # u8 threshold dropout masks: quarter the RNG bit volume (keep
+        # prob quantized to 1/256, mean-exact — parts/dropout.py);
+        # measured 164.8 -> 168.5 utt/s/chip on v5e
+        "dropout_bits": 8,
         "data_layer": data_layer,
         "data_layer_params": data_layer_params,
     }
