@@ -66,12 +66,9 @@ def mesh_from_config(config: Dict[str, Any]) -> Mesh:
             avail = len(jax.devices()) // max(num_model, 1)
             num_data = min(num_gpus, max(avail, 1))
     if num_pipe > 1:
-        if num_model > 1:
-            raise ValueError(
-                "num_pipeline_stages and num_model_partitions cannot "
-                "be combined yet — pick pipeline OR tensor parallelism")
         from .pipeline import make_pipeline_mesh
-        return make_pipeline_mesh(num_stages=num_pipe, num_data=num_data)
+        return make_pipeline_mesh(num_stages=num_pipe, num_data=num_data,
+                                  num_model=num_model)
     return make_mesh(num_data=num_data, num_model=num_model)
 
 
@@ -236,6 +233,20 @@ def tp_state_sharding(state, mesh: Mesh, rules=DEFAULT_TP_RULES):
         name = _path_str(path)
         if psize > 1 and "pipeline_layers" in name and \
                 leaf.shape[0] % psize == 0:
+            if msize > 1:
+                # TP x PP: Megatron column/row sharding on top of the
+                # pipe-sharded layer axis (same table the pipeline's
+                # shard_map in_specs use — one source of truth)
+                from ..parts.transformer.pipelined_stack import \
+                    stacked_param_specs
+                base = name.rsplit("/", 1)[-1]
+                spec = stacked_param_specs(
+                    {base: leaf}, model_axis=MODEL_AXIS)[base]
+                ok = all(
+                    ax != MODEL_AXIS or leaf.shape[d] % msize == 0
+                    for d, ax in enumerate(spec))
+                if ok:
+                    return spec
             return P(*(("pipe",) + (None,) * (leaf.ndim - 1)))
         if msize == 1:
             return P()

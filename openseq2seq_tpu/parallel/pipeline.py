@@ -25,22 +25,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 PIPE_AXIS = "pipe"
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_pipeline_mesh(num_stages: int, num_data: Optional[int] = None,
+                       num_model: int = 1,
                        devices: Optional[Sequence] = None) -> Mesh:
-    """A ("data", "pipe") mesh with ``pipe`` minor so stage-to-stage
-    ppermute rides neighboring ICI links."""
+    """A ("data", "pipe") mesh — or ("data", "pipe", "model") when
+    ``num_model > 1`` (TP x PP composition) — with ``model`` minor so
+    the per-layer Megatron psums ride the tightest ICI links and
+    stage-to-stage ppermute the next ring out."""
     if devices is None:
         devices = jax.devices()
     devices = list(devices)
     if num_data is None:
-        num_data = len(devices) // num_stages
-    need = num_data * num_stages
+        num_data = len(devices) // (num_stages * max(num_model, 1))
+    need = num_data * num_stages * max(num_model, 1)
     if need > len(devices):
-        raise ValueError("pipeline mesh {}x{} needs {} devices, have "
-                         "{}".format(num_data, num_stages, need,
-                                     len(devices)))
+        raise ValueError("pipeline mesh {}x{}x{} needs {} devices, have "
+                         "{}".format(num_data, num_stages, num_model,
+                                     need, len(devices)))
+    if num_model > 1:
+        grid = np.array(devices[:need]).reshape(num_data, num_stages,
+                                                num_model)
+        return Mesh(grid, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
     grid = np.array(devices[:need]).reshape(num_data, num_stages)
     return Mesh(grid, (DATA_AXIS, PIPE_AXIS))
 
@@ -62,7 +70,8 @@ def pipeline_apply(stage_fn: Callable[[Any, Any], Any],
                    x: Any,
                    *,
                    mesh: Mesh,
-                   num_microbatches: int):
+                   num_microbatches: int,
+                   param_specs: Any = None):
     """Run ``x`` through S pipelined stages.
 
     ``stage_fn(local_params, h) -> h'`` must be shape-preserving (the
@@ -74,6 +83,12 @@ def pipeline_apply(stage_fn: Callable[[Any, Any], Any],
     array or a PYTREE of (B, ...) arrays (activations plus side inputs
     like attention biases / rng rows that must travel with their
     microbatch); B divisible by num_microbatches (per data shard).
+
+    ``param_specs``: optional PartitionSpec pytree overriding the
+    default P(pipe, None, ...) per-leaf layout — used by the TP x PP
+    composition to ALSO shard kernel leaves over the mesh "model"
+    axis; ``stage_fn`` is then responsible for the matching Megatron
+    psums (activations stay replicated over model).
     """
     S = mesh.shape[PIPE_AXIS]
     M = num_microbatches
@@ -92,9 +107,10 @@ def pipeline_apply(stage_fn: Callable[[Any, Any], Any],
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    param_specs = tmap(
-        lambda l: P(*((PIPE_AXIS,) + (None,) * (l.ndim - 1))),
-        stacked_params)
+    if param_specs is None:
+        param_specs = tmap(
+            lambda l: P(*((PIPE_AXIS,) + (None,) * (l.ndim - 1))),
+            stacked_params)
     x_spec = tmap(
         lambda l: P(DATA_AXIS) if DATA_AXIS in mesh.axis_names else P(),
         x)

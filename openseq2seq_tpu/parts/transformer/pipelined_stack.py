@@ -46,46 +46,107 @@ def _dropout(key, rate, x):
     return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
 
 
+def _psum_if(x, tp_axis):
+    return x if tp_axis is None else jax.lax.psum(x, tp_axis)
+
+
+def stacked_param_specs(params, model_axis=None):
+    """PartitionSpec per stacked-stack leaf: always P(pipe, ...) on the
+    layer axis; with ``model_axis`` the Megatron TP layout on top —
+    column-parallel QKV/query/FFN-in kernels (their biases sharded
+    alike), row-parallel output/FFN-out kernels (biases replicated,
+    added after the psum), layer norms replicated."""
+    from ...parallel.pipeline import PIPE_AXIS
+    from jax.sharding import PartitionSpec as P
+    COL3K = {"qkv_kernel"}
+    COL3B = {"qkv_bias"}
+    ROWK = {"out_kernel", "sa_out_kernel", "ca_out_kernel",
+            "ffn2_kernel"}
+    COLK = {"q_kernel", "ck_kernel", "cv_kernel", "ffn1_kernel"}
+    COLB = {"q_bias", "ck_bias", "cv_bias", "ffn1_bias"}
+
+    def spec(path, leaf):
+        name = path[-1]
+        for attr in ("key", "name", "idx"):
+            if hasattr(name, attr):
+                name = str(getattr(name, attr))
+                break
+        else:
+            name = str(name)
+        m = model_axis
+        if m is not None:
+            if name in COL3K:
+                return P(PIPE_AXIS, None, None, m)
+            if name in COL3B:
+                return P(PIPE_AXIS, None, m)
+            if name in ROWK:
+                return P(PIPE_AXIS, m, None)
+            if name in COLK:
+                return P(PIPE_AXIS, None, m)
+            if name in COLB:
+                return P(PIPE_AXIS, m)
+        return P(*((PIPE_AXIS,) + (None,) * (leaf.ndim - 1)))
+    # tree_map (not a dict comprehension): the returned spec tree must
+    # be the SAME container type as ``params`` (dict vs FrozenDict) or
+    # shard_map's in_specs prefix matching rejects it
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def transformer_layer(lp, x, bias, key, *, num_heads: int,
                       attention_dropout: float, relu_dropout: float,
-                      postprocess_dropout: float, train: bool):
+                      postprocess_dropout: float, train: bool,
+                      tp_axis: Optional[str] = None):
     """One pre-norm [self-attention, FFN] layer over explicit params.
 
     ``lp``: single-layer parameter dict (leaves without the stack
     axis). ``key``: dropout PRNG key ((2,) uint32) or None when
-    deterministic.
+    deterministic. ``tp_axis``: mesh axis name for Megatron tensor
+    parallelism — kernels arrive as local column/row shards (see
+    ``stacked_param_specs``), attention runs on the local head slice,
+    and the output/FFN projections psum over the axis. Dropout on
+    SHARDED tensors (attention weights, FFN hidden) folds the shard
+    index into its key so masks decorrelate; dropout on the REPLICATED
+    residual stream keeps the shared key so replicas stay identical.
     """
     dtype = x.dtype
     dropping = train and key is not None
     if dropping:
         k0, k1, k2, k3 = jax.random.split(key, 4)
+        if tp_axis is not None:
+            shard = jax.lax.axis_index(tp_axis)
+            k0 = jax.random.fold_in(k0, shard)
+            k2 = jax.random.fold_in(k2, shard)
     drop = (lambda k, r, h: _dropout(k, r, h)) if dropping else \
         (lambda k, r, h: h)
 
     B, T, D = x.shape
     dh = D // num_heads
     h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"]).astype(dtype)
-    qkv = h @ lp["qkv_kernel"].astype(dtype) + \
-        lp["qkv_bias"].astype(dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(B, T, num_heads, dh)
-    k = k.reshape(B, T, num_heads, dh)
-    v = v.reshape(B, T, num_heads, dh)
+    qkv = jnp.einsum("btd,dce->btce", h,
+                     lp["qkv_kernel"].astype(dtype)) + \
+        lp["qkv_bias"].astype(dtype)               # (B, T, 3, Dlocal)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    hl = q.shape[-1] // dh                         # local heads
+    q = q.reshape(B, T, hl, dh)
+    k = k.reshape(B, T, hl, dh)
+    v = v.reshape(B, T, hl, dh)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * (dh ** -0.5), k,
                         preferred_element_type=jnp.float32)
     logits = logits + bias.astype(jnp.float32)
     w = jax.nn.softmax(logits, axis=-1)
     w = drop(k0 if dropping else None, attention_dropout, w)
     o = jnp.einsum("bhqk,bkhd->bqhd", w.astype(dtype), v)
-    o = o.reshape(B, T, D)
-    o = o @ lp["out_kernel"].astype(dtype) + lp["out_bias"].astype(dtype)
+    o = o.reshape(B, T, hl * dh)
+    o = _psum_if(o @ lp["out_kernel"].astype(dtype), tp_axis) + \
+        lp["out_bias"].astype(dtype)
     x = x + drop(k1 if dropping else None, postprocess_dropout, o)
 
     h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"]).astype(dtype)
     h = jax.nn.relu(h @ lp["ffn1_kernel"].astype(dtype) +
                     lp["ffn1_bias"].astype(dtype))
     h = drop(k2 if dropping else None, relu_dropout, h)
-    h = h @ lp["ffn2_kernel"].astype(dtype) + lp["ffn2_bias"].astype(dtype)
+    h = _psum_if(h @ lp["ffn2_kernel"].astype(dtype), tp_axis) + \
+        lp["ffn2_bias"].astype(dtype)
     return x + drop(k3 if dropping else None, postprocess_dropout, h)
 
 
@@ -114,10 +175,13 @@ class PipelinedTransformerLayers(nn.Module):
                                     (L, D), jnp.float32),
             "ln1_bias": self.param("ln1_bias", nn.initializers.zeros,
                                    (L, D), jnp.float32),
-            "qkv_kernel": self.param("qkv_kernel", lecun, (L, D, 3 * D),
+            # (L, D, 3, D), not (L, D, 3D): the q/k/v blocks must be
+            # separately shardable for column-parallel TP (a flat 3D
+            # axis cut into m chunks would mix q/k/v across shards)
+            "qkv_kernel": self.param("qkv_kernel", lecun, (L, D, 3, D),
                                      jnp.float32),
             "qkv_bias": self.param("qkv_bias", nn.initializers.zeros,
-                                   (L, 3 * D), jnp.float32),
+                                   (L, 3, D), jnp.float32),
             "out_kernel": self.param("out_kernel", lecun, (L, D, D),
                                      jnp.float32),
             "out_bias": self.param("out_bias", nn.initializers.zeros,
@@ -146,11 +210,13 @@ class PipelinedTransformerLayers(nn.Module):
                         postprocess_dropout=self.postprocess_dropout,
                         train=train)
 
-        pipe_size = 0
+        pipe_size = tp_size = 0
         if self.mesh is not None and not self.is_initializing():
             pipe_size = self.mesh.shape.get("pipe", 0)
+            tp_size = self.mesh.shape.get("model", 0)
         if pipe_size > 1:
-            return self._pipelined(p, x, bias, key, pipe_size, layer_kw)
+            return self._pipelined(p, x, bias, key, pipe_size, tp_size,
+                                   layer_kw)
         return self._scanned(p, x, bias, key, layer_kw)
 
     # -- plain path: lax.scan over the stacked layer axis -------------
@@ -165,13 +231,20 @@ class PipelinedTransformerLayers(nn.Module):
         return out
 
     # -- pipelined path over the mesh's pipe axis ---------------------
-    def _pipelined(self, p, x, bias, key, pipe_size, layer_kw):
+    def _pipelined(self, p, x, bias, key, pipe_size, tp_size, layer_kw):
         from ...parallel.pipeline import PIPE_AXIS, pipeline_apply
         S = pipe_size
         if self.num_layers % S != 0:
             raise ValueError(
                 "num_layers {} not divisible by pipeline stages "
                 "{}".format(self.num_layers, S))
+        tp = "model" if tp_size > 1 else None
+        if tp and (self.num_heads % tp_size or
+                   self.filter_size % tp_size):
+            raise ValueError(
+                "TP x PP: num_heads {} and filter_size {} must divide "
+                "the model axis {}".format(self.num_heads,
+                                           self.filter_size, tp_size))
         k_local = self.num_layers // S
         B = x.shape[0]
         tree = {"x": x, "bias": bias}
@@ -192,13 +265,15 @@ class PipelinedTransformerLayers(nn.Module):
                     k = jax.random.fold_in(t["rng"][0],
                                            stage * k_local + j)
                 return transformer_layer(lp, carry, t["bias"], k,
-                                         **layer_kw), None
+                                         tp_axis=tp, **layer_kw), None
             y, _ = jax.lax.scan(body, t["x"],
                                 (local, jnp.arange(k_local)))
             return {**t, "x": y}
 
         out = pipeline_apply(stage_fn, p, tree, mesh=self.mesh,
-                             num_microbatches=self.num_microbatches)
+                             num_microbatches=self.num_microbatches,
+                             param_specs=stacked_param_specs(
+                                 p, model_axis=tp))
         return out["x"]
 
 
@@ -210,56 +285,67 @@ def transformer_decoder_layer(lp, x, self_bias, memory, enc_bias, key,
                               *, num_heads: int,
                               attention_dropout: float,
                               relu_dropout: float,
-                              postprocess_dropout: float, train: bool):
+                              postprocess_dropout: float, train: bool,
+                              tp_axis: Optional[str] = None):
     """One pre-norm decoder layer over explicit params — the stacked-
     parameter counterpart of ``TransformerDecoderModule``'s per-layer
     path (reference `open_seq2seq/decoders/transformer_decoder.py:
     160-210`): causal self-attention, encoder-decoder attention, FFN,
-    each with a residual + postprocess dropout."""
+    each with a residual + postprocess dropout. ``tp_axis``: Megatron
+    tensor parallelism over local head/FFN shards — see
+    ``transformer_layer`` for the dropout-key discipline."""
     dtype = x.dtype
     dropping = train and key is not None
     if dropping:
-        ks = jax.random.split(key, 6)
+        ks = list(jax.random.split(key, 6))
+        if tp_axis is not None:
+            shard = jax.lax.axis_index(tp_axis)
+            for i in (0, 2, 4):      # sharded-tensor dropout sites
+                ks[i] = jax.random.fold_in(ks[i], shard)
     drop = (lambda k, r, h: _dropout(k, r, h)) if dropping else \
         (lambda k, r, h: h)
     B, T, D = x.shape
     dh = D // num_heads
     scale = dh ** -0.5
 
-    # causal self-attention (fused QKV)
+    # causal self-attention (fused QKV, column-parallel under TP)
     h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"]).astype(dtype)
-    qkv = h @ lp["qkv_kernel"].astype(dtype) + \
-        lp["qkv_bias"].astype(dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(B, T, num_heads, dh)
-    k = k.reshape(B, T, num_heads, dh)
-    v = v.reshape(B, T, num_heads, dh)
+    qkv = jnp.einsum("btd,dce->btce", h,
+                     lp["qkv_kernel"].astype(dtype)) + \
+        lp["qkv_bias"].astype(dtype)               # (B, T, 3, Dlocal)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    hl = q.shape[-1] // dh                         # local heads
+    q = q.reshape(B, T, hl, dh)
+    k = k.reshape(B, T, hl, dh)
+    v = v.reshape(B, T, hl, dh)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                         preferred_element_type=jnp.float32)
     logits = logits + self_bias.astype(jnp.float32)
     w = jax.nn.softmax(logits, axis=-1)
     w = drop(ks[0] if dropping else None, attention_dropout, w)
     o = jnp.einsum("bhqk,bkhd->bqhd", w.astype(dtype), v)
-    o = o.reshape(B, T, D) @ lp["sa_out_kernel"].astype(dtype) + \
+    o = _psum_if(o.reshape(B, T, hl * dh) @
+                 lp["sa_out_kernel"].astype(dtype), tp_axis) + \
         lp["sa_out_bias"].astype(dtype)
     x = x + drop(ks[1] if dropping else None, postprocess_dropout, o)
 
     # encoder-decoder attention
     h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"]).astype(dtype)
     q = (h @ lp["q_kernel"].astype(dtype) +
-         lp["q_bias"].astype(dtype)).reshape(B, T, num_heads, dh)
+         lp["q_bias"].astype(dtype)).reshape(B, T, hl, dh)
     S = memory.shape[1]
     kc = (memory @ lp["ck_kernel"].astype(dtype) +
-          lp["ck_bias"].astype(dtype)).reshape(B, S, num_heads, dh)
+          lp["ck_bias"].astype(dtype)).reshape(B, S, hl, dh)
     vc = (memory @ lp["cv_kernel"].astype(dtype) +
-          lp["cv_bias"].astype(dtype)).reshape(B, S, num_heads, dh)
+          lp["cv_bias"].astype(dtype)).reshape(B, S, hl, dh)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, kc,
                         preferred_element_type=jnp.float32)
     logits = logits + enc_bias.astype(jnp.float32)
     w = jax.nn.softmax(logits, axis=-1)
     w = drop(ks[2] if dropping else None, attention_dropout, w)
     o = jnp.einsum("bhqk,bkhd->bqhd", w.astype(dtype), vc)
-    o = o.reshape(B, T, D) @ lp["ca_out_kernel"].astype(dtype) + \
+    o = _psum_if(o.reshape(B, T, hl * dh) @
+                 lp["ca_out_kernel"].astype(dtype), tp_axis) + \
         lp["ca_out_bias"].astype(dtype)
     x = x + drop(ks[3] if dropping else None, postprocess_dropout, o)
 
@@ -268,7 +354,7 @@ def transformer_decoder_layer(lp, x, self_bias, memory, enc_bias, key,
     h = jax.nn.relu(h @ lp["ffn1_kernel"].astype(dtype) +
                     lp["ffn1_bias"].astype(dtype))
     h = drop(ks[4] if dropping else None, relu_dropout, h)
-    h = h @ lp["ffn2_kernel"].astype(dtype) + \
+    h = _psum_if(h @ lp["ffn2_kernel"].astype(dtype), tp_axis) + \
         lp["ffn2_bias"].astype(dtype)
     return x + drop(ks[5] if dropping else None, postprocess_dropout, h)
 
@@ -307,8 +393,10 @@ class PipelinedTransformerDecoderLayers(nn.Module):
         self.p = {
             "ln1_scale": mk("ln1_scale", ones, (L, D)),
             "ln1_bias": mk("ln1_bias", zeros, (L, D)),
-            "qkv_kernel": mk("qkv_kernel", lecun, (L, D, 3 * D)),
-            "qkv_bias": mk("qkv_bias", zeros, (L, 3 * D)),
+            # (L, D, 3, D) so q/k/v shard separately under TP (see the
+            # encoder stack above)
+            "qkv_kernel": mk("qkv_kernel", lecun, (L, D, 3, D)),
+            "qkv_bias": mk("qkv_bias", zeros, (L, 3, D)),
             "sa_out_kernel": mk("sa_out_kernel", lecun, (L, D, D)),
             "sa_out_bias": mk("sa_out_bias", zeros, (L, D)),
             "ln2_scale": mk("ln2_scale", ones, (L, D)),
@@ -344,12 +432,13 @@ class PipelinedTransformerDecoderLayers(nn.Module):
         key = self.make_rng("dropout") if dropping else None
         layer_kw = self._layer_kw(train)
 
-        pipe_size = 0
+        pipe_size = tp_size = 0
         if self.mesh is not None and not self.is_initializing():
             pipe_size = self.mesh.shape.get("pipe", 0)
+            tp_size = self.mesh.shape.get("model", 0)
         if pipe_size > 1:
             return self._pipelined(x, self_bias, memory, enc_bias, key,
-                                   pipe_size, layer_kw)
+                                   pipe_size, tp_size, layer_kw)
         return self._scanned(x, self_bias, memory, enc_bias, key,
                              layer_kw)
 
@@ -365,13 +454,20 @@ class PipelinedTransformerDecoderLayers(nn.Module):
         return out
 
     def _pipelined(self, x, self_bias, memory, enc_bias, key,
-                   pipe_size, layer_kw):
+                   pipe_size, tp_size, layer_kw):
         from ...parallel.pipeline import PIPE_AXIS, pipeline_apply
         S = pipe_size
         if self.num_layers % S != 0:
             raise ValueError(
                 "num_layers {} not divisible by pipeline stages "
                 "{}".format(self.num_layers, S))
+        tp = "model" if tp_size > 1 else None
+        if tp and (self.num_heads % tp_size or
+                   self.filter_size % tp_size):
+            raise ValueError(
+                "TP x PP: num_heads {} and filter_size {} must divide "
+                "the model axis {}".format(self.num_heads,
+                                           self.filter_size, tp_size))
         k_local = self.num_layers // S
         B = x.shape[0]
         # self_bias is the (1, 1, T, T) causal triangle — a trace
@@ -392,13 +488,15 @@ class PipelinedTransformerDecoderLayers(nn.Module):
                                            stage * k_local + j)
                 return transformer_decoder_layer(
                     lp, carry, self_bias, t["mem"], t["enc_bias"], k,
-                    **layer_kw), None
+                    tp_axis=tp, **layer_kw), None
             y, _ = jax.lax.scan(body, t["x"],
                                 (local, jnp.arange(k_local)))
             return {**t, "x": y}
 
         out = pipeline_apply(stage_fn, self.p, tree, mesh=self.mesh,
-                             num_microbatches=self.num_microbatches)
+                             num_microbatches=self.num_microbatches,
+                             param_specs=stacked_param_specs(
+                                 self.p, model_axis=tp))
         return out["x"]
 
     # -- incremental decode against the packed (B, T, 2*L*D) cache --
@@ -438,9 +536,10 @@ class PipelinedTransformerDecoderLayers(nn.Module):
             # --- causal self-attention against the packed buffer
             h = _layer_norm(h_in, lp["ln1_scale"],
                             lp["ln1_bias"]).astype(dtype)
-            qkv = h @ lp["qkv_kernel"].astype(dtype) + \
-                lp["qkv_bias"].astype(dtype)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            qkv = jnp.einsum("btd,dce->btce", h,
+                             lp["qkv_kernel"].astype(dtype)) + \
+                lp["qkv_bias"].astype(dtype)         # (B,1,3,D)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             D = self.hidden_size
             col = 2 * l * D
             upd = jnp.concatenate([k, v], axis=-1)       # (B,1,2D)

@@ -417,6 +417,77 @@ def test_decoder_pipeline_parallel_matches_scan(tmp_path):
                                     abs=1e-5)
 
 
+def test_tp_pp_composition_matches_scan(tmp_path):
+    """TP x PP: `num_pipeline_stages` + `num_model_partitions` build a
+    ("data", "pipe", "model") mesh; both transformer stacks pipeline
+    over `pipe` with Megatron column/row kernel shards over `model`
+    (psums inside the shard_map stages). The composed train step must
+    match the plain single-device layer scan of the same params."""
+    import jax
+    from openseq2seq_tpu.models import Text2Text
+    from openseq2seq_tpu.parallel.mesh import (mesh_from_config,
+                                               shard_batch,
+                                               tp_state_sharding)
+    from openseq2seq_tpu.test_utils import toy_nmt
+
+    data = toy_nmt.generate(str(tmp_path))
+    cfg = toy_nmt.transformer_toy_config(data, num_epochs=1)
+    cfg["encoder_params"]["encoder_layers"] = 4
+    cfg["decoder_params"]["num_hidden_layers"] = 4
+    for k in ("attention_dropout", "relu_dropout",
+              "layer_postprocess_dropout"):
+        cfg["encoder_params"][k] = 0.0
+        cfg["decoder_params"][k] = 0.0
+    cfg["num_pipeline_stages"] = 2
+    cfg["num_model_partitions"] = 2
+    cfg["num_pipeline_microbatches"] = 2
+
+    mesh = mesh_from_config(cfg)
+    assert dict(mesh.shape) == {"data": 2, "pipe": 2, "model": 2}
+    m_pp = Text2Text(params=dict(cfg), mode="train", mesh=mesh)
+    batch = next(iter(m_pp.get_data_layer().iterate_one_epoch()))
+    state = m_pp.init_state(batch)
+    sh = tp_state_sharding(state, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(sh.params)[0]
+    tp_leaves = [s for p, s in flat
+                 if "pipe" in str(s.spec) and "model" in str(s.spec)]
+    # every kernel + column bias in both stacks is model-sharded:
+    # enc 5 (qkv_k, qkv_b, out_k, ffn1_k+b -> 6 incl ffn1_bias)...
+    # just require a healthy count of doubly-sharded leaves
+    assert len(tp_leaves) >= 12
+    state = jax.device_put(state, sh)
+    db = shard_batch(batch, mesh)
+    new_state, metrics = jax.jit(m_pp.train_step)(
+        state, db, jax.random.PRNGKey(0))
+    pp_loss = float(metrics["loss"])
+
+    m_sc = Text2Text(params=dict(cfg), mode="train", mesh=None)
+    state_sc = m_sc.init_state(batch)
+    db_host = jax.tree_util.tree_map(np.asarray, batch)
+    _, metrics_sc = jax.jit(m_sc.train_step)(
+        state_sc, db_host, jax.random.PRNGKey(0))
+    assert pp_loss == pytest.approx(float(metrics_sc["loss"]),
+                                    abs=1e-5)
+    g0 = jax.tree_util.tree_leaves(new_state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in g0)
+
+    # dropout path: sharded-tensor masks fold in the model shard index,
+    # residual-stream masks stay replica-identical — step stays finite
+    cfg_d = dict(cfg)
+    cfg_d["encoder_params"] = dict(
+        cfg["encoder_params"], attention_dropout=0.1, relu_dropout=0.1,
+        layer_postprocess_dropout=0.1)
+    cfg_d["decoder_params"] = dict(
+        cfg["decoder_params"], attention_dropout=0.1, relu_dropout=0.1,
+        layer_postprocess_dropout=0.1)
+    m_d = Text2Text(params=cfg_d, mode="train", mesh=mesh)
+    state_d = jax.device_put(m_d.init_state(batch),
+                             tp_state_sharding(state, mesh))
+    _, metrics_d = jax.jit(m_d.train_step)(
+        state_d, db, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics_d["loss"]))
+
+
 def test_stacked_decoder_decode_matches_teacher_forcing():
     """The stacked decoder's incremental decode_step (packed
     (B,T,2*L*D) cache, scan over layers) must reproduce the
