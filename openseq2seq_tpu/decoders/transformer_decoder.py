@@ -66,6 +66,13 @@ class TransformerDecoderModule(nn.Module):
     # 2L each (the 10.4 ms/step profiled under "per_layer").
     # "per_layer": the round-2 list-of-{k,v} layout.
     decode_cache: str = "packed"
+    # >1: prefix-bounded segmented decode — chain N while_loops whose
+    # KV cache is time-sliced to a geometric ladder of bounds
+    # (…T/4, T/2, T rounded to sublane multiples), so early steps read
+    # a small cache instead of the full (·, T, ·) buffer. Exact (the
+    # skipped rows are causally masked anyway); costs one XLA program
+    # compile per segment. See ops/beam_search.py segment_bounds.
+    decode_segments: int = 1
     sp_mesh: Any = None     # sequence parallelism for the TRAINING
                             # pass: shard the decoder residual stream's
                             # time axis over the mesh "model" axis
@@ -79,6 +86,14 @@ class TransformerDecoderModule(nn.Module):
                                  # PipelinedTransformerDecoderLayers)
     pipeline_microbatches: int = 4
     pipe_mesh: Any = None
+
+    def _segment_bounds(self, max_len):
+        if self.decode_segments <= 1 or \
+                (self.lazy_decode and self.beam_size > 1):
+            return None
+        from ..ops.beam_search import geometric_segment_bounds
+        return geometric_segment_bounds(max_len,
+                                        self.decode_segments) or None
 
     def _sp(self, x):
         if self.sp_mesh is None or x.ndim != 3:
@@ -231,7 +246,10 @@ class TransformerDecoderModule(nn.Module):
             x = embed_ids(table, ids, D, self.dtype_)
             x = x + jax.lax.dynamic_slice_in_dim(
                 pos_table, pos, 1, axis=0)[None]
-            self_bias_row = jnp.where(positions > pos, NEG_INF,
+            # length from the CACHE, not max_len: under segmented
+            # decode the carried buffer holds only a time prefix
+            Lc = cache["self_kv"].shape[1]
+            self_bias_row = jnp.where(positions[:Lc] > pos, NEG_INF,
                                       0.0)[None, None, None, :]
             y, buf = self.pipeline_layers.decode_step(
                 x, pos, cache["self_kv"], cache["cross_k"],
@@ -260,7 +278,8 @@ class TransformerDecoderModule(nn.Module):
             vocab_size=self.tgt_vocab_size,
             max_decode_length=max_len, eos_id=self.eos_id,
             alpha=self.alpha, bos_id=self.go_symbol,
-            static_cache=static_cache)
+            static_cache=static_cache,
+            segment_bounds=self._segment_bounds(max_len))
         top = decoded[:, 0, 1:]
         lengths = sequence_lengths_from_ids(top, self.eos_id)
         return {"outputs": [top, lengths], "scores": scores[:, 0],
@@ -317,7 +336,11 @@ class TransformerDecoderModule(nn.Module):
             x = embed_ids(table, ids, self.hidden_size, self.dtype_)
             x = x + jax.lax.dynamic_slice_in_dim(
                 pos_table, pos, 1, axis=0)[None]
-            self_bias = jnp.where(positions > pos, NEG_INF,
+            # length from the CACHE, not max_len: under segmented
+            # decode the carried buffer holds only a time prefix
+            Lc = (cache["self_kv"].shape[1] if "self_kv" in cache
+                  else cache["self"][0]["k"].shape[1])
+            self_bias = jnp.where(positions[:Lc] > pos, NEG_INF,
                                   0.0)[None, None, None, :]
             x, new_self = self._layer_stack(
                 x, self_bias, cache["enc_bias"], None, train=False,
@@ -359,7 +382,8 @@ class TransformerDecoderModule(nn.Module):
             vocab_size=self.tgt_vocab_size,
             max_decode_length=max_len, eos_id=self.eos_id,
             alpha=self.alpha, bos_id=self.go_symbol,
-            static_cache=static_cache, lazy_cache=self.lazy_decode)
+            static_cache=static_cache, lazy_cache=self.lazy_decode,
+            segment_bounds=self._segment_bounds(max_len))
 
         top = decoded[:, 0, 1:]                       # strip BOS
         lengths = sequence_lengths_from_ids(top, self.eos_id)
@@ -399,6 +423,7 @@ class TransformerDecoder(Decoder):
             "use_flash_attention": bool,
             "lazy_decode": bool,
             "decode_cache": ["packed", "per_layer"],
+            "decode_segments": int,
             "sequence_parallel": bool,
             "num_pipeline_stages": int,
             "num_pipeline_microbatches": int,
@@ -462,6 +487,7 @@ class TransformerDecoder(Decoder):
             use_flash=p.get("use_flash_attention", False),
             lazy_decode=p.get("lazy_decode", False),
             decode_cache=p.get("decode_cache", "packed"),
+            decode_segments=int(p.get("decode_segments", 1)),
             sp_mesh=(self._model.mesh
                      if (p.get("sequence_parallel", False) and
                          self._model is not None and

@@ -40,7 +40,7 @@ KV cache, not FLOPs):
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -121,6 +121,21 @@ def _topk_grouped(x, k):
     return top_v, group_of * _GROUP + flat_idx % _GROUP
 
 
+def geometric_segment_bounds(max_decode_length: int, num_segments: int,
+                             multiple: int = 8):
+    """A halving ladder of cache bounds for segmented decode:
+    ``num_segments=3``, T=114 → [32, 64] (the final implicit bound is
+    always T). Bounds are rounded up to ``multiple`` so the sliced
+    cache keeps sublane-aligned time rows."""
+    bounds = []
+    for s in range(1, num_segments):
+        b = -(-max_decode_length // (2 ** (num_segments - s)))
+        b = -(-b // multiple) * multiple
+        if b < max_decode_length and b not in bounds:
+            bounds.append(b)
+    return bounds
+
+
 def beam_search(symbols_to_logits_fn: Callable,
                 init_cache: Any,
                 batch_size: int,
@@ -131,7 +146,8 @@ def beam_search(symbols_to_logits_fn: Callable,
                 alpha: float = 0.6,
                 bos_id: int = 0,
                 static_cache: Optional[dict] = None,
-                lazy_cache: bool = False
+                lazy_cache: bool = False,
+                segment_bounds: Optional[Sequence[int]] = None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (decoded_ids (B, K, T_max+1), scores (B, K)), best first.
 
@@ -150,10 +166,31 @@ def beam_search(symbols_to_logits_fn: Callable,
     position t). Requires a step fn whose attention resolves ancestry
     (see ``parts/transformer/attention.SelfAttention``); the cache it
     returns under ``beam_ancestry`` is ignored.
+
+    ``segment_bounds``: prefix-bounded segmented decode. Per-step KV
+    cache traffic (the dominant decode cost) is proportional to the
+    cache's TIME capacity, but the unsegmented loop always reads the
+    full (·, T, ·) buffer even at step 3. With bounds ``[32, 64]``
+    (say, T=114) the search runs as THREE chained while_loops whose
+    carried cache is time-sliced to 32 / 64 / 114 rows, zero-padded up
+    between segments — steps < 32 touch a 32-row cache, etc. Exact:
+    positions ≥ the bound are causally masked anyway, so this is pure
+    traffic shaping (identical beams). Requires every ``init_cache``
+    leaf to carry the time axis at dim 1 (both the packed
+    (B, T, 2·L·D) and per-layer (B, T, h, dh) layouts do) and is
+    mutually exclusive with ``lazy_cache`` (whose ancestry matrix is
+    already tiny). Compile cost: one program per segment.
     """
     B, K, V, T = batch_size, beam_size, vocab_size, max_decode_length
     if lazy_cache and K == 1:
         lazy_cache = False      # greedy already skips every gather
+    bounds = [T]
+    if segment_bounds:
+        if lazy_cache:
+            raise ValueError("segment_bounds and lazy_cache are "
+                             "mutually exclusive")
+        bounds = sorted({int(b) for b in segment_bounds
+                         if 0 < int(b) < T}) + [T]
 
     # replicate the cache over K beams: leaves (B, ...) -> (B, K, ...)
     tile = lambda x: jnp.broadcast_to(  # noqa: E731
@@ -186,17 +223,19 @@ def beam_search(symbols_to_logits_fn: Callable,
         jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, T))
     ancestry = anc_identity if lazy_cache else jnp.zeros((0,), jnp.int32)
 
-    def condition(state):
-        i, seq, alive_lp, cache, ancestry, fin_seq, fin_scores, \
-            fin_flags = state
-        max_lp = _length_penalty(alpha, T)
-        best_alive = alive_lp[:, 0] / max_lp
-        worst_finished = jnp.min(
-            jnp.where(fin_flags, fin_scores, NEG_INF), axis=1)
-        worst_finished = jnp.where(jnp.any(fin_flags, axis=1),
-                                   worst_finished, NEG_INF)
-        still_improving = jnp.any(best_alive > worst_finished)
-        return jnp.logical_and(i < T, still_improving)
+    def make_condition(bound):
+        def condition(state):
+            i, seq, alive_lp, cache, ancestry, fin_seq, fin_scores, \
+                fin_flags = state
+            max_lp = _length_penalty(alpha, T)
+            best_alive = alive_lp[:, 0] / max_lp
+            worst_finished = jnp.min(
+                jnp.where(fin_flags, fin_scores, NEG_INF), axis=1)
+            worst_finished = jnp.where(jnp.any(fin_flags, axis=1),
+                                       worst_finished, NEG_INF)
+            still_improving = jnp.any(best_alive > worst_finished)
+            return jnp.logical_and(i < bound, still_improving)
+        return condition
 
     def body(state):
         i, seq, alive_lp, cache, ancestry, fin_seq, fin_scores, \
@@ -278,10 +317,29 @@ def beam_search(symbols_to_logits_fn: Callable,
         return (i + 1, new_seq, new_alive_lp, new_cache, new_ancestry,
                 new_fin_seq, new_fin_scores, new_fin_flags)
 
+    if len(bounds) > 1:
+        # segmented: start with the cache time axis (dim 2 after beam
+        # tiling) sliced to the first bound; grow between segments
+        cache = jax.tree_util.tree_map(
+            lambda x: jax.lax.slice_in_dim(x, 0, bounds[0], axis=2),
+            cache)
     state = (jnp.int32(0), seq, alive_log_probs, cache, ancestry,
              finished_seq, finished_scores, finished_flags)
-    (_, seq, alive_lp, _, _, fin_seq, fin_scores, fin_flags) = \
-        jax.lax.while_loop(condition, body, state)
+    prev_bound = 0
+    for bound in bounds:
+        if prev_bound:
+            pad = bound - prev_bound
+            (i, seq, alive_lp, cache, ancestry, fin_seq, fin_scores,
+             fin_flags) = state
+            cache = jax.tree_util.tree_map(
+                lambda x: jnp.pad(
+                    x, [(0, 0), (0, 0), (0, pad)] +
+                    [(0, 0)] * (x.ndim - 3)), cache)
+            state = (i, seq, alive_lp, cache, ancestry, fin_seq,
+                     fin_scores, fin_flags)
+        state = jax.lax.while_loop(make_condition(bound), body, state)
+        prev_bound = bound
+    (_, seq, alive_lp, _, _, fin_seq, fin_scores, fin_flags) = state
 
     # fall back to alive beams for rows with nothing finished
     any_finished = jnp.any(fin_flags, axis=1)

@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def build_decode_step(bs: int, lazy: bool, seq_len: int = 64,
-                      decode_cache: str = None):
+                      decode_cache: str = None, segments: int = 1):
     """Build the jitted transformer-big beam-4 infer step.
 
     Returns (step, state, device_batch) — shared by this bench and
@@ -91,6 +91,9 @@ def build_decode_step(bs: int, lazy: bool, seq_len: int = 64,
             # with BENCH_CACHE=per_layer for the round-2 layout
             "decode_cache": decode_cache or os.environ.get(
                 "BENCH_CACHE", "packed"),
+            # prefix-bounded segmented decode (BENCH_SEGMENTS=3):
+            # chained while_loops over a growing cache-time ladder
+            "decode_segments": segments,
         },
         "loss": PaddedCrossEntropyLossWithSmoothing,
         "loss_params": {"label_smoothing": 0.1},
@@ -120,8 +123,10 @@ def main():
 
     bs = int(os.environ.get("BENCH_BS", "64"))
     lazy = os.environ.get("BENCH_LAZY", "0") == "1"
+    segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
     seq_len = 64
-    step, state, device_batch = build_decode_step(bs, lazy, seq_len)
+    step, state, device_batch = build_decode_step(bs, lazy, seq_len,
+                                                  segments=segments)
 
     out = step(state, device_batch)
     np.asarray(jax.tree.leaves(jax.device_get(out))[0])  # force
@@ -141,6 +146,7 @@ def main():
         "vs_baseline": round(sent_per_sec_chip / 11.8, 2),
         "lazy_decode": lazy,
         "decode_cache": os.environ.get("BENCH_CACHE", "packed"),
+        "decode_segments": segments,
         "batch_latency_ms": round(wall / n * 1e3, 1),
         "beam_size": 4,
         "decode_len": seq_len + 50,

@@ -243,3 +243,39 @@ def test_packed_decode_cache_matches_per_layer(tmp_path):
                                   outs["per_layer"]["beams"])
     np.testing.assert_allclose(outs["packed"]["scores"],
                                outs["per_layer"]["scores"], rtol=1e-4)
+
+
+def test_segmented_decode_matches_unsegmented(tmp_path):
+    """Prefix-bounded segmented decode (`decode_segments`) is pure
+    traffic shaping: beams and scores must be identical to the
+    single-loop schedule, for both cache layouts."""
+    import jax
+    from openseq2seq_tpu.models import Text2Text
+    from openseq2seq_tpu.test_utils import toy_nmt
+
+    data = toy_nmt.generate(str(tmp_path))
+    for layout in ("packed", "per_layer"):
+        outs = {}
+        for segs in (1, 3):
+            cfg = toy_nmt.transformer_toy_config(data, mode_files="eval",
+                                                 num_epochs=1)
+            cfg["decoder_params"]["decode_cache"] = layout
+            cfg["decoder_params"]["decode_segments"] = segs
+            cfg["data_layer_params"]["shuffle"] = False
+            model = Text2Text(params=cfg, mode="eval")
+            batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+            state = model.init_state(batch)
+            db = jax.tree_util.tree_map(np.asarray, batch)
+            out = jax.device_get(jax.jit(model.eval_step)(state, db))
+            outs[segs] = out["outputs"]["decoder_output"]
+        np.testing.assert_array_equal(outs[1]["beams"], outs[3]["beams"])
+        np.testing.assert_allclose(outs[1]["scores"], outs[3]["scores"],
+                                   rtol=1e-4)
+
+
+def test_geometric_segment_bounds():
+    from openseq2seq_tpu.ops.beam_search import geometric_segment_bounds
+    assert geometric_segment_bounds(114, 3) == [32, 64]
+    assert geometric_segment_bounds(114, 1) == []
+    assert geometric_segment_bounds(16, 4) == [8]  # dedup/clip < T
+    assert all(b % 8 == 0 for b in geometric_segment_bounds(1000, 4))
