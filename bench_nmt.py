@@ -67,6 +67,10 @@ def main():
     # 115.2k -> 127.3k (MFU 0.434 -> 0.479) at T=256/pad10%; ships in
     # the transformer recipes. Sweep with BENCH_NMT_DROPBITS=32.
     drop_bits = int(os.environ.get("BENCH_NMT_DROPBITS", "8"))
+    # key-only dropout residuals: regenerate masks in backward instead
+    # of storing them across the fwd/bwd boundary (parts/dropout.py).
+    # Sweep with BENCH_NMT_DROPREMAT=0.
+    drop_remat = os.environ.get("BENCH_NMT_DROPREMAT", "1") == "1"
     d_model = 1024
 
     mesh = make_mesh(num_data=n_chips, num_model=1)
@@ -79,6 +83,7 @@ def main():
         "max_steps": 1000000,
         "prng_impl": prng_impl,
         "dropout_bits": drop_bits,
+        "dropout_remat": drop_remat,
         "batch_size_per_gpu": batch_per_chip,
         "print_loss_steps": None,
         "optimizer": "NovoGrad",

@@ -63,6 +63,11 @@ base_params = {
         "beam_size": 4,
         "alpha": 0.6,
         "extra_decode_length": 50,
+        # prefix-bounded segmented beam decode: early steps read a
+        # time-sliced KV cache instead of the full (·, T, ·) buffer.
+        # Exact (identical beams); measured 24.8 -> 39.1 sent/s/chip
+        # on v5e at beam 4 (scripts/bench_nmt_decode.py).
+        "decode_segments": 3,
     },
     "loss": PaddedCrossEntropyLossWithSmoothing,
     "loss_params": {"label_smoothing": 0.1},

@@ -126,6 +126,13 @@ class Model(abc.ABC):
                                           # semantics), 8 = u8 threshold
                                           # masks (4x less RNG volume;
                                           # keep prob quantized to 1/256)
+            "dropout_remat": bool,        # key-only dropout residuals:
+                                          # regenerate masks in backward
+                                          # from the PRNG key instead of
+                                          # storing them across the
+                                          # fwd/bwd boundary (bit-exact
+                                          # gradients; saves ~1 B/elem
+                                          # of HBM residual per site)
                                           # — see parts/dropout.py
         }
 
@@ -170,8 +177,9 @@ class Model(abc.ABC):
 
         # process-global dropout mask width (read at jit-trace time;
         # see parts/dropout.py for why it is not a module attribute)
-        from ..parts.dropout import set_dropout_bits
+        from ..parts.dropout import set_dropout_bits, set_dropout_remat
         set_dropout_bits(self._params.get("dropout_bits", 32))
+        set_dropout_remat(self._params.get("dropout_remat", False))
 
         base_seed = self._params.get("random_seed", 0)
         # per-worker seed offset for the DATA pipeline (reference

@@ -23,12 +23,15 @@ trees would distort their public attributes.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 _DROPOUT_BITS = 32
+_DROPOUT_REMAT = False
 
 
 def set_dropout_bits(bits) -> None:
@@ -45,6 +48,56 @@ def set_dropout_bits(bits) -> None:
 
 def get_dropout_bits() -> int:
     return _DROPOUT_BITS
+
+
+def set_dropout_remat(on: bool) -> None:
+    """Key-only dropout residuals: regenerate the mask in the backward
+    pass from the (2,) PRNG key instead of letting XLA store the mask
+    tensor across the fwd/bwd boundary (model param ``dropout_remat``).
+
+    Why it helps: the fwd ``select`` fuses into its producer and the
+    bwd ``select`` into its consumer, but the mask VALUE crosses the
+    autodiff boundary, so XLA materializes ~1 byte/element of residual
+    per dropout site (hundreds of MB/step at transformer-big shapes —
+    HBM write + read on the critical path). dw/dx for dropout is the
+    SAME select applied to the cotangent, and the mask is a pure
+    deterministic function of (key, shape, threshold), so regenerating
+    costs only VPU RngBitGenerator work. Bit-identical gradients."""
+    global _DROPOUT_REMAT
+    _DROPOUT_REMAT = bool(on)
+
+
+def get_dropout_remat() -> bool:
+    return _DROPOUT_REMAT
+
+
+def _mask_scale(rng, x, spec, bshape):
+    """select(mask(rng) , x/q, 0) — ``spec`` = (bits, threshold, q)."""
+    bits, thr, q = spec
+    if bits == 8:
+        b = jax.random.bits(rng, bshape, jnp.uint8)
+        mask = jnp.broadcast_to(b < jnp.uint8(thr), x.shape)
+    else:
+        mask = jnp.broadcast_to(
+            jax.random.bernoulli(rng, p=thr, shape=bshape), x.shape)
+    return lax.select(mask, x / q, jnp.zeros_like(x))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _mask_scale_remat(rng, x, spec, bshape):
+    return _mask_scale(rng, x, spec, bshape)
+
+
+def _mask_scale_fwd(rng, x, spec, bshape):
+    # residual: the KEY alone (a few bytes), never the mask
+    return _mask_scale(rng, x, spec, bshape), rng
+
+
+def _mask_scale_bwd(spec, bshape, rng, g):
+    return None, _mask_scale(rng, g, spec, bshape)
+
+
+_mask_scale_remat.defvjp(_mask_scale_fwd, _mask_scale_bwd)
 
 
 class Dropout(nn.Dropout):
@@ -74,14 +127,9 @@ class Dropout(nn.Dropout):
         if _DROPOUT_BITS == 8:
             # quantized threshold: keep iff bits < t, P = t/256
             t = min(255, max(1, int(round(keep_prob * 256.0))))
-            q = t / 256.0
-            bits = jax.random.bits(rng, tuple(broadcast_shape),
-                                   jnp.uint8)
-            mask = jnp.broadcast_to(bits < jnp.uint8(t), inputs.shape)
-            return lax.select(mask, inputs / q, jnp.zeros_like(inputs))
-        # bit-identical to flax nn.Dropout
-        mask = jax.random.bernoulli(rng, p=keep_prob,
-                                    shape=broadcast_shape)
-        mask = jnp.broadcast_to(mask, inputs.shape)
-        return lax.select(mask, inputs / keep_prob,
-                          jnp.zeros_like(inputs))
+            spec = (8, t, t / 256.0)
+        else:
+            # bit-identical to flax nn.Dropout
+            spec = (32, keep_prob, keep_prob)
+        apply = _mask_scale_remat if _DROPOUT_REMAT else _mask_scale
+        return apply(rng, inputs, spec, tuple(broadcast_shape))

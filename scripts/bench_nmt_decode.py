@@ -6,11 +6,14 @@ Serving-side companion to bench_nmt.py: times the jitted infer step
 `sequence_beam_search` configuration) at transformer-big shapes and
 prints one JSON line with sentences/s/chip and per-batch latency.
 
-Measured on one v5e chip (bs64, src 64, decode 114): 22.2
-sentences/s/chip. Round-2 progression: 11.8 baseline -> 16.8 after
-static (beam-invariant) caches + single composed beam gather -> 22.2
-after the grouped exact top-k removed XLA's full-sort lowering
-(profiled at 11.8 ms of the 33 ms step; see ops/beam_search.py).
+Measured on one v5e chip (bs64, src 64, decode 114): 39.1
+sentences/s/chip. Progression: 11.8 baseline -> 16.8 after static
+(beam-invariant) caches + single composed beam gather -> 22.2 after
+the grouped exact top-k removed XLA's full-sort lowering (profiled at
+11.8 ms of the 33 ms step; see ops/beam_search.py) -> 24.8 after the
+one-hot-matmul candidate pull -> 39.1 with 3-segment prefix-bounded
+decode (cache traffic tracks decoded length). Sweeps: segments=4
+38.8, bs128+segments 34.0 — bs64/segments=3 is the optimum.
 
 Baseline context: the reference publishes NO decode-throughput figure
 (BASELINE.md "Notes" — throughput exists only as training scaling
@@ -123,7 +126,10 @@ def main():
 
     bs = int(os.environ.get("BENCH_BS", "64"))
     lazy = os.environ.get("BENCH_LAZY", "0") == "1"
-    segments = int(os.environ.get("BENCH_SEGMENTS", "1"))
+    # prefix-bounded segmented decode ships as the recipe default
+    # (measured: 24.8 -> 39.1 sent/s at segments=3; segments=4 38.8,
+    # bs128 33.9 — bs64/3-segment is the optimum on v5e)
+    segments = int(os.environ.get("BENCH_SEGMENTS", "3"))
     seq_len = 64
     step, state, device_batch = build_decode_step(bs, lazy, seq_len,
                                                   segments=segments)

@@ -177,6 +177,13 @@ def test_decode_ladder_strictly_improves(tmp_path):
         p["num_epochs"] = 120
         p["print_loss_steps"] = 200
         p["logdir"] = ""
+        # dropout regularization is load-bearing here (clean train set,
+        # noise-degraded eval set), but the ladder's convergence must
+        # not drift when the flagship recipe's mask-generation defaults
+        # change (dropout_bits=8 shipped after this test was tuned and
+        # moved the toy's converged loss past the assert) — pin the
+        # exact-bernoulli masks the thresholds were calibrated against
+        p["dropout_bits"] = 32
         p["lr_policy_params"] = {
             "learning_rate": 0.01, "min_lr": 1e-5, "power": 2.0,
             "decay_steps": 120 * len(sents) * 2 // 8}

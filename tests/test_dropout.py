@@ -88,3 +88,33 @@ def test_model_param_wires_global(tmp_path):
         cfg2 = dict(cfg)
         cfg2["dropout_bits"] = 16
         Speech2Text(params=cfg2, mode="train")
+
+
+def test_dropout_remat_bit_identical_fwd_and_grad():
+    """Key-only residual mode regenerates the identical mask in the
+    backward pass: outputs AND gradients must match the store-the-mask
+    path bit for bit, for both mask widths."""
+    import jax
+    from openseq2seq_tpu.parts.dropout import set_dropout_remat
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 8, 16),
+                    jnp.float32)
+    key = jax.random.key(42)
+    mod = Dropout(rate=0.3)
+    try:
+        for bits in (32, 8):
+            set_dropout_bits(bits)
+            outs, grads = {}, {}
+            for remat in (False, True):
+                set_dropout_remat(remat)
+                fv = lambda x_: mod.apply(  # noqa: E731
+                    {}, x_, deterministic=False, rngs={"dropout": key})
+                outs[remat] = jax.jit(fv)(x)
+                grads[remat] = jax.jit(
+                    jax.grad(lambda x_: fv(x_).sum()))(x)
+            np.testing.assert_array_equal(np.asarray(outs[False]),
+                                          np.asarray(outs[True]))
+            np.testing.assert_array_equal(np.asarray(grads[False]),
+                                          np.asarray(grads[True]))
+    finally:
+        set_dropout_remat(False)
