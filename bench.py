@@ -82,6 +82,11 @@ def main():
     # the recipe and this bench run the same configuration. Sweep
     # with BENCH_DROPBITS=32 for exact-bernoulli masks.
     params["dropout_bits"] = int(os.environ.get("BENCH_DROPBITS", "8"))
+    # key-only dropout residuals (regenerate masks in backward):
+    # frees the u8 mask residuals (~GBs at bs192) — memory lever for
+    # batch sweeps; sweep with BENCH_DROPREMAT=1
+    if os.environ.get("BENCH_DROPREMAT"):
+        params["dropout_remat"] = os.environ["BENCH_DROPREMAT"] == "1"
     model = Speech2Text(params=params, mode="train", mesh=mesh)
     dl = model.get_data_layer()
     batch = next(iter(dl.iterate_one_epoch()))

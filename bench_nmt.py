@@ -67,10 +67,12 @@ def main():
     # 115.2k -> 127.3k (MFU 0.434 -> 0.479) at T=256/pad10%; ships in
     # the transformer recipes. Sweep with BENCH_NMT_DROPBITS=32.
     drop_bits = int(os.environ.get("BENCH_NMT_DROPBITS", "8"))
-    # key-only dropout residuals: regenerate masks in backward instead
-    # of storing them across the fwd/bwd boundary (parts/dropout.py).
-    # Sweep with BENCH_NMT_DROPREMAT=0.
-    drop_remat = os.environ.get("BENCH_NMT_DROPREMAT", "1") == "1"
+    # key-only dropout residuals (parts/dropout.py): measured a WASH
+    # for speed at T=256/bs16 (125.5k tok/s remat vs 126.3k stored) —
+    # u8 masks are cheap enough that the regen VPU work cancels the
+    # residual traffic saved. Kept opt-in as a MEMORY lever
+    # (BENCH_NMT_DROPREMAT=1).
+    drop_remat = os.environ.get("BENCH_NMT_DROPREMAT", "0") == "1"
     d_model = 1024
 
     mesh = make_mesh(num_data=n_chips, num_model=1)
