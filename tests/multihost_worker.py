@@ -7,6 +7,12 @@ saves checkpoints (process 0 only), then evaluates from the checkpoint —
 exercising collect_results so the reported WER is global.
 
 Usage: python multihost_worker.py <pid> <nproc> <port> <csv> <vocab> <logdir>
+       [mode]
+
+``mode`` (default "asr_dp"): "asr_dp" = the W2L data-parallel flow
+above; "nmt_tp" = toy transformer NMT on a (data=2*nproc, model=2)
+mesh — multi-host training with megatron tensor-parallel param
+shards (csv arg = the toy-NMT data dir, vocab unused).
 """
 import json
 import os
@@ -16,6 +22,7 @@ PID = int(sys.argv[1])
 NPROC = int(sys.argv[2])
 PORT = sys.argv[3]
 CSV, VOCAB, LOGDIR = sys.argv[4], sys.argv[5], sys.argv[6]
+MODE = sys.argv[7] if len(sys.argv) > 7 else "asr_dp"
 
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -50,6 +57,46 @@ def _params(mode):
     return params
 
 
+if MODE in ("nmt_tp", "nmt_dp"):
+    # toy transformer spanning both hosts: gradient psums cross
+    # processes over `data`; in "nmt_tp" megatron TP also shards
+    # kernels over `model` (tp_state_sharding). Global batches are
+    # assembled from per-host shards in shard_batch. The test compares
+    # the two modes' losses — identical data feeding, so TP sharding
+    # must change nothing
+    from openseq2seq_tpu.models import Text2Text
+    from openseq2seq_tpu.test_utils import toy_nmt
+
+    data = {"train_src": os.path.join(CSV, "train.src"),
+            "train_tgt": os.path.join(CSV, "train.tgt"),
+            "eval_src": os.path.join(CSV, "eval.src"),
+            "eval_tgt": os.path.join(CSV, "eval.tgt"),
+            "vocab": os.path.join(CSV, "vocab.txt"), "dir": CSV}
+    cfg = toy_nmt.transformer_toy_config(data, num_epochs=1)
+    cfg["logdir"] = LOGDIR
+    cfg["max_steps"] = 4
+    del cfg["num_epochs"]
+    cfg["print_loss_steps"] = 2
+    cfg["data_layer_params"]["shuffle"] = False
+    # keep the GLOBAL batch (8) identical across both meshes so the
+    # loss trajectories are directly comparable
+    if MODE == "nmt_tp":
+        cfg["batch_size_per_gpu"] = 2
+        mesh = make_mesh(num_data=2 * NPROC, num_model=2)
+    else:
+        cfg["batch_size_per_gpu"] = 1
+        mesh = make_mesh(num_data=4 * NPROC, num_model=1)
+    model = Text2Text(params=cfg, mode="train", mesh=mesh,
+                      num_workers=NPROC, worker_id=PID)
+    result = trainer.train(model)
+    print("RESULT " + json.dumps(
+        {"pid": PID,
+         "loss": float(result["last_metrics"]["loss"])}), flush=True)
+    # explicit teardown: exiting with live gloo channels intermittently
+    # aborts in C++ thread teardown ("FATAL: exception not rethrown")
+    jax.distributed.shutdown()
+    os._exit(0)
+
 mesh = make_mesh(num_data=4 * NPROC, num_model=1)
 
 train_model = Speech2Text(params=_params("train"), mode="train", mesh=mesh,
@@ -64,3 +111,5 @@ metrics = trainer.evaluate(eval_model, ckpt)
 print("RESULT " + json.dumps({"pid": PID, "wer": metrics["Eval WER"],
                               "eval_loss": metrics["eval_loss"]}),
       flush=True)
+jax.distributed.shutdown()
+os._exit(0)

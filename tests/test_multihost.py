@@ -91,3 +91,51 @@ def test_two_process_train_eval_matches_single_process(toy_speech_data,
     # clipped via batch_valid); eval_loss is batch-mean-weighted so it
     # is only comparable within identical partitionings (checked above)
     np.testing.assert_allclose(metrics["Eval WER"], results[0]["wer"])
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel_nmt_matches_dp(tmp_path):
+    """Multi-host + megatron TP composed: 2 processes x 4 devices on a
+    (data=4, model=2) mesh train the toy transformer. Control: the
+    same 2-process run on a pure-DP (data=8) mesh with the same global
+    batch — identical data feeding, so the TP kernel sharding must not
+    change the loss trajectory. Both processes must also agree on the
+    global loss within each run."""
+    from openseq2seq_tpu.test_utils import toy_nmt
+
+    data = toy_nmt.generate(str(tmp_path / "nmt"))
+    losses = {}
+    for mode in ("nmt_tp", "nmt_dp"):
+        logdir = str(tmp_path / ("mh_" + mode))
+        port = _free_port()
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        procs = []
+        for pid in range(2):
+            procs.append(subprocess.Popen(
+                [sys.executable, WORKER, str(pid), "2", str(port),
+                 data["dir"], data["vocab"], logdir, mode],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        outputs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outputs.append(out)
+        for pid, (p, out) in enumerate(zip(procs, outputs)):
+            assert p.returncode == 0, \
+                "worker {} ({}) failed:\n{}".format(pid, mode, out)
+        results = {}
+        for out in outputs:
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    r = json.loads(line[len("RESULT "):])
+                    results[r["pid"]] = r
+        assert set(results) == {0, 1}, outputs
+        np.testing.assert_allclose(results[0]["loss"],
+                                   results[1]["loss"], rtol=1e-6)
+        losses[mode] = results[0]["loss"]
+
+    np.testing.assert_allclose(losses["nmt_tp"], losses["nmt_dp"],
+                               rtol=1e-4)
