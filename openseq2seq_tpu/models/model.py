@@ -367,7 +367,11 @@ class Model(abc.ABC):
         variables = dict(variables)
         params = variables.pop("params")
         params = self._dtype_policy.cast_to_param(params)
-        model_state = flax.core.freeze(variables) if variables else {}
+        # plain dict, matching what mutable apply returns from
+        # train_step: keeps the TrainState pytree structure stable
+        # across steps so the whole step can sit inside lax.scan /
+        # fori_loop (multi-step chaining, pipelined drivers).
+        model_state = flax.core.unfreeze(variables) if variables else {}
         opt_state = self.optimizer().init(params)
         loss_scale = (self._loss_scaler.init()
                       if self._loss_scaler is not None else None)
@@ -406,6 +410,7 @@ class Model(abc.ABC):
         out = forward(variables, batch)
         if train:
             outputs, new_state = out
+            new_state = flax.core.unfreeze(new_state)
         else:
             outputs, new_state = out, model_state
         loss = self.compute_loss(outputs, batch).astype(jnp.float32)

@@ -81,27 +81,22 @@ def main():
     state = jax.device_put(state, tp_state_sharding(state, mesh))
     device_batch = shard_batch(batch, mesh)
 
-    step_fn = jax.jit(model.train_step, donate_argnums=(0,))
-    rng = jax.random.PRNGKey(0)
-    state, metrics = step_fn(state, device_batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    # the device step is ~40 ms — far below the remote relay's
+    # per-dispatch latency, so a per-dispatch timing loop measures the
+    # relay, not the chip (measured 1.09 s/step dispatched vs 42 ms
+    # device time in scripts/profile_resnet.py). Chain K steps inside
+    # ONE jitted program instead (utils/benchmark.py).
+    from openseq2seq_tpu.utils.benchmark import (time_chained_steps,
+                                                 train_step_flops)
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
-    t0 = time.time()
-    for _ in range(n_steps):
-        state, metrics = step_fn(state, device_batch, rng)
-    jax.block_until_ready(metrics["loss"])
-    wall = time.time() - t0
+    rng = jax.random.PRNGKey(0)
+    step_flops = train_step_flops(model, state, device_batch, rng)
+    wall, n_steps, state = time_chained_steps(
+        model, state, device_batch, rng,
+        chain=int(os.environ.get("BENCH_CHAIN", "20")),
+        calls=int(os.environ.get("BENCH_STEPS", "3")))
 
     imgs_per_sec_chip = n_steps * bs / wall
-    try:
-        cost = step_fn.lower(state, device_batch,
-                             rng).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        step_flops = float(cost.get("flops", 0.0))
-    except Exception:
-        step_flops = 0.0
     mfu = (step_flops * n_chips * imgs_per_sec_chip /
            (bs * n_chips) / V5E_BF16_FLOPS) if step_flops else None
 
