@@ -407,7 +407,13 @@ class Model(abc.ABC):
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "block_boundary")
             forward = jax.checkpoint(forward, policy=policy)
-        out = forward(variables, batch)
+        from ..parts.dropout import dropout_config
+        # bind THIS model's dropout settings at trace time — the
+        # construction-time global alone would be clobbered by any
+        # model constructed after this one but before this trace
+        with dropout_config(self._params.get("dropout_bits", 32),
+                            self._params.get("dropout_remat", False)):
+            out = forward(variables, batch)
         if train:
             outputs, new_state = out
             new_state = flax.core.unfreeze(new_state)

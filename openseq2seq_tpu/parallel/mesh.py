@@ -62,8 +62,12 @@ def mesh_from_config(config: Dict[str, Any]) -> Mesh:
         num_gpus = int(config.get("num_gpus", 0) or 0)
         if num_gpus > 0 and jax.process_count() == 1:
             # single-host only: a device-prefix mesh on a pod would
-            # exclude other hosts' devices and desync shard_batch
-            avail = len(jax.devices()) // max(num_model, 1)
+            # exclude other hosts' devices and desync shard_batch.
+            # The pipe axis also consumes devices, so divide it out
+            # too — otherwise num_gpus: 8 + num_pipeline_stages: 4 on
+            # 8 devices over-requests a (8, 4, 1) mesh.
+            avail = len(jax.devices()) // (max(num_model, 1) *
+                                           max(num_pipe, 1))
             num_data = min(num_gpus, max(avail, 1))
     if num_pipe > 1:
         from .pipeline import make_pipeline_mesh

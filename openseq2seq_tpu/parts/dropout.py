@@ -23,6 +23,7 @@ trees would distort their public attributes.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import partial
 
 import flax.linen as nn
@@ -71,6 +72,27 @@ def get_dropout_remat() -> bool:
     return _DROPOUT_REMAT
 
 
+@contextmanager
+def dropout_config(bits, remat):
+    """Bind (dropout_bits, dropout_remat) for the duration of a trace.
+
+    The process-global default set at model construction is fragile:
+    constructing a SECOND model (an eval twin, a rescorer LM) before
+    the first model's train_step is traced would silently override the
+    first model's setting. ``Model.loss_fn`` wraps its forward in this
+    context so every trace reads its OWN model's params, whatever was
+    constructed in between; restoring on exit keeps nested traces
+    (e.g. a model applied inside another's step) correct."""
+    global _DROPOUT_BITS, _DROPOUT_REMAT
+    prev = (_DROPOUT_BITS, _DROPOUT_REMAT)
+    set_dropout_bits(bits)
+    set_dropout_remat(remat)
+    try:
+        yield
+    finally:
+        _DROPOUT_BITS, _DROPOUT_REMAT = prev
+
+
 def _mask_scale(rng, x, spec, bshape):
     """select(mask(rng) , x/q, 0) — ``spec`` = (bits, threshold, q)."""
     bits, thr, q = spec
@@ -100,6 +122,28 @@ def _mask_scale_bwd(spec, bshape, rng, g):
 _mask_scale_remat.defvjp(_mask_scale_fwd, _mask_scale_bwd)
 
 
+def _spec_for(keep_prob: float):
+    """(bits, threshold, rescale) honoring the bound dropout_bits."""
+    if _DROPOUT_BITS == 8:
+        # quantized threshold: keep iff bits < t, P = t/256
+        t = min(255, max(1, int(round(keep_prob * 256.0))))
+        return (8, t, t / 256.0)
+    # bit-identical to flax nn.Dropout
+    return (32, keep_prob, keep_prob)
+
+
+def functional_dropout(key, rate: float, x, bshape=None):
+    """Plain-function dropout honoring the bound dropout_bits /
+    dropout_remat — for non-flax call sites (the shard_map pipeline
+    stage bodies in `parts/transformer/pipelined_stack.py`)."""
+    if rate <= 0.0:
+        return x
+    spec = _spec_for(1.0 - rate)
+    apply = _mask_scale_remat if _DROPOUT_REMAT else _mask_scale
+    return apply(key, x, spec, tuple(bshape if bshape is not None
+                                     else x.shape))
+
+
 class Dropout(nn.Dropout):
     """Drop-in ``nn.Dropout`` honoring ``set_dropout_bits``.
 
@@ -124,12 +168,6 @@ class Dropout(nn.Dropout):
         for dim in self.broadcast_dims:
             broadcast_shape[dim] = 1
 
-        if _DROPOUT_BITS == 8:
-            # quantized threshold: keep iff bits < t, P = t/256
-            t = min(255, max(1, int(round(keep_prob * 256.0))))
-            spec = (8, t, t / 256.0)
-        else:
-            # bit-identical to flax nn.Dropout
-            spec = (32, keep_prob, keep_prob)
+        spec = _spec_for(keep_prob)
         apply = _mask_scale_remat if _DROPOUT_REMAT else _mask_scale
         return apply(rng, inputs, spec, tuple(broadcast_shape))

@@ -40,10 +40,10 @@ def _layer_norm(x, scale, bias):
 
 
 def _dropout(key, rate, x):
-    if rate <= 0.0:
-        return x
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+    # honors the model's dropout_bits / dropout_remat settings (bound
+    # at trace time by Model.loss_fn), same as every flax Dropout site
+    from ..dropout import functional_dropout
+    return functional_dropout(key, rate, x)
 
 
 def _psum_if(x, tp_axis):

@@ -90,6 +90,47 @@ def test_model_param_wires_global(tmp_path):
         Speech2Text(params=cfg2, mode="train")
 
 
+def test_dropout_bits_bound_at_trace_time_per_model(tmp_path):
+    """Constructing a second model must NOT clobber an earlier model's
+    dropout_bits: the setting is (re)bound from the model's own params
+    when its step is traced (`models/model.py` loss_fn ->
+    `parts/dropout.py:dropout_config`), not only at construction."""
+    import jax
+    from openseq2seq_tpu.models import Speech2Text
+    from openseq2seq_tpu.test_utils import toy_speech
+    from openseq2seq_tpu.test_utils.test_speech_configs import \
+        w2l_test_config
+
+    csv_path, vocab_path = toy_speech.generate(str(tmp_path))
+    cfg, _ = w2l_test_config(csv_path, vocab_path, num_epochs=1)
+    cfg["dropout_bits"] = 8
+    # the toy config disables dropout; give it a real rate so the
+    # mask draw appears in the trace
+    cfg["encoder_params"]["dropout_keep_prob"] = 0.8
+    model_u8 = Speech2Text(params=cfg, mode="train")
+    batch = next(iter(model_u8.get_data_layer().iterate_one_epoch()))
+    state = model_u8.init_state(batch)
+
+    # a second model with default (32-bit) masks resets the global...
+    cfg32 = dict(cfg)
+    cfg32.pop("dropout_bits")
+    model_32 = Speech2Text(params=cfg32, mode="train")
+    assert get_dropout_bits() == 32
+
+    # ...but tracing the first model's step still draws u8 masks
+    # (threefry u8 draws appear as ui8 tensors in StableHLO)
+    hlo = jax.jit(model_u8.train_step).lower(
+        state, batch, jax.random.PRNGKey(0)).as_text()
+    assert "ui8" in hlo
+    # and the 32-bit model's own trace does NOT
+    state32 = model_32.init_state(batch)
+    hlo32 = jax.jit(model_32.train_step).lower(
+        state32, batch, jax.random.PRNGKey(0)).as_text()
+    assert "ui8" not in hlo32
+    # and the global is restored afterwards
+    assert get_dropout_bits() == 32
+
+
 def test_dropout_remat_bit_identical_fwd_and_grad():
     """Key-only residual mode regenerates the identical mask in the
     backward pass: outputs AND gradients must match the store-the-mask
