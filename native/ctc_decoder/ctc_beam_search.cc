@@ -347,9 +347,41 @@ std::vector<BeamResult> StreamingDecoder::TopN(int n) const {
 }
 
 BeamResult StreamingDecoder::Best() const {
-  auto top = TopN(1);
-  if (top.empty()) return BeamResult{-1e300, "", {}};
-  return std::move(top[0]);
+  // Hot path for streaming (called per audio chunk): pick the argmax
+  // beam by score first and materialize text/timestamps for that one
+  // beam only — TopN(1) would build text and walk the time chain for
+  // every live beam just to throw all but one away.
+  if (beams_.empty()) return BeamResult{-1e300, "", {}};
+  int best = 0;
+  double best_score = -1e300;
+  for (int i = 0; i < (int)beams_.size(); ++i) {
+    const Beam& b = beams_[i];
+    double score = Total(b.lp_b, b.lp_nb);
+    if (scorer_ != nullptr && !scorer_->is_character_based()) {
+      std::string tail = PartialWord(b);
+      if (!tail.empty()) {
+        int wid;
+        score += scorer_->ScoreWord(contexts_[b.ctx], tail, &wid);
+      }
+    }
+    if (score > best_score) {
+      best_score = score;
+      best = i;
+    }
+  }
+  const Beam& b = beams_[best];
+  BeamResult r;
+  r.score = best_score;
+  r.text = TextOf(b.node);
+  std::vector<int> times;
+  int node = b.node;
+  while (node > 0) {
+    times.push_back(nodes_[node].t);
+    node = nodes_[node].parent;
+  }
+  std::reverse(times.begin(), times.end());
+  r.times = std::move(times);
+  return r;
 }
 
 // ---------------------------------------------------------------------------

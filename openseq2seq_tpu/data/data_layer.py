@@ -126,25 +126,45 @@ class DataLayer(abc.ABC):
         q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
         sentinel = object()
         err: List[BaseException] = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # timed puts so an abandoned generator (train loop stopped
+            # at last_step, consumer .close()d) releases this thread
+            # instead of leaking it blocked on a full queue forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in iterator:
-                    q.put(item)
+                    if not _put(item):
+                        return
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=worker, daemon=True,
+                             name="data_layer_prefetch")
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+            with q.mutex:
+                q.queue.clear()
 
     # ------------------------------------------------------------------
     # interactive-infer contract (streaming apps feed one example at a

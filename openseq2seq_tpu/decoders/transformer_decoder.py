@@ -439,33 +439,33 @@ class TransformerDecoder(Decoder):
         stages = int(p.get("num_pipeline_stages",
                            model_cfg.get("num_pipeline_stages", 0)) or 0)
         if stages > 1:
+            explicit = "num_pipeline_stages" in p
             incompatible = [k for k in ("sequence_parallel",
                                         "use_flash_attention",
                                         "lazy_decode")
                             if p.get(k)]
             if p.get("norm_params", {}).get("type") == "batch_norm":
                 incompatible.append("norm_params.batch_norm")
-            if incompatible:
-                raise ValueError(
-                    "num_pipeline_stages is incompatible with {} (the "
-                    "pipelined decoder stack is a homogeneous pre-norm "
-                    "LN stack)".format(incompatible))
             if p["num_hidden_layers"] % stages != 0:
-                if "num_pipeline_stages" in p:
+                incompatible.append(
+                    "num_hidden_layers {} (must divide into {} "
+                    "stages)".format(p["num_hidden_layers"], stages))
+            if incompatible:
+                if explicit:
                     raise ValueError(
-                        "num_hidden_layers {} must divide into "
-                        "num_pipeline_stages {}".format(
-                            p["num_hidden_layers"], stages))
+                        "num_pipeline_stages is incompatible with {} "
+                        "(the pipelined decoder stack is a homogeneous "
+                        "pre-norm LN stack)".format(incompatible))
                 # inherited from the model-level config: the encoder
                 # may still pipeline — leave the decoder on the plain
                 # per-layer path rather than fail the whole model
                 from ..utils.logging import deco_print
                 deco_print(
-                    "WARNING: decoder num_hidden_layers {} does not "
-                    "divide model-level num_pipeline_stages {} — the "
-                    "decoder stack will NOT be pipelined (set "
-                    "decoder_params/num_pipeline_stages to "
-                    "force)".format(p["num_hidden_layers"], stages))
+                    "WARNING: model-level num_pipeline_stages {} is "
+                    "incompatible with decoder options {} — the decoder "
+                    "stack will NOT be pipelined (set decoder_params/"
+                    "num_pipeline_stages to force)".format(
+                        stages, incompatible))
                 stages = 0
         return TransformerDecoderModule(
             num_hidden_layers=p["num_hidden_layers"],

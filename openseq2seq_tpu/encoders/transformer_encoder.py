@@ -200,22 +200,35 @@ class TransformerEncoder(Encoder):
         stages = int(p.get("num_pipeline_stages",
                            model_cfg.get("num_pipeline_stages", 0)) or 0)
         if stages > 1:
+            explicit = "num_pipeline_stages" in p
             incompatible = [k for k in ("moe_num_experts",
                                         "sequence_parallel",
                                         "use_flash_attention")
                             if p.get(k)]
             if p.get("norm_params", {}).get("type") == "batch_norm":
                 incompatible.append("norm_params.batch_norm")
-            if incompatible:
-                raise ValueError(
-                    "num_pipeline_stages is incompatible with {} (the "
-                    "pipelined stack is a homogeneous pre-norm LN "
-                    "stack)".format(incompatible))
             if p["encoder_layers"] % stages != 0:
-                raise ValueError(
-                    "encoder_layers {} must divide into "
-                    "num_pipeline_stages {}".format(
-                        p["encoder_layers"], stages))
+                incompatible.append(
+                    "encoder_layers {} (must divide into {} "
+                    "stages)".format(p["encoder_layers"], stages))
+            if incompatible:
+                if explicit:
+                    raise ValueError(
+                        "num_pipeline_stages is incompatible with {} "
+                        "(the pipelined stack is a homogeneous pre-norm "
+                        "LN stack)".format(incompatible))
+                # inherited from the model-level config: warn and fall
+                # back to the plain per-layer stack, mirroring the
+                # decoder's behavior — an explicit encoder_params
+                # setting still fails loudly above
+                from ..utils.logging import deco_print
+                deco_print(
+                    "WARNING: model-level num_pipeline_stages {} is "
+                    "incompatible with encoder options {} — the encoder "
+                    "stack will NOT be pipelined (set encoder_params/"
+                    "num_pipeline_stages to force)".format(
+                        stages, incompatible))
+                stages = 0
         return TransformerEncoderModule(
             encoder_layers=p["encoder_layers"],
             hidden_size=p["hidden_size"],

@@ -182,6 +182,14 @@ def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
         stop.set()
         with q.mutex:
             q.queue.clear()
+        t.join(timeout=2.0)
+        if not t.is_alive():
+            # cascade: release the upstream featurizer generator's
+            # thread too (only once the worker is out of the generator —
+            # close() on an executing generator raises ValueError)
+            close = getattr(iterator, "close", None)
+            if close is not None:
+                close()
 
 
 # ---------------------------------------------------------------------------

@@ -141,96 +141,104 @@ def train(train_model, eval_model=None, checkpoint: Optional[str] = None):
     step_times = []
 
     step = start_step
-    while step < last_step:
-        batch, device_batch = next(batches)
-        num_objects = train_model.get_num_objects_per_step(batch)
-        rng = jax.random.fold_in(base_rng, step)
-        t0 = time.time()
-        state, metrics = step_fn(state, device_batch, rng)
+    try:
+        while step < last_step:
+            batch, device_batch = next(batches)
+            num_objects = train_model.get_num_objects_per_step(batch)
+            rng = jax.random.fold_in(base_rng, step)
+            t0 = time.time()
+            state, metrics = step_fn(state, device_batch, rng)
 
-        step += 1
-        total_objects += num_objects
-        if bench_t0 is not None:
-            bench_objects += num_objects
+            step += 1
+            total_objects += num_objects
+            if bench_t0 is not None:
+                bench_objects += num_objects
 
-        if print_loss_steps and step % print_loss_steps == 0:
-            fetch_metrics = jax.device_get(metrics)
-            step_times.append(time.time() - t0)
-            if is_master:
-                train_model.maybe_print_logs(fetch_metrics, step)
+            if print_loss_steps and step % print_loss_steps == 0:
+                fetch_metrics = jax.device_get(metrics)
+                step_times.append(time.time() - t0)
+                if is_master:
+                    train_model.maybe_print_logs(fetch_metrics, step)
 
-        print_samples_steps = params.get("print_samples_steps")
-        if print_samples_steps and step % print_samples_steps == 0 and \
-                jax.process_count() == 1:
-            # forward the current train batch once more and show a
-            # sample prediction (reference PrintSamplesHook). Multi-host
-            # runs skip this: a global-mesh eval dispatched from one
-            # process would deadlock the pod, and running it everywhere
-            # just to print on one host isn't worth a second forward.
-            sample_out = _jitted_eval_fn(train_model)(state, device_batch)
-            train_model.print_samples(
-                jax.tree_util.tree_map(np.asarray, batch),
-                jax.device_get(sample_out), step)
+            print_samples_steps = params.get("print_samples_steps")
+            if print_samples_steps and step % print_samples_steps == 0 and \
+                    jax.process_count() == 1:
+                # forward the current train batch once more and show a
+                # sample prediction (reference PrintSamplesHook). Multi-host
+                # runs skip this: a global-mesh eval dispatched from one
+                # process would deadlock the pod, and running it everywhere
+                # just to print on one host isn't worth a second forward.
+                sample_out = _jitted_eval_fn(train_model)(state, device_batch)
+                train_model.print_samples(
+                    jax.tree_util.tree_map(np.asarray, batch),
+                    jax.device_get(sample_out), step)
 
-        if summary_writer and step % save_summaries_steps == 0:
-            import jax.tree_util as jtu
-            fetched = jax.device_get(metrics)
-            grad_tree = fetched.pop("gradients", None)
-            gnorm_tree = fetched.pop("gradient_norm", None)
-            vnorm_tree = fetched.pop("variable_norm", None)
-            summary_writer.add_scalars(
-                step, {"train/{}".format(k): v
-                       for k, v in fetched.items()})
-
-            def _named(tree):
-                for path, leaf in jtu.tree_leaves_with_path(tree):
-                    yield ("/".join(str(getattr(p, "key", p))
-                                    for p in path), leaf)
-
-            if "variables" in params.get("summaries", ()):
-                for name, leaf in _named(jax.device_get(state.params)):
-                    summary_writer.add_histogram(
-                        step, "variables/{}".format(name), leaf)
-            if grad_tree is not None:
-                for name, leaf in _named(grad_tree):
-                    summary_writer.add_histogram(
-                        step, "gradients/{}".format(name), leaf)
-            for tree, tag in ((gnorm_tree, "gradient_norm"),
-                              (vnorm_tree, "variable_norm")):
-                if tree is not None:
-                    summary_writer.add_scalars(
-                        step, {"{}/{}".format(tag, n): float(v)
-                               for n, v in _named(tree)})
-
-        if step == bench_start:
-            jax.block_until_ready(state.params)
-            bench_t0 = time.time()
-            bench_objects = 0
-
-        if save_steps and ckpt_mgr and step % save_steps == 0:
-            jax.block_until_ready(state.params)
-            ckpt_mgr.save(state, step)
-
-        if eval_steps and eval_model is not None and step % eval_steps == 0:
-            eval_metrics = evaluate_with_state(eval_model, state,
-                                               training_step=step)
-            if summary_writer:
+            if summary_writer and step % save_summaries_steps == 0:
+                import jax.tree_util as jtu
+                fetched = jax.device_get(metrics)
+                grad_tree = fetched.pop("gradients", None)
+                gnorm_tree = fetched.pop("gradient_norm", None)
+                vnorm_tree = fetched.pop("variable_norm", None)
                 summary_writer.add_scalars(
-                    step, {"eval/{}".format(k.replace(" ", "_")): v
-                           for k, v in eval_metrics.items()
-                           if isinstance(v, (int, float))})
-                for k, v in eval_metrics.items():
-                    if k.startswith("image/") and isinstance(v, tuple):
-                        png, h, w = v
-                        summary_writer.add_image(
-                            step, "eval/{}".format(k[6:]), png, h, w)
-                    elif k.startswith("audio/") and isinstance(v, tuple):
-                        samples, rate = v
-                        summary_writer.add_audio(
-                            step, "eval/{}".format(k[6:]), samples, rate)
-            if ckpt_mgr and "eval_loss" in eval_metrics:
-                ckpt_mgr.save_best(state, step, eval_metrics["eval_loss"])
+                    step, {"train/{}".format(k): v
+                           for k, v in fetched.items()})
 
+                def _named(tree):
+                    for path, leaf in jtu.tree_leaves_with_path(tree):
+                        yield ("/".join(str(getattr(p, "key", p))
+                                        for p in path), leaf)
+
+                if "variables" in params.get("summaries", ()):
+                    for name, leaf in _named(jax.device_get(state.params)):
+                        summary_writer.add_histogram(
+                            step, "variables/{}".format(name), leaf)
+                if grad_tree is not None:
+                    for name, leaf in _named(grad_tree):
+                        summary_writer.add_histogram(
+                            step, "gradients/{}".format(name), leaf)
+                for tree, tag in ((gnorm_tree, "gradient_norm"),
+                                  (vnorm_tree, "variable_norm")):
+                    if tree is not None:
+                        summary_writer.add_scalars(
+                            step, {"{}/{}".format(tag, n): float(v)
+                                   for n, v in _named(tree)})
+
+            if step == bench_start:
+                jax.block_until_ready(state.params)
+                bench_t0 = time.time()
+                bench_objects = 0
+
+            if save_steps and ckpt_mgr and step % save_steps == 0:
+                jax.block_until_ready(state.params)
+                ckpt_mgr.save(state, step)
+
+            if eval_steps and eval_model is not None and step % eval_steps == 0:
+                eval_metrics = evaluate_with_state(eval_model, state,
+                                                   training_step=step)
+                if summary_writer:
+                    summary_writer.add_scalars(
+                        step, {"eval/{}".format(k.replace(" ", "_")): v
+                               for k, v in eval_metrics.items()
+                               if isinstance(v, (int, float))})
+                    for k, v in eval_metrics.items():
+                        if k.startswith("image/") and isinstance(v, tuple):
+                            png, h, w = v
+                            summary_writer.add_image(
+                                step, "eval/{}".format(k[6:]), png, h, w)
+                        elif k.startswith("audio/") and isinstance(v, tuple):
+                            samples, rate = v
+                            summary_writer.add_audio(
+                                step, "eval/{}".format(k[6:]), samples, rate)
+                if ckpt_mgr and "eval_loss" in eval_metrics:
+                    ckpt_mgr.save_best(state, step, eval_metrics["eval_loss"])
+
+    finally:
+        # release the prefetch pipeline NOW (not at GC): frees the
+        # queued device batches' HBM before the final eval/checkpoint
+        # below and stops both prefetch threads (tests construct many
+        # trainers per process — abandoned threads would accumulate);
+        # the finally also covers mid-training exceptions
+        batches.close()
     jax.block_until_ready(state.params)
     if profile_dir:
         jax.profiler.stop_trace()
