@@ -15,3 +15,4 @@ from .convs2s_encoder import ConvS2SEncoder
 from .las_encoder import ListenAttendSpellEncoder
 from .centaur_encoder import CentaurEncoder
 from .transformer_xl_encoder import TransformerXLEncoder
+from .conformer_encoder import ConformerEncoder

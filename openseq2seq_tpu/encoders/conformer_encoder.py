@@ -1,0 +1,281 @@
+"""Conformer encoder (Gulati et al. 2020) — beyond-parity ASR encoder.
+
+No reference counterpart: OpenSeq2Seq predates the Conformer; its ASR
+encoders stop at TDNN/DS2/LAS (`open_seq2seq/encoders/`). This is the
+architecture that superseded Jasper/QuartzNet on LibriSpeech, and it is
+a natural TPU citizen — the whole block is matmuls (MXU) plus a short
+depthwise conv (VPU), with static shapes throughout. It plugs into the
+existing Speech2Text stack unchanged: Conformer →
+FullyConnectedCTCDecoder → CTCLoss (Pallas) → WER, sharing the data
+layer, trainer, beam/LM decode ladder and streaming apps.
+
+TPU-first design notes:
+
+* Subsampling front end is two stride-2 2-D convs over (time, freq) —
+  4× time reduction — then one projection matmul; everything stays
+  (B, T, C) channel-minor so XLA tiles the convs onto the MXU.
+* Self-attention uses Transformer-XL-style relative positions,
+  BIDIRECTIONAL: distances d = i−j ∈ [−(K−1), K−1] index a projected
+  sinusoidal table of 2K−1 rows, aligned with one static
+  ``take_along_axis`` gather (same trick as
+  `transformer_xl_encoder.py` — no pad-reshape shift, shape-static,
+  fuses with the padding mask).
+* The conv module's normalization defaults to layer_norm: batch_norm
+  over padded time would fold padding frames into the batch statistics
+  unless separately masked; layer_norm is mask-safe and, at ASR batch
+  shapes, indistinguishable in quality (batch_norm remains available
+  via ``conv_norm: "batch_norm"`` with pre-masked inputs).
+* Macaron half-step FFNs and all residual adds run in the compute
+  dtype (bf16 under ``dtype: "mixed"``) with fp32 params, and each
+  block ends with a ``checkpoint_name`` anchor so the model-level
+  ``remat: "blocks"`` policy applies.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
+
+from ..parts.dropout import Dropout
+from .encoder import Encoder
+from .tdnn_encoder import _mask_time, _out_length
+from .transformer_xl_encoder import rel_pos_embedding
+
+NEG_INF = -1e9
+
+
+class RelPosSelfAttention(nn.Module):
+    """Bidirectional multi-head self-attention with relative positions.
+
+    Scoring follows Transformer-XL (content term (q+u)·k, position term
+    (q+w)·R[d]) but without causal masking or segment memory — ASR
+    encoders attend both directions.
+    """
+    num_heads: int
+    dropout: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pad_mask, train: bool):
+        B, T, D = x.shape
+        H = self.num_heads
+        Dh = D // H
+
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            (H, Dh), use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
+        q = dense("q")(x)                                   # (B, T, H, Dh)
+        k = dense("k")(x)
+        v = dense("v")(x)
+
+        u = self.param("u_bias", nn.initializers.zeros, (H, Dh),
+                       jnp.float32).astype(self.dtype)
+        w = self.param("w_bias", nn.initializers.zeros, (H, Dh),
+                       jnp.float32).astype(self.dtype)
+        # 2T-1 distances: row r encodes distance d = r - (T-1),
+        # d = i - j for query i, key j
+        r = rel_pos_embedding(2 * T - 1, D)
+        r = nn.DenseGeneral((H, Dh), use_bias=False, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="r")(
+            r.astype(self.dtype))                           # (2T-1, H, Dh)
+
+        scale = 1.0 / np.sqrt(Dh)
+        ac = jnp.einsum("bthd,bkhd->bhtk", q + u, k)
+        pos_score = jnp.einsum("bthd,rhd->bhtr", q + w, r)  # (B,H,T,2T-1)
+        dist = jnp.arange(T)[:, None] - jnp.arange(T)[None, :]
+        gather = dist + (T - 1)                             # (T, T) static
+        bd = jnp.take_along_axis(pos_score, gather[None, None, :, :],
+                                 axis=3)
+        logits = (ac + bd).astype(jnp.float32) * scale
+        logits = jnp.where(pad_mask[:, None, None, :], logits, NEG_INF)
+        weights = jax.nn.softmax(logits, axis=-1)
+        weights = Dropout(rate=self.dropout,
+                          deterministic=not train)(weights)
+        out = jnp.einsum("bhtk,bkhd->bthd", weights.astype(self.dtype), v)
+        return nn.DenseGeneral(D, axis=(-2, -1), use_bias=False,
+                               dtype=self.dtype, param_dtype=jnp.float32,
+                               name="out")(out)
+
+
+class _FFN(nn.Module):
+    """LN → expand → swish → dropout → project → dropout."""
+    expansion: int
+    dropout: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        D = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        h = nn.Dense(D * self.expansion, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="ff1")(h)
+        h = jax.nn.swish(h)
+        h = Dropout(rate=self.dropout, deterministic=not train)(h)
+        h = nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="ff2")(h)
+        return Dropout(rate=self.dropout, deterministic=not train)(h)
+
+
+class _ConvModule(nn.Module):
+    """LN → pointwise(2D)+GLU → depthwise(k) → norm → swish → pointwise."""
+    kernel_size: int
+    dropout: float
+    norm: str
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, lengths, train: bool):
+        D = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        h = nn.Conv(2 * D, kernel_size=(1,), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="pw1")(h)
+        h = nn.glu(h, axis=-1)
+        # padded frames must not leak through the depthwise receptive
+        # field (and, for batch_norm, into the batch statistics)
+        h = _mask_time(h, lengths)
+        h = nn.Conv(D, kernel_size=(self.kernel_size,),
+                    feature_group_count=D, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="dw")(h)
+        if self.norm == "batch_norm":
+            h = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-3, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="bn")(h)
+        else:
+            h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                             name="ln")(h)
+        h = jax.nn.swish(h)
+        h = nn.Conv(D, kernel_size=(1,), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="pw2")(h)
+        return Dropout(rate=self.dropout, deterministic=not train)(h)
+
+
+class ConformerBlock(nn.Module):
+    num_heads: int
+    conv_kernel_size: int
+    ffn_expansion: int
+    dropout: float
+    attention_dropout: float
+    conv_norm: str
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, lengths, pad_mask, train: bool):
+        x = x + 0.5 * _FFN(self.ffn_expansion, self.dropout, self.dtype,
+                           name="ffn1")(x, train)
+        attn_in = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                               name="attn_ln")(x)
+        attn = RelPosSelfAttention(
+            num_heads=self.num_heads, dropout=self.attention_dropout,
+            dtype=self.dtype, name="attn")(attn_in, pad_mask, train)
+        x = x + Dropout(rate=self.dropout, deterministic=not train)(attn)
+        x = x + _ConvModule(self.conv_kernel_size, self.dropout,
+                            self.conv_norm, self.dtype,
+                            name="conv")(x, lengths, train)
+        x = x + 0.5 * _FFN(self.ffn_expansion, self.dropout, self.dtype,
+                           name="ffn2")(x, train)
+        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                            name="final_ln")(x)
+
+
+class ConformerNet(nn.Module):
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    conv_kernel_size: int
+    ffn_expansion: int
+    subsampling_channels: int
+    dropout: float
+    attention_dropout: float
+    conv_norm: str
+    dtype_: Any
+
+    @nn.compact
+    def __call__(self, feats, lengths, train: bool):
+        # conv subsampling: (B, T, F) → (B, T/4, D), 4x time reduction
+        x = feats.astype(self.dtype_)[..., None]            # (B, T, F, 1)
+        C = self.subsampling_channels
+        for i in range(2):
+            x = nn.Conv(C, kernel_size=(3, 3), strides=(2, 2),
+                        padding="SAME", dtype=self.dtype_,
+                        param_dtype=jnp.float32,
+                        name=f"sub_conv{i + 1}")(x)
+            x = jax.nn.swish(x)
+            lengths = _out_length(lengths, 2)
+        B, T, Fr, _ = x.shape
+        x = x.reshape(B, T, Fr * C)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype_,
+                     param_dtype=jnp.float32, name="sub_proj")(x)
+        x = Dropout(rate=self.dropout, deterministic=not train)(x)
+
+        pad_mask = jnp.arange(T)[None, :] < lengths[:, None]
+        for i in range(self.num_layers):
+            x = ConformerBlock(
+                num_heads=self.num_heads,
+                conv_kernel_size=self.conv_kernel_size,
+                ffn_expansion=self.ffn_expansion,
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                conv_norm=self.conv_norm,
+                dtype=self.dtype_,
+                name=f"block{i}")(x, lengths, pad_mask, train)
+            # model-level remat="blocks" saves only these activations
+            x = checkpoint_name(x, "block_boundary")
+        x = _mask_time(x, lengths)
+        return x, lengths
+
+
+class ConformerEncoder(Encoder):
+    """Config wrapper; schema style mirrors :class:`TDNNEncoder`."""
+
+    @staticmethod
+    def get_required_params():
+        return dict(Encoder.get_required_params(), **{
+            "num_layers": int,
+            "hidden_size": int,
+            "num_heads": int,
+        })
+
+    @staticmethod
+    def get_optional_params():
+        return dict(Encoder.get_optional_params(), **{
+            "conv_kernel_size": int,        # depthwise kernel (paper: 31)
+            "ffn_expansion": int,           # macaron FFN width multiple
+            "subsampling_channels": int,    # front-end conv channels
+            "dropout_keep_prob": float,
+            "attention_dropout_keep_prob": float,
+            "conv_norm": ["layer_norm", "batch_norm"],
+        })
+
+    def make_module(self):
+        p = self._params
+        net = ConformerNet(
+            num_layers=p["num_layers"],
+            hidden_size=p["hidden_size"],
+            num_heads=p["num_heads"],
+            conv_kernel_size=p.get("conv_kernel_size", 31),
+            ffn_expansion=p.get("ffn_expansion", 4),
+            subsampling_channels=p.get("subsampling_channels",
+                                       p["hidden_size"] // 4),
+            dropout=1.0 - p.get("dropout_keep_prob", 0.9),
+            attention_dropout=1.0 - p.get(
+                "attention_dropout_keep_prob",
+                p.get("dropout_keep_prob", 0.9)),
+            conv_norm=p.get("conv_norm", "layer_norm"),
+            dtype_=self.compute_dtype,
+        )
+
+        class ConformerEncoderModule(nn.Module):
+            net: nn.Module
+
+            @nn.compact
+            def __call__(self, input_dict: Dict[str, Any], train: bool):
+                x, lengths = input_dict["source_tensors"][:2]
+                outputs, out_len = self.net(x, lengths, train)
+                return {"outputs": outputs, "src_length": out_len}
+
+        return ConformerEncoderModule(net=net)

@@ -96,6 +96,27 @@ def quartznet_test_config(csv_path: str, vocab_path: str, logdir: str = "",
     return base_params, eval_params
 
 
+def conformer_test_config(csv_path: str, vocab_path: str, logdir: str = "",
+                          dtype: str = "float32", num_epochs: int = 120):
+    """Tiny Conformer-CTC config (beyond-parity encoder — the reference
+    predates the Conformer; rides the identical Speech2Text stack)."""
+    base_params, eval_params = w2l_test_config(
+        csv_path, vocab_path, logdir=logdir, dtype=dtype,
+        num_epochs=num_epochs)
+    from ..encoders import ConformerEncoder
+    base_params["encoder"] = ConformerEncoder
+    base_params["encoder_params"] = {
+        "num_layers": 2,
+        "hidden_size": 64,
+        "num_heads": 4,
+        "conv_kernel_size": 15,
+        "ffn_expansion": 2,
+        "dropout_keep_prob": 1.0,
+    }
+    base_params["optimizer_params"] = {"learning_rate": 1e-3}
+    return base_params, eval_params
+
+
 def fill_derived_params(base_params):
     """Propagate data-layer-derived values (tgt_vocab_size) into the
     decoder params — the reference does this inside the data layer /

@@ -75,6 +75,25 @@ def test_convergence_quartznet(toy_speech_data):
     assert final_loss < 1.5, "loss did not converge: {}".format(final_loss)
 
 
+@pytest.mark.slow
+def test_convergence_conformer(toy_speech_data):
+    """The Conformer encoder (rel-pos attention + depthwise conv module,
+    beyond-parity — see encoders/conformer_encoder.py) must converge on
+    the toy set through the unchanged Speech2Text stack."""
+    from openseq2seq_tpu.test_utils.test_speech_configs import (
+        conformer_test_config)
+    base_params, eval_params = conformer_test_config(
+        toy_speech_data["csv"], toy_speech_data["vocab"], num_epochs=150)
+    train_model = Speech2Text(params=base_params, mode="train")
+    result = trainer.train(train_model)
+    final_loss = float(result["last_metrics"]["loss"])
+    assert final_loss < 1.0, "loss did not converge: {}".format(final_loss)
+    nested_update(base_params, eval_params)
+    eval_model = Speech2Text(params=base_params, mode="eval")
+    metrics = trainer.evaluate_with_state(eval_model, result["state"])
+    assert metrics["Eval WER"] < 0.1, metrics
+
+
 def test_regularizer_increases_loss(toy_speech_data):
     """L2 regularization must inflate the reported loss (reference
     regularizer_test, `speech2text_test.py:68-87`)."""
