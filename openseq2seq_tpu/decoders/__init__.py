@@ -11,3 +11,4 @@ from .convs2s_decoder import ConvS2SDecoder
 from .las_decoder import ListenAttendSpellDecoder
 from .jca_decoder import JointCTCAttentionDecoder
 from .centaur_decoder import CentaurDecoder
+from .transducer_decoder import TransducerDecoder

@@ -117,6 +117,27 @@ def conformer_test_config(csv_path: str, vocab_path: str, logdir: str = "",
     return base_params, eval_params
 
 
+def transducer_test_config(csv_path: str, vocab_path: str, logdir: str = "",
+                           dtype: str = "float32", num_epochs: int = 120):
+    """Tiny Conformer-Transducer config (beyond-parity — RNN-T decoder +
+    loss over the Conformer encoder; see decoders/transducer_decoder.py)."""
+    base_params, eval_params = conformer_test_config(
+        csv_path, vocab_path, logdir=logdir, dtype=dtype,
+        num_epochs=num_epochs)
+    from ..decoders import TransducerDecoder
+    from ..losses import TransducerLoss
+    base_params["decoder"] = TransducerDecoder
+    base_params["decoder_params"] = {
+        "pred_embed_size": 64,
+        "pred_units": 64,
+        "pred_layers": 1,
+        "joint_dim": 64,
+    }
+    base_params["loss"] = TransducerLoss
+    base_params["loss_params"] = {}
+    return base_params, eval_params
+
+
 def fill_derived_params(base_params):
     """Propagate data-layer-derived values (tgt_vocab_size) into the
     decoder params — the reference does this inside the data layer /

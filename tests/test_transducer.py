@@ -1,0 +1,206 @@
+"""Transducer (RNN-T) tests: loss vs a numpy DP oracle, gradient
+finite-difference check, greedy decode vs a numpy oracle over the same
+parameters, and end-to-end Conformer-Transducer convergence on toy data
+(the reference's convergence-test pattern, SURVEY §4)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openseq2seq_tpu.decoders.transducer_decoder import (
+    TransducerDecoderModule)
+from openseq2seq_tpu.models import Speech2Text
+from openseq2seq_tpu.ops.transducer import transducer_loss
+from openseq2seq_tpu.training import trainer
+from openseq2seq_tpu.utils.params import nested_update
+
+
+def _log_softmax_np(x):
+    x = x - x.max(axis=-1, keepdims=True)
+    return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
+
+
+def _oracle_loss(logits, logit_lens, labels, label_lens, blank):
+    """Direct (t, u) lattice DP in numpy."""
+    B = logits.shape[0]
+    lp = _log_softmax_np(logits.astype(np.float64))
+    out = np.zeros(B)
+    for b in range(B):
+        Tb, Ub = int(logit_lens[b]), int(label_lens[b])
+        alpha = np.full((Tb, Ub + 1), -np.inf)
+        alpha[0, 0] = 0.0
+        for t in range(Tb):
+            for u in range(Ub + 1):
+                if t == 0 and u == 0:
+                    continue
+                via_blank = (alpha[t - 1, u] + lp[b, t - 1, u, blank]
+                             if t > 0 else -np.inf)
+                via_label = (alpha[t, u - 1] +
+                             lp[b, t, u - 1, labels[b, u - 1]]
+                             if u > 0 else -np.inf)
+                alpha[t, u] = np.logaddexp(via_blank, via_label)
+        out[b] = -(alpha[Tb - 1, Ub] + lp[b, Tb - 1, Ub, blank])
+    return out
+
+
+def test_loss_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    B, T, U, V = 4, 7, 5, 6
+    logits = rng.randn(B, T, U + 1, V).astype(np.float32) * 2.0
+    labels = rng.randint(0, V - 1, (B, U)).astype(np.int32)
+    logit_lens = np.array([7, 5, 1, 6], np.int32)
+    label_lens = np.array([5, 3, 2, 0], np.int32)   # incl. U>T and U=0
+    got = np.asarray(transducer_loss(
+        jnp.asarray(logits), jnp.asarray(logit_lens), jnp.asarray(labels),
+        jnp.asarray(label_lens), average_across_batch=False))
+    want = _oracle_loss(logits, logit_lens, labels, label_lens, V - 1)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_loss_label_longer_than_frames():
+    """U > T is feasible for the transducer (several labels per frame);
+    the loss must be finite and match the oracle."""
+    rng = np.random.RandomState(1)
+    B, T, U, V = 2, 3, 8, 5
+    logits = rng.randn(B, T, U + 1, V).astype(np.float32)
+    labels = rng.randint(0, V - 1, (B, U)).astype(np.int32)
+    logit_lens = np.array([3, 2], np.int32)
+    label_lens = np.array([8, 6], np.int32)
+    got = np.asarray(transducer_loss(
+        jnp.asarray(logits), jnp.asarray(logit_lens), jnp.asarray(labels),
+        jnp.asarray(label_lens), average_across_batch=False))
+    want = _oracle_loss(logits, logit_lens, labels, label_lens, V - 1)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_loss_gradient_finite_difference():
+    rng = np.random.RandomState(2)
+    T, U, V = 4, 2, 4
+    logits = rng.randn(1, T, U + 1, V).astype(np.float32)
+    labels = np.array([[1, 2]], np.int32)
+    ll = np.array([T], np.int32)
+    ul = np.array([U], np.int32)
+
+    def f(x):
+        return transducer_loss(x, jnp.asarray(ll), jnp.asarray(labels),
+                               jnp.asarray(ul))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(logits)))
+    eps = 1e-3
+    for idx in [(0, 0, 0, 1), (0, 2, 1, 3), (0, 3, 2, 0)]:
+        p = logits.copy()
+        p[idx] += eps
+        m = logits.copy()
+        m[idx] -= eps
+        fd = (float(f(jnp.asarray(p))) - float(f(jnp.asarray(m)))) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=2e-4)
+
+
+# ----------------------------------------------------------------------
+def _np_greedy_oracle(params, enc, enc_len, blank, msf, Lmax, layers):
+    """Python re-implementation of the frame-synchronous greedy loop
+    from the extracted parameter arrays."""
+    emb = np.asarray(params["pred_embedding"])
+    cells = [(np.asarray(params["pred_wx%d" % i]),
+              np.asarray(params["pred_wh%d" % i]),
+              np.asarray(params["pred_b%d" % i])) for i in range(layers)]
+    w_enc = np.asarray(params["joint_enc_w"])
+    w_pred = np.asarray(params["joint_pred_w"])
+    b_j = np.asarray(params["joint_b"])
+    w_out = np.asarray(params["joint_out_w"])
+    b_out = np.asarray(params["joint_out_b"])
+    sigmoid = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
+
+    def pred_step(states, token):
+        x = emb[token]
+        new = []
+        for (wx, wh, b), (h_prev, c_prev) in zip(cells, states):
+            gates = x @ wx + h_prev @ wh + b
+            i, f, g, o = np.split(gates, 4, axis=-1)
+            c = sigmoid(f + 1.0) * c_prev + sigmoid(i) * np.tanh(g)
+            h = sigmoid(o) * np.tanh(c)
+            new.append((h, c))
+            x = h
+        return new, x
+
+    B, T, _ = enc.shape
+    H = cells[0][1].shape[0]
+    ids = np.full((B, Lmax), -1, np.int32)
+    lens = np.zeros(B, np.int32)
+    for b in range(B):
+        states = [(np.zeros(H), np.zeros(H)) for _ in range(layers)]
+        states, h = pred_step(states, blank)
+        pred_j = h @ w_pred
+        for t in range(int(enc_len[b])):
+            enc_jt = enc[b, t] @ w_enc
+            for _ in range(msf):
+                logits = np.tanh(enc_jt + pred_j + b_j) @ w_out + b_out
+                k = int(np.argmax(logits))
+                if k == blank or lens[b] >= Lmax:
+                    break
+                ids[b, lens[b]] = k
+                lens[b] += 1
+                states, h = pred_step(states, k)
+                pred_j = h @ w_pred
+    return ids, lens
+
+
+def test_greedy_decode_matches_oracle():
+    rng = np.random.RandomState(3)
+    B, T, D, V = 3, 12, 10, 6
+    module = TransducerDecoderModule(
+        tgt_vocab_size=V, pred_embed_size=8, pred_units=8, pred_layers=2,
+        joint_dim=8, max_symbols_per_frame=3, max_output_length=0,
+        dropout=0.0, dtype_=jnp.float32, mode="infer")
+    enc = rng.randn(B, T, D).astype(np.float32)
+    enc_len = np.array([12, 7, 1], np.int32)
+    input_dict = {"encoder_output": {"outputs": jnp.asarray(enc),
+                                     "src_length": jnp.asarray(enc_len)}}
+    variables = module.init(jax.random.PRNGKey(0), input_dict, False)
+    out = jax.jit(lambda v, d: module.apply(v, d, False))(
+        variables, input_dict)
+    got_ids, got_lens = (np.asarray(out["outputs"][0]),
+                         np.asarray(out["outputs"][1]))
+    want_ids, want_lens = _np_greedy_oracle(
+        variables["params"], enc, enc_len, V - 1, 3, T, layers=2)
+    np.testing.assert_array_equal(got_lens, want_lens)
+    np.testing.assert_array_equal(got_ids, want_ids)
+    assert got_lens[2] <= 3  # one active frame -> at most msf symbols
+
+
+# ----------------------------------------------------------------------
+def _build(toy, mode="train", **cfg_kw):
+    from openseq2seq_tpu.test_utils.test_speech_configs import (
+        transducer_test_config)
+    base_params, eval_params = transducer_test_config(
+        toy["csv"], toy["vocab"], **cfg_kw)
+    if mode == "eval":
+        nested_update(base_params, eval_params)
+    return Speech2Text(params=base_params, mode=mode)
+
+
+def test_build_and_single_step(toy_speech_data):
+    model = _build(toy_speech_data, num_epochs=1)
+    dl = model.get_data_layer()
+    batch = next(iter(dl.iterate_one_epoch()))
+    state = model.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    new_state, metrics = jax.jit(model.train_step)(
+        state, device_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+@pytest.mark.slow
+def test_convergence_transducer(toy_speech_data):
+    """Conformer-Transducer must converge on the toy set through the
+    unchanged Speech2Text stack (loss drop + small WER)."""
+    train_model = _build(toy_speech_data, "train", num_epochs=150)
+    result = trainer.train(train_model)
+    final_loss = float(result["last_metrics"]["loss"])
+    assert final_loss < 1.0, "loss did not converge: {}".format(final_loss)
+    eval_model = _build(toy_speech_data, "eval", num_epochs=150)
+    metrics = trainer.evaluate_with_state(eval_model, result["state"])
+    assert metrics["Eval WER"] < 0.1, metrics
