@@ -50,6 +50,8 @@ class TransducerDecoderModule(nn.Module):
     max_symbols_per_frame: int
     max_output_length: int       # 0 -> number of encoder frames
     dropout: float               # prediction-net dropout (train only)
+    fused_loss: bool             # hand activations (not logits) to the
+                                 # diagonal-fused transducer loss
     dtype_: Any
     mode: str
 
@@ -146,8 +148,18 @@ class TransducerDecoderModule(nn.Module):
                             deterministic=not train)(x)
             enc_j = enc.astype(dt) @ joint_enc_w                # (B,T,J)
             pred_j = x @ joint_pred_w                           # (B,U1,J)
-            out["logits"] = joint_logits(
-                enc_j[:, :, None, :], pred_j[:, None, :, :])    # (B,T,U1,V)
+            if self.fused_loss:
+                # the diagonal-fused loss (`ops/transducer.py:
+                # transducer_loss_fused`) evaluates the joint inside its
+                # wavefront scan — never materialize (B,T,U+1,V) here
+                out["joint_fused"] = {
+                    "enc_j": enc_j, "pred_j": pred_j,
+                    "joint_b": joint_b, "out_w": joint_out_w,
+                    "out_b": joint_out_b}
+            else:
+                out["logits"] = joint_logits(
+                    enc_j[:, :, None, :],
+                    pred_j[:, None, :, :])                      # (B,T,U1,V)
 
         # ---- greedy decode ------------------------------------------
         if not train:
@@ -207,6 +219,8 @@ class TransducerDecoder(Decoder):
             "max_symbols_per_frame": int,  # greedy decode emit cap/frame
             "max_output_length": int,     # decode buffer (0 -> frames)
             "dropout_keep_prob": float,
+            "fused_loss": bool,           # diagonal-fused loss: no
+                                          # (B,T,U+1,V) lattice in HBM
         })
 
     def make_module(self):
@@ -222,6 +236,7 @@ class TransducerDecoder(Decoder):
             max_symbols_per_frame=p.get("max_symbols_per_frame", 3),
             max_output_length=p.get("max_output_length", 0),
             dropout=1.0 - p.get("dropout_keep_prob", 1.0),
+            fused_loss=p.get("fused_loss", False),
             dtype_=dtype,
             mode=self._mode,
         )

@@ -7,7 +7,7 @@ regardless of compute dtype, blank = last class (framework convention,
 from __future__ import annotations
 
 from .loss import Loss
-from ..ops.transducer import transducer_loss
+from ..ops.transducer import transducer_loss, transducer_loss_fused
 
 
 class TransducerLoss(Loss):
@@ -15,12 +15,21 @@ class TransducerLoss(Loss):
     def compute_loss(self, input_dict):
         """input_dict:
           decoder_output: {"logits": (B, T, U+1, V) joint lattice,
-                           "src_length": (B,) encoder frames}
+                           "src_length": (B,) encoder frames} — or, with
+            ``decoder_params: {"fused_loss": true}``, a "joint_fused"
+            dict of pre-projection activations consumed by the
+            diagonal-fused loss (no materialized lattice).
           target_tensors: [labels (B, U), label_lengths (B,)]
         """
-        logits = input_dict["decoder_output"]["logits"]
-        logit_lengths = input_dict["decoder_output"]["src_length"]
+        dec = input_dict["decoder_output"]
+        logit_lengths = dec["src_length"]
         labels, label_lengths = input_dict["target_tensors"]
-        return transducer_loss(logits, logit_lengths, labels,
+        fused = dec.get("joint_fused")
+        if fused is not None:
+            return transducer_loss_fused(
+                fused["enc_j"], fused["pred_j"], fused["joint_b"],
+                fused["out_w"], fused["out_b"], logit_lengths, labels,
+                label_lengths, blank_id=-1, average_across_batch=True)
+        return transducer_loss(dec["logits"], logit_lengths, labels,
                                label_lengths, blank_id=-1,
                                average_across_batch=True)

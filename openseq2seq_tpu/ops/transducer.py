@@ -123,3 +123,107 @@ def transducer_loss(logits: jax.Array,
     if average_across_batch:
         return jnp.mean(loss)
     return loss
+
+
+def transducer_loss_fused(enc_j: jax.Array,
+                          pred_j: jax.Array,
+                          joint_b: jax.Array,
+                          out_w: jax.Array,
+                          out_b: jax.Array,
+                          logit_lengths: jax.Array,
+                          labels: jax.Array,
+                          label_lengths: jax.Array,
+                          blank_id: int = -1,
+                          average_across_batch: bool = True) -> jax.Array:
+    """Memory-efficient transducer loss: the joint network is evaluated
+    INSIDE the wavefront scan, one anti-diagonal at a time, so the
+    (B, T, U+1, V) logit lattice — the memory wall of RNN-T training —
+    is never materialized. Each step computes the (B, U+1, V) diagonal
+    logits from the already-projected encoder/prediction activations
+    (``enc_j = enc @ W_enc``, ``pred_j = pred @ W_pred``), takes the
+    blank/label log-probs, and folds them straight into the alpha
+    recursion. ``jax.checkpoint`` on the step body makes the backward
+    pass recompute the diagonal joint instead of storing it: residual
+    memory is O(B·(T+U)·(U+1)) scalars — no V or J factor.
+
+    Compute overhead vs the materialized lattice is (T+U)/T forward
+    (clipped diagonals are rectangular) plus one recompute in backward;
+    on TPU this trades cheap MXU FLOPs for the HBM capacity that
+    otherwise caps batch size (and with it MXU utilization).
+
+    Args:
+      enc_j: (B, T, J) encoder activations AFTER the joint encoder
+        projection (compute dtype; the lattice math casts to fp32 only
+        at the log-softmax, matching the unfused path).
+      pred_j: (B, U+1, J) prediction-net activations after the joint
+        prediction projection (position u conditions on u labels).
+      joint_b: (J,) joint bias. out_w/out_b: (J, V)/(V,) output proj.
+      logit_lengths, labels, label_lengths, blank_id,
+        average_across_batch: as in :func:`transducer_loss`.
+    """
+    B, T, J = enc_j.shape
+    U1 = pred_j.shape[1]
+    U = U1 - 1
+    V = out_w.shape[1]
+    if blank_id < 0:
+        blank_id = V + blank_id
+
+    dt = enc_j.dtype
+    pred_j = pred_j.astype(dt)
+    joint_b = joint_b.astype(dt)
+    out_w = out_w.astype(dt)
+    out_b = out_b.astype(dt)
+
+    u_idx = jnp.arange(U1)
+    lab_u1 = jnp.concatenate(
+        [jnp.clip(labels, 0, V - 1).astype(jnp.int32),
+         jnp.zeros((B, 1), jnp.int32)], axis=1)                  # (B,U1)
+    # emitting a label from position u requires u < label_len (and u < U)
+    label_ok = u_idx[None, :] < jnp.minimum(label_lengths, U)[:, None]
+
+    def diag_logprobs(d):
+        """Blank/label log-probs for every lattice cell on diagonal d
+        (cells (t=d-u, u)); off-lattice cells → -inf."""
+        t_of = d - u_idx                                         # (U1,)
+        on_lat = (t_of >= 0) & (t_of <= T - 1)
+        enc_d = enc_j[:, jnp.clip(t_of, 0, T - 1), :]            # (B,U1,J)
+        h = jnp.tanh(enc_d + pred_j + joint_b)
+        logits = (h @ out_w + out_b).astype(jnp.float32)         # (B,U1,V)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        blank_d = lp[..., blank_id]
+        label_d = jnp.take_along_axis(lp, lab_u1[:, :, None],
+                                      axis=2)[..., 0]
+        blank_d = jnp.where(on_lat[None], blank_d, _NEG_INF)
+        label_d = jnp.where(on_lat[None] & label_ok, label_d, _NEG_INF)
+        return blank_d, label_d                                  # (B,U1)
+
+    a0 = jnp.full((B, U1), _NEG_INF).at[:, 0].set(0.0)
+
+    @jax.checkpoint
+    def step(a, d):
+        bd, ld = diag_logprobs(d - 1)                            # diag d-1
+        blank_term = a + bd
+        label_term = a + ld
+        shifted = jnp.concatenate(
+            [jnp.full((B, 1), _NEG_INF), label_term[:, :-1]], axis=1)
+        new = _logaddexp(blank_term, shifted)
+        return new, new
+
+    D = T + U
+    _, hist = jax.lax.scan(step, a0, jnp.arange(1, D))
+    alpha = jnp.concatenate([a0[None], hist], axis=0)            # (D,B,U1)
+
+    b_idx = jnp.arange(B)
+    t_last = jnp.clip(logit_lengths - 1, 0, T - 1).astype(jnp.int32)
+    u_last = jnp.clip(label_lengths, 0, U).astype(jnp.int32)
+    d_last = t_last + u_last
+    # final blank emission log-prob at (T_b-1, U_b), computed pointwise
+    h_fin = jnp.tanh(enc_j[b_idx, t_last] + pred_j[b_idx, u_last] +
+                     joint_b)                                    # (B,J)
+    lp_fin = jax.nn.log_softmax(
+        (h_fin @ out_w + out_b).astype(jnp.float32), axis=-1)
+    ll = alpha[d_last, b_idx, u_last] + lp_fin[:, blank_id]
+    loss = -jnp.where(logit_lengths > 0, ll, 0.0)
+    if average_across_batch:
+        return jnp.mean(loss)
+    return loss

@@ -98,6 +98,70 @@ def test_loss_gradient_finite_difference():
         np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=2e-4)
 
 
+def test_fused_loss_matches_unfused():
+    """The diagonal-fused loss (joint evaluated inside the wavefront
+    scan, no materialized lattice) must match the dense-lattice loss in
+    value AND gradients (it is the same math, reassociated)."""
+    rng = np.random.RandomState(4)
+    B, T, U, J, V = 3, 6, 4, 5, 7
+    enc_j = rng.randn(B, T, J).astype(np.float32)
+    pred_j = rng.randn(B, U + 1, J).astype(np.float32)
+    joint_b = rng.randn(J).astype(np.float32) * 0.1
+    out_w = rng.randn(J, V).astype(np.float32)
+    out_b = rng.randn(V).astype(np.float32) * 0.1
+    labels = rng.randint(0, V - 1, (B, U)).astype(np.int32)
+    logit_lens = np.array([6, 4, 2], np.int32)
+    label_lens = np.array([4, 2, 3], np.int32)
+    args = (jnp.asarray(logit_lens), jnp.asarray(labels),
+            jnp.asarray(label_lens))
+
+    def dense(enc_j, pred_j, joint_b, out_w, out_b):
+        h = jnp.tanh(enc_j[:, :, None, :] + pred_j[:, None, :, :] +
+                     joint_b)
+        logits = h @ out_w + out_b
+        return transducer_loss(logits, *args)
+
+    def fused(enc_j, pred_j, joint_b, out_w, out_b):
+        from openseq2seq_tpu.ops.transducer import transducer_loss_fused
+        return transducer_loss_fused(enc_j, pred_j, joint_b, out_w,
+                                     out_b, *args)
+
+    inputs = tuple(jnp.asarray(a) for a in
+                   (enc_j, pred_j, joint_b, out_w, out_b))
+    v_dense, g_dense = jax.value_and_grad(dense, argnums=(0, 1, 3))(
+        *inputs)
+    v_fused, g_fused = jax.value_and_grad(fused, argnums=(0, 1, 3))(
+        *inputs)
+    np.testing.assert_allclose(float(v_fused), float(v_dense), rtol=1e-5)
+    for gf, gd in zip(g_fused, g_dense):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_loss_single_train_step(toy_speech_data):
+    """Full model single step with decoder_params.fused_loss=True; the
+    loss must match the unfused configuration bit-for-bit at init (same
+    params tree, same batch)."""
+    from openseq2seq_tpu.test_utils.test_speech_configs import (
+        transducer_test_config)
+    losses = {}
+    for fused in (False, True):
+        base_params, _ = transducer_test_config(
+            toy_speech_data["csv"], toy_speech_data["vocab"],
+            num_epochs=1)
+        base_params["decoder_params"]["fused_loss"] = fused
+        model = Speech2Text(params=base_params, mode="train")
+        dl = model.get_data_layer()
+        batch = next(iter(dl.iterate_one_epoch()))
+        state = model.init_state(batch)
+        device_batch = jax.tree_util.tree_map(np.asarray, batch)
+        _, metrics = jax.jit(model.train_step)(
+            state, device_batch, jax.random.PRNGKey(0))
+        losses[fused] = float(metrics["loss"])
+    assert np.isfinite(losses[True])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
 # ----------------------------------------------------------------------
 def _np_greedy_oracle(params, enc, enc_len, blank, msf, Lmax, layers):
     """Python re-implementation of the frame-synchronous greedy loop
@@ -153,7 +217,7 @@ def test_greedy_decode_matches_oracle():
     module = TransducerDecoderModule(
         tgt_vocab_size=V, pred_embed_size=8, pred_units=8, pred_layers=2,
         joint_dim=8, max_symbols_per_frame=3, max_output_length=0,
-        dropout=0.0, dtype_=jnp.float32, mode="infer")
+        dropout=0.0, fused_loss=False, dtype_=jnp.float32, mode="infer")
     enc = rng.randn(B, T, D).astype(np.float32)
     enc_len = np.array([12, 7, 1], np.int32)
     input_dict = {"encoder_output": {"outputs": jnp.asarray(enc),
