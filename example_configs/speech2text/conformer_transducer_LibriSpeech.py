@@ -31,8 +31,9 @@ base_params = {
     "use_horovod": False,
     "num_epochs": 100,
     "logdir": os.environ.get("OS2S_LOGDIR", "conformer_rnnt_log_folder"),
-    # the joint lattice is (B, T/4, U+1, V): batch 32 keeps it under
-    # 2 GiB at LibriSpeech lengths (T=1670 raw -> 418 frames, U<=420)
+    # with the diagonal-fused loss (decoder_params.fused_loss below) the
+    # (B, T/4, U+1, V) joint lattice is never materialized, so batch is
+    # bounded by encoder activations, not the RNN-T memory wall
     "batch_size_per_gpu": 32,
     "save_summaries_steps": 100,
     "print_loss_steps": 10,
@@ -75,6 +76,9 @@ base_params = {
         "joint_dim": 320,
         "dropout_keep_prob": 0.9,
         "max_symbols_per_frame": 3,
+        # evaluate the joint inside the loss wavefront scan — no
+        # (B, T, U+1, V) lattice in HBM (ops/transducer.py)
+        "fused_loss": True,
     },
     "loss": TransducerLoss,
     "loss_params": {},

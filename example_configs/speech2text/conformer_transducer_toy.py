@@ -60,6 +60,7 @@ base_params = {
         "pred_units": 64,
         "pred_layers": 1,
         "joint_dim": 64,
+        "beam_width": 1,   # CLI-overridable: --decoder_params/beam_width 8
     },
     "loss": TransducerLoss,
     "loss_params": {},

@@ -52,6 +52,7 @@ class TransducerDecoderModule(nn.Module):
     dropout: float               # prediction-net dropout (train only)
     fused_loss: bool             # hand activations (not logits) to the
                                  # diagonal-fused transducer loss
+    beam_width: int              # 1 -> greedy; >1 -> frame-sync beam
     dtype_: Any
     mode: str
 
@@ -161,8 +162,13 @@ class TransducerDecoderModule(nn.Module):
                     enc_j[:, :, None, :],
                     pred_j[:, None, :, :])                      # (B,T,U1,V)
 
+        # ---- beam decode (expansion-limited TSD) --------------------
+        if not train and self.beam_width > 1:
+            out["outputs"] = self._beam_decode(
+                enc, enc_len, init_states, pred_step, joint_logits,
+                joint_enc_w, joint_pred_w, blank)
         # ---- greedy decode ------------------------------------------
-        if not train:
+        elif not train:
             B, T, _ = enc.shape
             Lmax = self.max_output_length or T
             enc_j = enc.astype(dt) @ joint_enc_w                # (B,T,J)
@@ -199,6 +205,113 @@ class TransducerDecoderModule(nn.Module):
             out["outputs"] = [out_ids, out_len]
         return out
 
+    def _beam_decode(self, enc, enc_len, init_states, pred_step,
+                     joint_logits, joint_enc_w, joint_pred_w, blank):
+        """Frame-synchronous, expansion-limited transducer beam search
+        (time-synchronous decoding with ``max_symbols_per_frame``
+        expansion rounds per frame — the static-shape TPU analogue of
+        Graves 2012 beam search; compare the reference's batched CTC
+        beam, `decoders/ctc_beam_search_decoder.cpp`, which is likewise
+        breadth-first over frames).
+
+        Everything is fixed-shape: the beam lives as (B, K) score /
+        length / done lanes plus (B*K,)-row prediction-net states, each
+        frame is one step of an outer ``lax.scan``, and each expansion
+        round selects ``top_k`` over the (B, K*V) candidate matrix —
+        K*(V-1) label extensions plus each hypothesis's stay-put blank
+        candidate. A hypothesis that takes blank is "done" for the
+        frame and competes unchanged in later rounds; after
+        ``max_symbols_per_frame`` label rounds a final round forces
+        blank, so every survivor consumes the frame exactly once (its
+        per-frame blank log-prob is added exactly once) and the label
+        budget per frame matches greedy decode's.
+        Hypotheses are not merged (standard for production RNN-T
+        decoders; merging needs dynamic prefix comparison).
+
+        Returns ``[ids (B, Lmax), lengths (B,)]`` for the best-scoring
+        hypothesis — same contract as greedy decode.
+        """
+        V, K, J = self.tgt_vocab_size, self.beam_width, self.joint_dim
+        msf = self.max_symbols_per_frame
+        B, T, _ = enc.shape
+        Lmax = self.max_output_length or T
+        dt = self.dtype_
+        NEG = jnp.float32(-1e30)
+
+        enc_j = enc.astype(dt) @ joint_enc_w                    # (B,T,J)
+        states0, h = pred_step(
+            init_states(B * K), jnp.full((B * K,), blank, jnp.int32))
+        pred_j0 = (h @ joint_pred_w).reshape(B, K, J)
+        # only lane 0 is live at t=0 — all lanes share the empty prefix,
+        # so without this the beam would fill with K copies of it
+        scores0 = jnp.full((B, K), NEG).at[:, 0].set(0.0)
+        ids0 = jnp.full((B, K, Lmax), -1, jnp.int32)
+        len0 = jnp.zeros((B, K), jnp.int32)
+        slot = jnp.arange(Lmax)[None, None, :]
+        not_blank = (jnp.arange(V) != blank)[None, None, :]     # (1,1,V)
+
+        def gather_k(x, parent):
+            """take_along_axis on the beam axis of a (B,K,...) array."""
+            idx = parent.reshape(parent.shape + (1,) * (x.ndim - 2))
+            return jnp.take_along_axis(x, idx, axis=1)
+
+        def frame(carry, xt):
+            states, pred_j, scores, out_ids, out_len = carry
+            enc_jt, t = xt                                      # (B,J)
+            active = t < enc_len                                # (B,)
+            # inactive frames (past this utterance's length) carry the
+            # whole beam through unchanged
+            done = jnp.broadcast_to(~active[:, None], (B, K))
+            for s in range(msf + 1):
+                logits = joint_logits(enc_jt[:, None, :], pred_j)
+                logp = jax.nn.log_softmax(logits, axis=-1)      # (B,K,V)
+                cand = scores[:, :, None] + logp
+                # stay-put candidate in the blank slot: done lanes carry
+                # their score (this frame's blank already paid)
+                cand = jnp.where(
+                    not_blank, cand,
+                    jnp.where(done, scores, scores +
+                              logp[..., blank])[:, :, None])
+                label_ok = (~done & (out_len < Lmax))[:, :, None]
+                if s == msf:  # force blank: frame label budget exhausted
+                    label_ok = jnp.zeros_like(label_ok)
+                cand = jnp.where(not_blank & ~label_ok, NEG, cand)
+                scores, top_idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+                parent = top_idx // V                           # (B,K)
+                tok = (top_idx % V).astype(jnp.int32)
+                is_label = tok != blank
+                # reorder every beam lane to its parent
+                out_ids = gather_k(out_ids, parent)
+                out_len = gather_k(out_len, parent)
+                pred_j = gather_k(pred_j, parent)
+                done = gather_k(done, parent)
+                flat_parent = (parent +
+                               jnp.arange(B)[:, None] * K).reshape(-1)
+                states = jax.tree_util.tree_map(
+                    lambda x: x[flat_parent], states)
+                # label lanes: append token, advance the prediction net
+                write = (slot == out_len[:, :, None]) & \
+                    is_label[:, :, None]
+                out_ids = jnp.where(write, tok[:, :, None], out_ids)
+                out_len = out_len + is_label.astype(jnp.int32)
+                new_states, h = pred_step(states, tok.reshape(-1))
+                keep = is_label.reshape(-1, 1)
+                states = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(keep, n, o), new_states,
+                    states)
+                pred_j = jnp.where(
+                    is_label[:, :, None],
+                    (h @ joint_pred_w).reshape(B, K, J), pred_j)
+                done = ~is_label
+            return (states, pred_j, scores, out_ids, out_len), None
+
+        xs = (jnp.moveaxis(enc_j, 1, 0), jnp.arange(T))
+        (_, _, scores, out_ids, out_len), _ = jax.lax.scan(
+            frame, (states0, pred_j0, scores0, ids0, len0), xs)
+        best = jnp.argmax(scores, axis=1)                       # (B,)
+        b_idx = jnp.arange(B)
+        return [out_ids[b_idx, best], out_len[b_idx, best]]
+
 
 class TransducerDecoder(Decoder):
     """Config wrapper (schema style mirrors the other decoders)."""
@@ -221,6 +334,7 @@ class TransducerDecoder(Decoder):
             "dropout_keep_prob": float,
             "fused_loss": bool,           # diagonal-fused loss: no
                                           # (B,T,U+1,V) lattice in HBM
+            "beam_width": int,            # >1: frame-sync beam decode
         })
 
     def make_module(self):
@@ -237,6 +351,7 @@ class TransducerDecoder(Decoder):
             max_output_length=p.get("max_output_length", 0),
             dropout=1.0 - p.get("dropout_keep_prob", 1.0),
             fused_loss=p.get("fused_loss", False),
+            beam_width=p.get("beam_width", 1),
             dtype_=dtype,
             mode=self._mode,
         )

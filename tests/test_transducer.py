@@ -163,18 +163,13 @@ def test_fused_loss_single_train_step(toy_speech_data):
 
 
 # ----------------------------------------------------------------------
-def _np_greedy_oracle(params, enc, enc_len, blank, msf, Lmax, layers):
-    """Python re-implementation of the frame-synchronous greedy loop
-    from the extracted parameter arrays."""
+def _np_pred_net(params, layers):
+    """Numpy replica of the module's prediction-net step + joint
+    parameter arrays, shared by the greedy and beam oracles."""
     emb = np.asarray(params["pred_embedding"])
     cells = [(np.asarray(params["pred_wx%d" % i]),
               np.asarray(params["pred_wh%d" % i]),
               np.asarray(params["pred_b%d" % i])) for i in range(layers)]
-    w_enc = np.asarray(params["joint_enc_w"])
-    w_pred = np.asarray(params["joint_pred_w"])
-    b_j = np.asarray(params["joint_b"])
-    w_out = np.asarray(params["joint_out_w"])
-    b_out = np.asarray(params["joint_out_b"])
     sigmoid = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
 
     def pred_step(states, token):
@@ -189,8 +184,21 @@ def _np_greedy_oracle(params, enc, enc_len, blank, msf, Lmax, layers):
             x = h
         return new, x
 
-    B, T, _ = enc.shape
     H = cells[0][1].shape[0]
+    joint = {k: np.asarray(params[k]) for k in
+             ("joint_enc_w", "joint_pred_w", "joint_b", "joint_out_w",
+              "joint_out_b")}
+    return pred_step, H, joint
+
+
+def _np_greedy_oracle(params, enc, enc_len, blank, msf, Lmax, layers):
+    """Python re-implementation of the frame-synchronous greedy loop
+    from the extracted parameter arrays."""
+    pred_step, H, j = _np_pred_net(params, layers)
+    w_enc, w_pred = j["joint_enc_w"], j["joint_pred_w"]
+    b_j, w_out, b_out = j["joint_b"], j["joint_out_w"], j["joint_out_b"]
+
+    B, T, _ = enc.shape
     ids = np.full((B, Lmax), -1, np.int32)
     lens = np.zeros(B, np.int32)
     for b in range(B):
@@ -217,7 +225,8 @@ def test_greedy_decode_matches_oracle():
     module = TransducerDecoderModule(
         tgt_vocab_size=V, pred_embed_size=8, pred_units=8, pred_layers=2,
         joint_dim=8, max_symbols_per_frame=3, max_output_length=0,
-        dropout=0.0, fused_loss=False, dtype_=jnp.float32, mode="infer")
+        dropout=0.0, fused_loss=False, beam_width=1, dtype_=jnp.float32,
+        mode="infer")
     enc = rng.randn(B, T, D).astype(np.float32)
     enc_len = np.array([12, 7, 1], np.int32)
     input_dict = {"encoder_output": {"outputs": jnp.asarray(enc),
@@ -232,6 +241,108 @@ def test_greedy_decode_matches_oracle():
     np.testing.assert_array_equal(got_lens, want_lens)
     np.testing.assert_array_equal(got_ids, want_ids)
     assert got_lens[2] <= 3  # one active frame -> at most msf symbols
+
+
+# ----------------------------------------------------------------------
+def _np_beam_exhaustive_oracle(params, enc, enc_len, blank, msf, Lmax,
+                               layers):
+    """Enumerate EVERY expansion-limited alignment (<= msf labels per
+    frame, then blank; <= Lmax labels total) and return the label
+    sequence of the max-score alignment — what beam search with
+    K >= #alignments must find."""
+    pred_step, H, j = _np_pred_net(params, layers)
+    w_enc, w_pred = j["joint_enc_w"], j["joint_pred_w"]
+    b_j, w_out, b_out = j["joint_b"], j["joint_out_w"], j["joint_out_b"]
+    B, T, _ = enc.shape
+    V = w_out.shape[1]
+    ids = np.full((B, Lmax), -1, np.int32)
+    lens = np.zeros(B, np.int32)
+    for b in range(B):
+        best = [-np.inf, []]
+        states0 = [(np.zeros(H), np.zeros(H)) for _ in range(layers)]
+        states0, h0 = pred_step(states0, blank)
+
+        def rec(t, states, pred_j, score, labels):
+            if t == int(enc_len[b]):
+                if score > best[0]:
+                    best[0], best[1] = score, list(labels)
+                return
+            enc_jt = enc[b, t] @ w_enc
+
+            def expand(states, pred_j, score, labels, n):
+                lp = _log_softmax_np(
+                    np.tanh(enc_jt + pred_j + b_j) @ w_out + b_out)
+                rec(t + 1, states, pred_j, score + lp[blank], labels)
+                if n < msf and len(labels) < Lmax:
+                    for v in range(V):
+                        if v == blank:
+                            continue
+                        st2, h2 = pred_step(states, v)
+                        expand(st2, h2 @ w_pred, score + lp[v],
+                               labels + [v], n + 1)
+
+            expand(states, pred_j, score, labels, 0)
+
+        rec(0, states0, h0 @ w_pred, 0.0, [])
+        lens[b] = len(best[1])
+        ids[b, :lens[b]] = best[1]
+    return ids, lens
+
+
+def test_beam_decode_exhaustive_oracle():
+    """With beam width >= the number of expansion-limited alignments,
+    beam search is exhaustive: it must return exactly the max-score
+    alignment's label sequence (enumerated by the numpy oracle)."""
+    rng = np.random.RandomState(7)
+    B, T, D, V, msf, Lmax = 2, 2, 6, 4, 2, 8
+    # alignments per frame: 1 + 3 + 9 = 13; T=2 -> 169 total; K=192
+    module = TransducerDecoderModule(
+        tgt_vocab_size=V, pred_embed_size=6, pred_units=6, pred_layers=1,
+        joint_dim=6, max_symbols_per_frame=msf, max_output_length=Lmax,
+        dropout=0.0, fused_loss=False, beam_width=192,
+        dtype_=jnp.float32, mode="infer")
+    enc = (rng.randn(B, T, D) * 1.5).astype(np.float32)
+    enc_len = np.array([2, 1], np.int32)
+    input_dict = {"encoder_output": {"outputs": jnp.asarray(enc),
+                                     "src_length": jnp.asarray(enc_len)}}
+    variables = module.init(jax.random.PRNGKey(1), input_dict, False)
+    out = jax.jit(lambda v, d: module.apply(v, d, False))(
+        variables, input_dict)
+    got_ids, got_lens = (np.asarray(out["outputs"][0]),
+                         np.asarray(out["outputs"][1]))
+    want_ids, want_lens = _np_beam_exhaustive_oracle(
+        variables["params"], enc, enc_len, V - 1, msf, Lmax, layers=1)
+    np.testing.assert_array_equal(got_lens, want_lens)
+    for b in range(B):
+        np.testing.assert_array_equal(got_ids[b, :got_lens[b]],
+                                      want_ids[b, :want_lens[b]])
+
+
+def test_beam_decode_small_width_runs_and_is_sane():
+    """K=4 beam on a longer input: static shapes, finite scores, ids in
+    vocab, no emissions past enc_len (inactive frames must carry)."""
+    rng = np.random.RandomState(8)
+    B, T, D, V = 3, 10, 8, 6
+    module = TransducerDecoderModule(
+        tgt_vocab_size=V, pred_embed_size=8, pred_units=8, pred_layers=2,
+        joint_dim=8, max_symbols_per_frame=3, max_output_length=0,
+        dropout=0.0, fused_loss=False, beam_width=4, dtype_=jnp.float32,
+        mode="infer")
+    enc = rng.randn(B, T, D).astype(np.float32)
+    enc_len = np.array([10, 5, 1], np.int32)
+    input_dict = {"encoder_output": {"outputs": jnp.asarray(enc),
+                                     "src_length": jnp.asarray(enc_len)}}
+    variables = module.init(jax.random.PRNGKey(2), input_dict, False)
+    out = jax.jit(lambda v, d: module.apply(v, d, False))(
+        variables, input_dict)
+    ids, lens = (np.asarray(out["outputs"][0]),
+                 np.asarray(out["outputs"][1]))
+    assert ids.shape == (B, T) and lens.shape == (B,)
+    for b in range(B):
+        assert 0 <= lens[b] <= min(T, 3 * enc_len[b])
+        assert np.all(ids[b, :lens[b]] >= 0)
+        assert np.all(ids[b, :lens[b]] < V - 1)   # no blank emitted
+        assert np.all(ids[b, lens[b]:] == -1)
 
 
 # ----------------------------------------------------------------------
