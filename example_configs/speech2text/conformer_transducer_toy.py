@@ -61,6 +61,7 @@ base_params = {
         "pred_layers": 1,
         "joint_dim": 64,
         "beam_width": 1,   # CLI-overridable: --decoder_params/beam_width 8
+        "fused_loss": False,  # --decoder_params/fused_loss True
     },
     "loss": TransducerLoss,
     "loss_params": {},

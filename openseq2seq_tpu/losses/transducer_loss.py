@@ -12,6 +12,12 @@ from ..ops.transducer import transducer_loss, transducer_loss_fused
 
 class TransducerLoss(Loss):
 
+    @staticmethod
+    def get_optional_params():
+        return dict(Loss.get_optional_params(), **{
+            "fused_block_size": int,   # anti-diagonals per fused-loss
+        })                             # scan step (default 8)
+
     def compute_loss(self, input_dict):
         """input_dict:
           decoder_output: {"logits": (B, T, U+1, V) joint lattice,
@@ -29,7 +35,8 @@ class TransducerLoss(Loss):
             return transducer_loss_fused(
                 fused["enc_j"], fused["pred_j"], fused["joint_b"],
                 fused["out_w"], fused["out_b"], logit_lengths, labels,
-                label_lengths, blank_id=-1, average_across_batch=True)
+                label_lengths, blank_id=-1, average_across_batch=True,
+                block_size=self._params.get("fused_block_size", 8))
         return transducer_loss(dec["logits"], logit_lengths, labels,
                                label_lengths, blank_id=-1,
                                average_across_batch=True)

@@ -134,17 +134,19 @@ def transducer_loss_fused(enc_j: jax.Array,
                           labels: jax.Array,
                           label_lengths: jax.Array,
                           blank_id: int = -1,
-                          average_across_batch: bool = True) -> jax.Array:
+                          average_across_batch: bool = True,
+                          block_size: int = 8) -> jax.Array:
     """Memory-efficient transducer loss: the joint network is evaluated
-    INSIDE the wavefront scan, one anti-diagonal at a time, so the
-    (B, T, U+1, V) logit lattice — the memory wall of RNN-T training —
-    is never materialized. Each step computes the (B, U+1, V) diagonal
-    logits from the already-projected encoder/prediction activations
-    (``enc_j = enc @ W_enc``, ``pred_j = pred @ W_pred``), takes the
-    blank/label log-probs, and folds them straight into the alpha
-    recursion. ``jax.checkpoint`` on the step body makes the backward
-    pass recompute the diagonal joint instead of storing it: residual
-    memory is O(B·(T+U)·(U+1)) scalars — no V or J factor.
+    INSIDE the wavefront scan, so the (B, T, U+1, V) logit lattice —
+    the memory wall of RNN-T training — is never materialized. The scan
+    is BLOCKED: each step evaluates the joint for ``block_size``
+    consecutive anti-diagonals in one batched matmul + log-softmax
+    (MXU-sized: (B·W·(U+1), J) @ (J, V) rows instead of W skinny
+    calls), then folds them into the alpha recursion with ``block_size``
+    unrolled (cheap, VPU-wide) logaddexp updates. ``jax.checkpoint`` on
+    the block step makes the backward pass recompute the block's joint
+    instead of storing it: residual memory is O(B·(T+U)·(U+1)) scalars
+    — no V or J factor.
 
     Compute overhead vs the materialized lattice is (T+U)/T forward
     (clipped diagonals are rectangular) plus one recompute in backward;
@@ -160,6 +162,9 @@ def transducer_loss_fused(enc_j: jax.Array,
       joint_b: (J,) joint bias. out_w/out_b: (J, V)/(V,) output proj.
       logit_lengths, labels, label_lengths, blank_id,
         average_across_batch: as in :func:`transducer_loss`.
+      block_size: anti-diagonals per scan step (static; trailing
+        partial blocks compute garbage alphas that are sliced off
+        before use).
     """
     B, T, J = enc_j.shape
     U1 = pred_j.shape[1]
@@ -181,36 +186,48 @@ def transducer_loss_fused(enc_j: jax.Array,
     # emitting a label from position u requires u < label_len (and u < U)
     label_ok = u_idx[None, :] < jnp.minimum(label_lengths, U)[:, None]
 
-    def diag_logprobs(d):
-        """Blank/label log-probs for every lattice cell on diagonal d
-        (cells (t=d-u, u)); off-lattice cells → -inf."""
-        t_of = d - u_idx                                         # (U1,)
+    W = max(1, int(block_size))
+
+    def block_logprobs(d0):
+        """Blank/label log-probs for every lattice cell on the W source
+        diagonals d0 .. d0+W-1 (cells (t=d-u, u)); off-lattice cells
+        (incl. whole padded diagonals past D-1) → -inf."""
+        t_of = (d0 + jnp.arange(W))[:, None] - u_idx[None, :]    # (W,U1)
         on_lat = (t_of >= 0) & (t_of <= T - 1)
-        enc_d = enc_j[:, jnp.clip(t_of, 0, T - 1), :]            # (B,U1,J)
-        h = jnp.tanh(enc_d + pred_j + joint_b)
-        logits = (h @ out_w + out_b).astype(jnp.float32)         # (B,U1,V)
+        enc_d = enc_j[:, jnp.clip(t_of, 0, T - 1), :]          # (B,W,U1,J)
+        h = jnp.tanh(enc_d + pred_j[:, None] + joint_b)
+        logits = (h @ out_w + out_b).astype(jnp.float32)       # (B,W,U1,V)
         lp = jax.nn.log_softmax(logits, axis=-1)
         blank_d = lp[..., blank_id]
-        label_d = jnp.take_along_axis(lp, lab_u1[:, :, None],
-                                      axis=2)[..., 0]
+        label_d = jnp.take_along_axis(
+            lp, jnp.broadcast_to(lab_u1[:, None, :, None],
+                                 (B, W, U1, 1)), axis=3)[..., 0]
         blank_d = jnp.where(on_lat[None], blank_d, _NEG_INF)
-        label_d = jnp.where(on_lat[None] & label_ok, label_d, _NEG_INF)
-        return blank_d, label_d                                  # (B,U1)
+        label_d = jnp.where(on_lat[None] & label_ok[:, None],
+                            label_d, _NEG_INF)
+        return blank_d, label_d                                # (B,W,U1)
 
     a0 = jnp.full((B, U1), _NEG_INF).at[:, 0].set(0.0)
 
     @jax.checkpoint
-    def step(a, d):
-        bd, ld = diag_logprobs(d - 1)                            # diag d-1
-        blank_term = a + bd
-        label_term = a + ld
-        shifted = jnp.concatenate(
-            [jnp.full((B, 1), _NEG_INF), label_term[:, :-1]], axis=1)
-        new = _logaddexp(blank_term, shifted)
-        return new, new
+    def block_step(a, d_first):
+        bd, ld = block_logprobs(d_first - 1)     # diags d_first-1 + [0,W)
+        outs = []
+        for w in range(W):
+            blank_term = a + bd[:, w]
+            label_term = a + ld[:, w]
+            shifted = jnp.concatenate(
+                [jnp.full((B, 1), _NEG_INF), label_term[:, :-1]], axis=1)
+            a = _logaddexp(blank_term, shifted)
+            outs.append(a)
+        return a, jnp.stack(outs, 0)                           # (W,B,U1)
 
     D = T + U
-    _, hist = jax.lax.scan(step, a0, jnp.arange(1, D))
+    nsteps = -(-(D - 1) // W)                                  # ceil
+    xs = 1 + W * jnp.arange(nsteps)
+    _, hist = jax.lax.scan(block_step, a0, xs)                 # (n,W,B,U1)
+    # trailing padded diagonals (>= D) produced -inf garbage: slice off
+    hist = hist.reshape(nsteps * W, B, U1)[:D - 1]
     alpha = jnp.concatenate([a0[None], hist], axis=0)            # (D,B,U1)
 
     b_idx = jnp.arange(B)

@@ -98,10 +98,13 @@ def test_loss_gradient_finite_difference():
         np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=2e-4)
 
 
-def test_fused_loss_matches_unfused():
-    """The diagonal-fused loss (joint evaluated inside the wavefront
-    scan, no materialized lattice) must match the dense-lattice loss in
-    value AND gradients (it is the same math, reassociated)."""
+@pytest.mark.parametrize("block_size", [1, 3, 8, 16])
+def test_fused_loss_matches_unfused(block_size):
+    """The diagonal-fused loss (joint evaluated inside the blocked
+    wavefront scan, no materialized lattice) must match the
+    dense-lattice loss in value AND gradients (same math, reassociated)
+    — for block sizes that divide D-1, leave a partial trailing block,
+    and exceed D entirely (D = T+U = 10 here)."""
     rng = np.random.RandomState(4)
     B, T, U, J, V = 3, 6, 4, 5, 7
     enc_j = rng.randn(B, T, J).astype(np.float32)
@@ -124,7 +127,8 @@ def test_fused_loss_matches_unfused():
     def fused(enc_j, pred_j, joint_b, out_w, out_b):
         from openseq2seq_tpu.ops.transducer import transducer_loss_fused
         return transducer_loss_fused(enc_j, pred_j, joint_b, out_w,
-                                     out_b, *args)
+                                     out_b, *args,
+                                     block_size=block_size)
 
     inputs = tuple(jnp.asarray(a) for a in
                    (enc_j, pred_j, joint_b, out_w, out_b))
