@@ -92,7 +92,10 @@ class FrameASR:
         feats, _ = get_speech_features(signal, self.sr, dl_params)
         return feats
 
-    def _infer_logits(self, signal: np.ndarray) -> np.ndarray:
+    def _run_model(self, signal: np.ndarray, extra=None):
+        """Taper + featurize ``signal``, run the jitted forward; returns
+        the decoder-output dict. ``extra`` merges additional keys into
+        the batch (streaming decoders thread state through here)."""
         # taper the buffer edges (50 ms ramps): hard truncation of audio
         # mid-phoneme creates spectral splatter the acoustic model never
         # saw in training
@@ -112,10 +115,15 @@ class FrameASR:
                                                   np.int32)],
                  "source_ids": np.zeros((1,), np.int32),
                  "batch_valid": np.int32(1)}
+        if extra:
+            batch.update(extra)
         out = self._forward(self.state, batch)
-        logits = np.asarray(out["outputs"]["decoder_output"]["logits"])[0]
-        n = int(np.asarray(
-            out["outputs"]["decoder_output"]["src_length"])[0])
+        return out["outputs"]["decoder_output"]
+
+    def _infer_logits(self, signal: np.ndarray) -> np.ndarray:
+        dec_out = self._run_model(signal)
+        logits = np.asarray(dec_out["logits"])[0]
+        n = int(np.asarray(dec_out["src_length"])[0])
         return logits[:n]
 
     # ------------------------------------------------------------------
@@ -170,6 +178,61 @@ class FrameASR:
         if self._beam_decoder is None:
             return []
         return self._beam_decoder.get_word_timestamps()
+
+
+class TransducerFrameASR(FrameASR):
+    """Streaming RNN-T decoding over the same ring buffer as
+    :class:`FrameASR`.
+
+    The transducer is natively streaming: the prediction-net state
+    (LSTM carry + projected activation) is threaded across chunks via
+    the decoder module's ``decode_carry``/``decode_window`` hooks
+    (`decoders/transducer_decoder.py`), and each encoder frame of the
+    central region is consumed exactly once — so there is no CTC-style
+    merge/dedup step and no duplicate emissions at window boundaries.
+    The encoder still sees the full overlap context on both sides.
+
+    ``timestep_duration`` must include the encoder time stride (e.g.
+    10 ms hop x 4 Conformer subsampling = 0.04)."""
+
+    def __init__(self, model: Speech2Text, checkpoint: Optional[str] = None,
+                 **kwargs):
+        for k in ("merge", "beam_width", "language_model", "alpha",
+                  "beta", "offset"):
+            kwargs.pop(k, None)
+        super().__init__(model, checkpoint, merge=False, beam_width=1,
+                         **kwargs)
+
+    def reset(self):
+        super().reset()
+        self._carry = None
+
+    def transcribe(self, frame: np.ndarray) -> str:
+        """Feed ``frame_len`` seconds of audio; returns the text newly
+        emitted for the central region of the buffer."""
+        if len(frame) != self.n_frame_len:
+            raise ValueError("frame must be exactly frame_len seconds")
+        self.buffer[:-self.n_frame_len] = self.buffer[self.n_frame_len:]
+        self.buffer[-self.n_frame_len:] = frame
+        central_audio = self.buffer[self.n_frame_overlap:
+                                    self.n_frame_overlap +
+                                    self.n_frame_len]
+        if np.sqrt(np.mean(central_audio ** 2)) < self.silence_threshold:
+            return ""
+        lo = np.asarray([self.n_timesteps_overlap], np.int32)
+        hi = lo + np.int32(self.n_timesteps_frame)
+        extra = {"decode_window": (lo, hi)}
+        if self._carry is not None:
+            extra["decode_carry"] = self._carry
+        dec_out = self._run_model(self.buffer, extra=extra)
+        self._carry = jax.tree_util.tree_map(np.asarray,
+                                             dec_out["decode_carry"])
+        ids, n = dec_out["outputs"]
+        ids = np.asarray(ids)[0]
+        n = int(np.asarray(n)[0])
+        new_text = "".join(self.vocab[int(i)] for i in ids[:n])
+        self.text += new_text
+        return new_text
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:

@@ -172,9 +172,32 @@ class TransducerDecoderModule(nn.Module):
             B, T, _ = enc.shape
             Lmax = self.max_output_length or T
             enc_j = enc.astype(dt) @ joint_enc_w                # (B,T,J)
-            states, h = pred_step(init_states(B),
-                                  jnp.full((B,), blank, jnp.int32))
-            pred_j = h @ joint_pred_w                           # (B,J)
+            # streaming support: a caller may hand in the prediction-net
+            # carry from a previous chunk ("decode_carry") and restrict
+            # which encoder frames this call consumes ("decode_window",
+            # a (lo, hi) pair of (B,) frame indices). Tokens for the
+            # window are emitted exactly once and the final carry is
+            # returned, so consecutive chunked calls compose to the
+            # full-utterance greedy decode (apps/frame_asr.py:
+            # TransducerFrameASR).
+            carry_in = input_dict.get("decode_carry")
+            if carry_in is not None:
+                states, pred_j = carry_in
+                states = jax.tree_util.tree_map(
+                    lambda x: x.astype(dt), states)
+                pred_j = pred_j.astype(dt)
+            else:
+                states, h = pred_step(init_states(B),
+                                      jnp.full((B,), blank, jnp.int32))
+                pred_j = h @ joint_pred_w                       # (B,J)
+            window = input_dict.get("decode_window")
+            if window is not None:
+                t_lo = jnp.asarray(window[0], jnp.int32)
+                t_hi = jnp.minimum(jnp.asarray(window[1], jnp.int32),
+                                   enc_len)
+            else:
+                t_lo = jnp.zeros_like(enc_len)
+                t_hi = enc_len
             out_ids = jnp.full((B, Lmax), -1, jnp.int32)
             out_len = jnp.zeros((B,), jnp.int32)
             slot = jnp.arange(Lmax)[None, :]
@@ -182,7 +205,7 @@ class TransducerDecoderModule(nn.Module):
             def frame(carry, xt):
                 states, pred_j, out_ids, out_len = carry
                 enc_jt, t = xt
-                active = t < enc_len                            # (B,)
+                active = (t >= t_lo) & (t < t_hi)               # (B,)
                 for _ in range(self.max_symbols_per_frame):
                     logits = joint_logits(enc_jt, pred_j)       # (B,V)
                     k = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -200,9 +223,10 @@ class TransducerDecoderModule(nn.Module):
                 return (states, pred_j, out_ids, out_len), None
 
             xs = (jnp.moveaxis(enc_j, 1, 0), jnp.arange(T))
-            (_, _, out_ids, out_len), _ = jax.lax.scan(
+            (states, pred_j, out_ids, out_len), _ = jax.lax.scan(
                 frame, (states, pred_j, out_ids, out_len), xs)
             out["outputs"] = [out_ids, out_len]
+            out["decode_carry"] = (states, pred_j)
         return out
 
     def _beam_decode(self, enc, enc_len, init_states, pred_step,

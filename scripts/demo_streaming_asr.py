@@ -9,6 +9,11 @@ transcript).
       --checkpoint=/tmp/os2s_toy_logs/checkpoints/150 \
       --wav=/tmp/os2s_toy_speech/toy_0.wav \
       [--beam_width=32 --lm=lm.arpa --alpha=1.0 --beta=0.5]
+
+Transducer (RNN-T) models stream natively (carried prediction-net
+state, no CTC merge): pass --transducer and a transducer config, and
+remember --timestep_duration must include the encoder time stride
+(Conformer: 0.01 hop x 4 subsampling = 0.04).
 """
 from __future__ import annotations
 
@@ -36,21 +41,31 @@ def main(argv=None):
     parser.add_argument("--lm", default=None)
     parser.add_argument("--alpha", type=float, default=2.0)
     parser.add_argument("--beta", type=float, default=0.5)
+    parser.add_argument("--transducer", action="store_true",
+                        help="stream via TransducerFrameASR (RNN-T "
+                             "config required)")
     args = parser.parse_args(argv)
 
     from scipy.io import wavfile
-    from openseq2seq_tpu.apps.frame_asr import FrameASR
+    from openseq2seq_tpu.apps.frame_asr import (FrameASR,
+                                                TransducerFrameASR)
 
     _, base_config, base_model, _ = get_base_config(
         ["--config_file", args.config_file])
     model = base_model(params=base_config, mode="interactive_infer")
-    asr = FrameASR(model, checkpoint=args.checkpoint,
-                   frame_len=args.frame_len,
-                   frame_overlap=args.frame_overlap,
-                   timestep_duration=args.timestep_duration,
-                   beam_width=args.beam_width,
-                   language_model=args.lm,
-                   alpha=args.alpha, beta=args.beta)
+    if args.transducer:
+        asr = TransducerFrameASR(model, checkpoint=args.checkpoint,
+                                 frame_len=args.frame_len,
+                                 frame_overlap=args.frame_overlap,
+                                 timestep_duration=args.timestep_duration)
+    else:
+        asr = FrameASR(model, checkpoint=args.checkpoint,
+                       frame_len=args.frame_len,
+                       frame_overlap=args.frame_overlap,
+                       timestep_duration=args.timestep_duration,
+                       beam_width=args.beam_width,
+                       language_model=args.lm,
+                       alpha=args.alpha, beta=args.beta)
 
     sr, signal = wavfile.read(args.wav)
     if signal.dtype.kind == "i":

@@ -247,6 +247,43 @@ def test_greedy_decode_matches_oracle():
     assert got_lens[2] <= 3  # one active frame -> at most msf symbols
 
 
+def test_greedy_decode_chunked_carry_matches_full():
+    """Streaming contract: greedy decode over two chunks with the
+    prediction-net carry + decode_window threaded through must emit
+    exactly the full-utterance greedy token sequence (the cap must not
+    bind: max_output_length is per call)."""
+    rng = np.random.RandomState(5)
+    B, T, D, V = 2, 12, 10, 6
+    module = TransducerDecoderModule(
+        tgt_vocab_size=V, pred_embed_size=8, pred_units=8, pred_layers=2,
+        joint_dim=8, max_symbols_per_frame=3, max_output_length=3 * T,
+        dropout=0.0, fused_loss=False, beam_width=1, dtype_=jnp.float32,
+        mode="infer")
+    enc = rng.randn(B, T, D).astype(np.float32)
+    enc_len = np.array([12, 7], np.int32)   # chunk 2 partly past enc_len
+    base = {"encoder_output": {"outputs": jnp.asarray(enc),
+                               "src_length": jnp.asarray(enc_len)}}
+    variables = module.init(jax.random.PRNGKey(0), base, False)
+    apply = jax.jit(lambda v, d: module.apply(v, d, False))
+    full = apply(variables, base)
+    fids, flens = (np.asarray(full["outputs"][0]),
+                   np.asarray(full["outputs"][1]))
+    d1 = dict(base, decode_window=(jnp.zeros(B, jnp.int32),
+                                   jnp.full((B,), 6, jnp.int32)))
+    o1 = apply(variables, d1)
+    d2 = dict(base, decode_window=(jnp.full((B,), 6, jnp.int32),
+                                   jnp.full((B,), T, jnp.int32)),
+              decode_carry=o1["decode_carry"])
+    o2 = apply(variables, d2)
+    for b in range(B):
+        n1 = int(np.asarray(o1["outputs"][1])[b])
+        n2 = int(np.asarray(o2["outputs"][1])[b])
+        cat = np.concatenate([np.asarray(o1["outputs"][0])[b][:n1],
+                              np.asarray(o2["outputs"][0])[b][:n2]])
+        assert n1 + n2 == flens[b]
+        np.testing.assert_array_equal(cat, fids[b][:flens[b]])
+
+
 # ----------------------------------------------------------------------
 def _np_beam_exhaustive_oracle(params, enc, enc_len, blank, msf, Lmax,
                                layers):
@@ -383,3 +420,86 @@ def test_convergence_transducer(toy_speech_data):
     eval_model = _build(toy_speech_data, "eval", num_epochs=150)
     metrics = trainer.evaluate_with_state(eval_model, result["state"])
     assert metrics["Eval WER"] < 0.1, metrics
+
+
+# ----------------------------------------------------------------------
+# streaming (TransducerFrameASR): trained toy model, chunked audio
+# ----------------------------------------------------------------------
+def _toy_corpus_feature_stats(data_dir, base_params):
+    """Fixed per-feature normalization over the toy corpus (streaming-
+    correct: per-utterance stats don't exist in a stream; same recipe as
+    the CTC streaming test, tests/test_asr_inference_stack.py)."""
+    from openseq2seq_tpu.ops.features import get_speech_features_from_file
+    import os
+    params = dict(base_params["data_layer_params"])
+    params["features_mean"] = 0.0
+    params["features_std_dev"] = 1.0
+    feats = []
+    for i in range(10):
+        path = os.path.join(data_dir, "toy_{}.wav".format(i))
+        f, _ = get_speech_features_from_file(path, params)
+        feats.append(f)
+    allf = np.concatenate(feats, axis=0)
+    return allf.mean(axis=0), allf.std(axis=0) + 1e-6
+
+
+@pytest.fixture(scope="module")
+def trained_toy_transducer(tmp_path_factory):
+    import os
+    from openseq2seq_tpu.test_utils import toy_speech
+    from openseq2seq_tpu.test_utils.test_speech_configs import (
+        transducer_test_config)
+    out = tmp_path_factory.mktemp("rnnt_stream")
+    csv, vocab = toy_speech.generate(str(out / "data"))
+    logdir = str(out / "logs")
+    base_params, _ = transducer_test_config(csv, vocab, logdir=logdir,
+                                            num_epochs=150)
+    mean, std = _toy_corpus_feature_stats(str(out / "data"), base_params)
+    base_params["data_layer_params"]["features_mean"] = mean
+    base_params["data_layer_params"]["features_std_dev"] = std
+    base_params["save_checkpoint_steps"] = 150
+    model = Speech2Text(params=base_params, mode="train")
+    trainer.train(model)
+    ckpt = os.path.join(logdir, "checkpoints", "150")
+    assert os.path.isdir(ckpt)
+    return {"csv": csv, "vocab": vocab, "ckpt": ckpt, "dir": str(out),
+            "mean": mean, "std": std}
+
+
+@pytest.mark.slow
+def test_transducer_frame_asr_streaming(trained_toy_transducer):
+    """Chunked live decoding through TransducerFrameASR: the carried
+    prediction-net state + decode_window consume each encoder frame
+    exactly once, so the streamed transcript must recover the reference
+    text without CTC-style merge heuristics."""
+    import os
+    from scipy.io import wavfile
+    from openseq2seq_tpu.apps.frame_asr import TransducerFrameASR
+    from openseq2seq_tpu.test_utils.test_speech_configs import (
+        transducer_test_config)
+    from openseq2seq_tpu.utils.metrics import levenshtein
+
+    toy = trained_toy_transducer
+    base_params, _ = transducer_test_config(toy["csv"], toy["vocab"],
+                                            num_epochs=150)
+    base_params["data_layer_params"]["features_mean"] = toy["mean"]
+    base_params["data_layer_params"]["features_std_dev"] = toy["std"]
+    model = Speech2Text(params=base_params, mode="interactive_infer")
+    # 10 ms hop x 4 Conformer subsampling = 0.04 s per encoder frame
+    asr = TransducerFrameASR(model, checkpoint=toy["ckpt"],
+                             frame_len=0.2, frame_overlap=0.4,
+                             timestep_duration=0.04)
+    sr, signal = wavfile.read(
+        os.path.join(toy["dir"], "data", "toy_0.wav"))
+    signal = signal.astype(np.float32) / 32767.0
+    n = asr.n_frame_len
+    pad = (-len(signal)) % n
+    rng = np.random.RandomState(7)
+    signal = np.concatenate(
+        [signal, (rng.randn(pad) * 1e-3).astype(np.float32)])
+    text = ""
+    for i in range(0, len(signal), n):
+        text += asr.transcribe(signal[i:i + n])
+    text += asr.flush()
+    # toy_0 transcript is "abc bca" (boundary effects may perturb edges)
+    assert levenshtein(list("abc bca"), list(text.strip())) <= 3, text
