@@ -64,7 +64,12 @@ base_params = {
         "fused_loss": False,  # --decoder_params/fused_loss True
     },
     "loss": TransducerLoss,
-    "loss_params": {},
+    "loss_params": {
+        # FastEmit (arXiv:2010.11148): emission-gradient scale
+        # pushing labels to emit earlier — the latency lever for
+        # streaming serving. 0.0 disables (offline-optimal).
+        "fastemit_lambda": 0.0,
+    },
 
     "data_layer": Speech2TextDataLayer,
     "data_layer_params": {

@@ -16,7 +16,11 @@ class TransducerLoss(Loss):
     def get_optional_params():
         return dict(Loss.get_optional_params(), **{
             "fused_block_size": int,   # anti-diagonals per fused-loss
-        })                             # scan step (default 8)
+                                       # scan step (default 8)
+            "fastemit_lambda": float,  # FastEmit (arXiv:2010.11148)
+                                       # emission-gradient scale for
+                                       # low-latency streaming; 0 = off
+        })
 
     def compute_loss(self, input_dict):
         """input_dict:
@@ -31,12 +35,15 @@ class TransducerLoss(Loss):
         logit_lengths = dec["src_length"]
         labels, label_lengths = input_dict["target_tensors"]
         fused = dec.get("joint_fused")
+        lam = float(self._params.get("fastemit_lambda", 0.0))
         if fused is not None:
             return transducer_loss_fused(
                 fused["enc_j"], fused["pred_j"], fused["joint_b"],
                 fused["out_w"], fused["out_b"], logit_lengths, labels,
                 label_lengths, blank_id=-1, average_across_batch=True,
-                block_size=self._params.get("fused_block_size", 8))
+                block_size=self._params.get("fused_block_size", 8),
+                fastemit_lambda=lam)
         return transducer_loss(dec["logits"], logit_lengths, labels,
                                label_lengths, blank_id=-1,
-                               average_across_batch=True)
+                               average_across_batch=True,
+                               fastemit_lambda=lam)

@@ -37,12 +37,37 @@ from .ctc import _logaddexp
 _NEG_INF = -1e30
 
 
+def _fastemit_scale(label_lp: jax.Array, lam: float) -> jax.Array:
+    """FastEmit emission-gradient scaling (Yu et al. 2021,
+    arXiv:2010.11148): identity on the forward value, but the cotangent
+    flowing back into the label (emit) log-probs is scaled by (1 + lam).
+    Blank-transition gradients are untouched, so training is pushed
+    toward emitting labels earlier — the sequence-level latency
+    regularizer for streaming transducers. lam == 0 is a no-op."""
+    if lam == 0.0:
+        return label_lp
+
+    @jax.custom_vjp
+    def scale(x):
+        return x
+
+    def fwd(x):
+        return x, None
+
+    def bwd(_, g):
+        return (g * (1.0 + lam),)
+
+    scale.defvjp(fwd, bwd)
+    return scale(label_lp)
+
+
 def transducer_loss(logits: jax.Array,
                     logit_lengths: jax.Array,
                     labels: jax.Array,
                     label_lengths: jax.Array,
                     blank_id: int = -1,
-                    average_across_batch: bool = True) -> jax.Array:
+                    average_across_batch: bool = True,
+                    fastemit_lambda: float = 0.0) -> jax.Array:
     """Transducer negative log likelihood.
 
     Args:
@@ -77,6 +102,7 @@ def transducer_loss(logits: jax.Array,
     label_lp = jnp.where(
         u_idx[None, None, :] < label_lengths[:, None, None],
         label_lp, _NEG_INF)
+    label_lp = _fastemit_scale(label_lp, fastemit_lambda)
 
     # --- re-index into diagonal coordinates: diag[d, u] = M[d - u, u] ---
     D = T + U                                    # diagonals 0 .. T-1+U
@@ -135,7 +161,8 @@ def transducer_loss_fused(enc_j: jax.Array,
                           label_lengths: jax.Array,
                           blank_id: int = -1,
                           average_across_batch: bool = True,
-                          block_size: int = 8) -> jax.Array:
+                          block_size: int = 8,
+                          fastemit_lambda: float = 0.0) -> jax.Array:
     """Memory-efficient transducer loss: the joint network is evaluated
     INSIDE the wavefront scan, so the (B, T, U+1, V) logit lattice —
     the memory wall of RNN-T training — is never materialized. The scan
@@ -205,6 +232,7 @@ def transducer_loss_fused(enc_j: jax.Array,
         blank_d = jnp.where(on_lat[None], blank_d, _NEG_INF)
         label_d = jnp.where(on_lat[None] & label_ok[:, None],
                             label_d, _NEG_INF)
+        label_d = _fastemit_scale(label_d, fastemit_lambda)
         return blank_d, label_d                                # (B,W,U1)
 
     a0 = jnp.full((B, U1), _NEG_INF).at[:, 0].set(0.0)

@@ -503,3 +503,111 @@ def test_transducer_frame_asr_streaming(trained_toy_transducer):
     text += asr.flush()
     # toy_0 transcript is "abc bca" (boundary effects may perturb edges)
     assert levenshtein(list("abc bca"), list(text.strip())) <= 3, text
+
+
+# ------------------------------------------------------------- FastEmit
+
+def _replica_loss(logits, logit_lens, labels, label_lens, blank,
+                  sg_blank):
+    """Plain-JAX lattice replica (Python loops, tiny shapes only).
+    With sg_blank=True every blank log-prob (incl. the final one) is
+    stop-gradient'd, so its gradient is exactly the emission-only part
+    of the loss gradient — the piece FastEmit scales by lambda."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    B = logits.shape[0]
+    out = []
+    for b in range(B):
+        Tb, Ub = int(logit_lens[b]), int(label_lens[b])
+        alpha = {(0, 0): 0.0}
+        for t in range(Tb):
+            for u in range(Ub + 1):
+                if t == 0 and u == 0:
+                    continue
+                terms = []
+                if t > 0:
+                    blk = lp[b, t - 1, u, blank]
+                    if sg_blank:
+                        blk = jax.lax.stop_gradient(blk)
+                    terms.append(alpha[(t - 1, u)] + blk)
+                if u > 0:
+                    terms.append(alpha[(t, u - 1)] +
+                                 lp[b, t, u - 1, labels[b, u - 1]])
+                alpha[(t, u)] = (terms[0] if len(terms) == 1
+                                 else jnp.logaddexp(terms[0], terms[1]))
+        fb = lp[b, Tb - 1, Ub, blank]
+        if sg_blank:
+            fb = jax.lax.stop_gradient(fb)
+        out.append(-(alpha[(Tb - 1, Ub)] + fb))
+    return jnp.stack(out).mean()
+
+
+def test_fastemit_value_unchanged_grads_match_surrogate():
+    """FastEmit scales the emission-gradient cotangent by (1 + lam) and
+    leaves the loss VALUE untouched; its gradient therefore equals
+    grad(F) + lam * grad(F with blanks stop-gradient'd) — checked
+    against the loop replica (arXiv:2010.11148 eq. 10 semantics)."""
+    rng = np.random.RandomState(11)
+    B, T, U, V = 2, 4, 3, 5
+    lam = 0.7
+    logits = jnp.asarray(rng.randn(B, T, U + 1, V).astype(np.float32))
+    labels = np.asarray(rng.randint(0, V - 1, (B, U)), np.int32)
+    logit_lens = np.array([4, 3], np.int32)
+    label_lens = np.array([3, 2], np.int32)
+    args = (jnp.asarray(logit_lens), jnp.asarray(labels),
+            jnp.asarray(label_lens))
+
+    def f(x, lam_):
+        return transducer_loss(x, *args, fastemit_lambda=lam_)
+
+    v0, g0 = jax.value_and_grad(f)(logits, 0.0)
+    v1, g1 = jax.value_and_grad(f)(logits, lam)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+
+    blank = V - 1
+    g_full = jax.grad(_replica_loss)(logits, logit_lens, labels,
+                                     label_lens, blank, False)
+    g_emit = jax.grad(_replica_loss)(logits, logit_lens, labels,
+                                     label_lens, blank, True)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g_full) + lam * np.asarray(g_emit),
+        rtol=1e-4, atol=1e-6)
+
+
+def test_fastemit_fused_matches_unfused():
+    """The diagonal-fused loss applies the same emission-gradient scale
+    inside its checkpointed block step."""
+    rng = np.random.RandomState(12)
+    B, T, U, J, V = 2, 5, 3, 4, 6
+    lam = 0.3
+    enc_j = rng.randn(B, T, J).astype(np.float32)
+    pred_j = rng.randn(B, U + 1, J).astype(np.float32)
+    joint_b = rng.randn(J).astype(np.float32) * 0.1
+    out_w = rng.randn(J, V).astype(np.float32)
+    out_b = rng.randn(V).astype(np.float32) * 0.1
+    labels = rng.randint(0, V - 1, (B, U)).astype(np.int32)
+    args = (jnp.asarray(np.array([5, 3], np.int32)),
+            jnp.asarray(labels),
+            jnp.asarray(np.array([3, 2], np.int32)))
+
+    def dense(enc_j, pred_j, joint_b, out_w, out_b):
+        h = jnp.tanh(enc_j[:, :, None, :] + pred_j[:, None, :, :] +
+                     joint_b)
+        return transducer_loss(h @ out_w + out_b, *args,
+                               fastemit_lambda=lam)
+
+    def fused(enc_j, pred_j, joint_b, out_w, out_b):
+        from openseq2seq_tpu.ops.transducer import transducer_loss_fused
+        return transducer_loss_fused(enc_j, pred_j, joint_b, out_w,
+                                     out_b, *args, block_size=4,
+                                     fastemit_lambda=lam)
+
+    inputs = tuple(jnp.asarray(a) for a in
+                   (enc_j, pred_j, joint_b, out_w, out_b))
+    v_d, g_d = jax.value_and_grad(dense, argnums=(0, 1, 3))(*inputs)
+    v_f, g_f = jax.value_and_grad(fused, argnums=(0, 1, 3))(*inputs)
+    np.testing.assert_allclose(float(v_f), float(v_d), rtol=1e-5)
+    for gf, gd in zip(g_f, g_d):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                                   rtol=1e-4, atol=1e-5)
