@@ -55,6 +55,12 @@ class TransducerDecoderModule(nn.Module):
     beam_width: int              # 1 -> greedy; >1 -> frame-sync beam
     dtype_: Any
     mode: str
+    # shallow fusion (beam only): static spec tuple
+    # (arpa_path, labels_tuple, weight, beta, order) or None. The ARPA
+    # LM is densified once into an on-device table
+    # (`ops/ngram_fusion.py`) — each hypothesis's LM state is one int32
+    # rolling context index, advanced in lockstep with the beam.
+    lm_fusion: Any = None
 
     @nn.compact
     def __call__(self, input_dict: Dict[str, Any], train: bool):
@@ -262,6 +268,20 @@ class TransducerDecoderModule(nn.Module):
         dt = self.dtype_
         NEG = jnp.float32(-1e30)
 
+        fusion = None
+        if self.lm_fusion is not None:
+            from ..ops.ngram_fusion import dense_label_lm
+            arpa, labels_t, w_lm, lm_beta, lm_order = self.lm_fusion
+            tab_np, C, m, ctx0 = dense_label_lm(arpa, labels_t, lm_order)
+            assert len(labels_t) == V - 1, \
+                "fusion LM labels must be the V-1 non-blank outputs"
+            # pad a zero blank column so the table broadcasts over the
+            # (B, K, V) candidate matrix; blank expansions pay no LM
+            tab = jnp.pad(jnp.asarray(tab_np) * w_lm, ((0, 0), (0, 1)))
+            bonus = jnp.where(jnp.arange(V) == blank, 0.0,
+                              jnp.float32(lm_beta))
+            fusion = (tab + bonus, C, m, ctx0)
+
         enc_j = enc.astype(dt) @ joint_enc_w                    # (B,T,J)
         states0, h = pred_step(
             init_states(B * K), jnp.full((B * K,), blank, jnp.int32))
@@ -280,7 +300,7 @@ class TransducerDecoderModule(nn.Module):
             return jnp.take_along_axis(x, idx, axis=1)
 
         def frame(carry, xt):
-            states, pred_j, scores, out_ids, out_len = carry
+            states, pred_j, scores, out_ids, out_len, lm_ctx = carry
             enc_jt, t = xt                                      # (B,J)
             active = t < enc_len                                # (B,)
             # inactive frames (past this utterance's length) carry the
@@ -290,6 +310,11 @@ class TransducerDecoderModule(nn.Module):
                 logits = joint_logits(enc_jt[:, None, :], pred_j)
                 logp = jax.nn.log_softmax(logits, axis=-1)      # (B,K,V)
                 cand = scores[:, :, None] + logp
+                if fusion is not None:
+                    # weighted LM log-probs (+ label bonus) for every
+                    # label expansion; the blank column is zero and is
+                    # overwritten by the stay-put expression below
+                    cand = cand + fusion[0][lm_ctx]
                 # stay-put candidate in the blank slot: done lanes carry
                 # their score (this frame's blank already paid)
                 cand = jnp.where(
@@ -309,6 +334,12 @@ class TransducerDecoderModule(nn.Module):
                 out_len = gather_k(out_len, parent)
                 pred_j = gather_k(pred_j, parent)
                 done = gather_k(done, parent)
+                lm_ctx = gather_k(lm_ctx, parent)
+                if fusion is not None:
+                    _, C, m, _ = fusion
+                    lm_ctx = jnp.where(
+                        is_label,
+                        lm_ctx // C + tok * (C ** (m - 1)), lm_ctx)
                 flat_parent = (parent +
                                jnp.arange(B)[:, None] * K).reshape(-1)
                 states = jax.tree_util.tree_map(
@@ -327,11 +358,14 @@ class TransducerDecoderModule(nn.Module):
                     is_label[:, :, None],
                     (h @ joint_pred_w).reshape(B, K, J), pred_j)
                 done = ~is_label
-            return (states, pred_j, scores, out_ids, out_len), None
+            return (states, pred_j, scores, out_ids, out_len,
+                    lm_ctx), None
 
+        lm_ctx0 = jnp.full((B, K), fusion[3] if fusion is not None
+                           else 0, jnp.int32)
         xs = (jnp.moveaxis(enc_j, 1, 0), jnp.arange(T))
-        (_, _, scores, out_ids, out_len), _ = jax.lax.scan(
-            frame, (states0, pred_j0, scores0, ids0, len0), xs)
+        (_, _, scores, out_ids, out_len, _), _ = jax.lax.scan(
+            frame, (states0, pred_j0, scores0, ids0, len0, lm_ctx0), xs)
         best = jnp.argmax(scores, axis=1)                       # (B,)
         b_idx = jnp.arange(B)
         return [out_ids[b_idx, best], out_len[b_idx, best]]
@@ -359,12 +393,33 @@ class TransducerDecoder(Decoder):
             "fused_loss": bool,           # diagonal-fused loss: no
                                           # (B,T,U+1,V) lattice in HBM
             "beam_width": int,            # >1: frame-sync beam decode
+            # --- shallow fusion (beam decode only) -------------------
+            "lm_fusion_arpa": str,        # label-level ARPA/binary LM;
+                                          # densified on-device
+                                          # (ops/ngram_fusion.py)
+            "lm_fusion_weight": float,    # lambda on LM log-probs (0.5)
+            "lm_fusion_beta": float,      # per-label insertion bonus
+            "lm_fusion_order": int,       # densification order cap (3)
+            "alphabet_config_path": str,  # id-ordered label chars (same
+                                          # file the data layer uses)
         })
 
     def make_module(self):
         p = self._params
         dtype = jnp.float32 if self._model is None \
             else self._model.mp_policy.compute_dtype
+        lm_fusion = None
+        if p.get("lm_fusion_arpa"):
+            from ..data.speech2text.speech2text import (
+                load_pre_existing_vocabulary)
+            vocab = load_pre_existing_vocabulary(
+                p["alphabet_config_path"], read_chars=True)
+            labels = tuple(c for c, _ in
+                           sorted(vocab.items(), key=lambda kv: kv[1]))
+            lm_fusion = (p["lm_fusion_arpa"], labels,
+                         float(p.get("lm_fusion_weight", 0.5)),
+                         float(p.get("lm_fusion_beta", 0.0)),
+                         int(p.get("lm_fusion_order", 3)))
         return TransducerDecoderModule(
             tgt_vocab_size=p["tgt_vocab_size"],
             pred_embed_size=p.get("pred_embed_size", 320),
@@ -378,4 +433,5 @@ class TransducerDecoder(Decoder):
             beam_width=p.get("beam_width", 1),
             dtype_=dtype,
             mode=self._mode,
+            lm_fusion=lm_fusion,
         )

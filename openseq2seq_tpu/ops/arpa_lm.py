@@ -95,6 +95,12 @@ class ArpaLM:
                     prob = float(parts[0])
                     words = tuple(parts[1].split())
                     backoff = float(parts[2]) if len(parts) > 2 else 0.0
+                if len(words) != section:
+                    # malformed gram (e.g. a literal-space token — ARPA
+                    # tokens are whitespace-delimited; char LMs must
+                    # escape space, see ops/ngram_fusion.py SP): skip
+                    # rather than poison the tables
+                    continue
                 self.ngrams[section - 1][words] = (prob, backoff)
 
     def log10_cond(self, context: Sequence[str], word: str) -> float:

@@ -286,11 +286,12 @@ def test_greedy_decode_chunked_carry_matches_full():
 
 # ----------------------------------------------------------------------
 def _np_beam_exhaustive_oracle(params, enc, enc_len, blank, msf, Lmax,
-                               layers):
+                               layers, fusion=None):
     """Enumerate EVERY expansion-limited alignment (<= msf labels per
     frame, then blank; <= Lmax labels total) and return the label
     sequence of the max-score alignment — what beam search with
-    K >= #alignments must find."""
+    K >= #alignments must find. ``fusion`` = (table, C, m, init_ctx)
+    adds the dense-LM shallow-fusion score to each label emission."""
     pred_step, H, j = _np_pred_net(params, layers)
     w_enc, w_pred = j["joint_enc_w"], j["joint_pred_w"]
     b_j, w_out, b_out = j["joint_b"], j["joint_out_w"], j["joint_out_b"]
@@ -303,28 +304,35 @@ def _np_beam_exhaustive_oracle(params, enc, enc_len, blank, msf, Lmax,
         states0 = [(np.zeros(H), np.zeros(H)) for _ in range(layers)]
         states0, h0 = pred_step(states0, blank)
 
-        def rec(t, states, pred_j, score, labels):
+        def rec(t, states, pred_j, score, labels, ctx):
             if t == int(enc_len[b]):
                 if score > best[0]:
                     best[0], best[1] = score, list(labels)
                 return
             enc_jt = enc[b, t] @ w_enc
 
-            def expand(states, pred_j, score, labels, n):
+            def expand(states, pred_j, score, labels, n, ctx):
                 lp = _log_softmax_np(
                     np.tanh(enc_jt + pred_j + b_j) @ w_out + b_out)
-                rec(t + 1, states, pred_j, score + lp[blank], labels)
+                rec(t + 1, states, pred_j, score + lp[blank], labels,
+                    ctx)
                 if n < msf and len(labels) < Lmax:
                     for v in range(V):
                         if v == blank:
                             continue
                         st2, h2 = pred_step(states, v)
-                        expand(st2, h2 @ w_pred, score + lp[v],
-                               labels + [v], n + 1)
+                        fuse, ctx2 = 0.0, ctx
+                        if fusion is not None:
+                            table, C, m, _ = fusion
+                            fuse = float(table[ctx, v])
+                            ctx2 = ctx // C + v * C ** (m - 1)
+                        expand(st2, h2 @ w_pred, score + lp[v] + fuse,
+                               labels + [v], n + 1, ctx2)
 
-            expand(states, pred_j, score, labels, 0)
+            expand(states, pred_j, score, labels, 0, ctx)
 
-        rec(0, states0, h0 @ w_pred, 0.0, [])
+        rec(0, states0, h0 @ w_pred, 0.0, [],
+            fusion[3] if fusion is not None else 0)
         lens[b] = len(best[1])
         ids[b, :lens[b]] = best[1]
     return ids, lens
@@ -611,3 +619,86 @@ def test_fastemit_fused_matches_unfused():
     for gf, gd in zip(g_f, g_d):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
                                    rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------- shallow fusion
+
+def _toy_fusion_lm(tmp_path, labels, order=3):
+    from openseq2seq_tpu.ops.arpa_lm import build_arpa
+    from openseq2seq_tpu.ops.ngram_fusion import dense_label_lm
+    rng = np.random.RandomState(3)
+    sents = [[labels[i % len(labels)] for i in
+              range(s, s + 4)] for s in range(6)]
+    sents += [list("abc"), list("bca"), list("cab")]
+    path = str(tmp_path / "fusion.arpa")
+    build_arpa([s for s in sents], path, order=order)
+    return path, dense_label_lm(path, tuple(labels), order)
+
+
+def test_dense_lm_matches_arpa_sentence_score(tmp_path):
+    """The rolling-context table must reproduce ArpaLM's own Katz
+    scoring for any label sequence when the table order covers the LM
+    order (BOS padding included)."""
+    import math
+    from openseq2seq_tpu.ops.arpa_lm import ArpaLM
+    from openseq2seq_tpu.ops.ngram_fusion import sequence_fusion_score
+    labels = ["a", "b", "c"]
+    path, (table, C, m, ctx0) = _toy_fusion_lm(tmp_path, labels)
+    lm = ArpaLM(path)
+    for seq in [[0], [0, 1, 2], [2, 2, 0, 1, 0, 2]]:
+        got = sequence_fusion_score(table, C, m, ctx0, seq)
+        want = lm.sentence_log10([labels[i] for i in seq],
+                                 bos=True, eos=False) * math.log(10.0)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_beam_decode_fusion_exhaustive_oracle(tmp_path):
+    """Shallow-fusion beam search must return the alignment maximizing
+    acoustic + lambda*LM + beta*len — verified against the exhaustive
+    numpy oracle extended with the same dense table."""
+    rng = np.random.RandomState(9)
+    labels = ["a", "b", "c"]
+    w_lm, beta = 0.7, 0.3
+    path, (table, C, m, ctx0) = _toy_fusion_lm(tmp_path, labels)
+    B, T, D, V, msf, Lmax = 2, 2, 6, 4, 2, 8
+    module = TransducerDecoderModule(
+        tgt_vocab_size=V, pred_embed_size=6, pred_units=6, pred_layers=1,
+        joint_dim=6, max_symbols_per_frame=msf, max_output_length=Lmax,
+        dropout=0.0, fused_loss=False, beam_width=192,
+        dtype_=jnp.float32, mode="infer",
+        lm_fusion=(path, tuple(labels), w_lm, beta, 3))
+    enc = (rng.randn(B, T, D) * 1.5).astype(np.float32)
+    enc_len = np.array([2, 1], np.int32)
+    input_dict = {"encoder_output": {"outputs": jnp.asarray(enc),
+                                     "src_length": jnp.asarray(enc_len)}}
+    variables = module.init(jax.random.PRNGKey(1), input_dict, False)
+    out = jax.jit(lambda v, d: module.apply(v, d, False))(
+        variables, input_dict)
+    got_ids, got_lens = (np.asarray(out["outputs"][0]),
+                         np.asarray(out["outputs"][1]))
+    want_ids, want_lens = _np_beam_exhaustive_oracle(
+        variables["params"], enc, enc_len, V - 1, msf, Lmax, layers=1,
+        fusion=(table * w_lm + beta, C, m, ctx0))
+    np.testing.assert_array_equal(got_lens, want_lens)
+    for b in range(B):
+        np.testing.assert_array_equal(got_ids[b, :got_lens[b]],
+                                      want_ids[b, :want_lens[b]])
+
+
+def test_fusion_lm_space_label_escape(tmp_path):
+    """ARPA tokens are whitespace-delimited; a vocab containing the
+    literal space label must round-trip through build_label_lm's <sp>
+    escape and densify to finite, discriminative scores."""
+    from openseq2seq_tpu.ops.ngram_fusion import (build_label_lm,
+                                                  dense_label_lm)
+    path = str(tmp_path / "sp.arpa")
+    build_label_lm(["ab ab ab", "ba ba", "ab ba"], path, order=3)
+    labels = ("a", "b", " ")
+    table, C, m, ctx0 = dense_label_lm(path, labels, 3)
+    assert np.all(np.isfinite(table))
+    # after "ab" the corpus always has a space: P(' '|a,b) must beat
+    # P('a'|a,b) and P('b'|a,b)
+    a, b, sp = 0, 1, 2
+    ctx_ab = a * 1 + b * C        # oldest digit lowest: ('a','b')
+    assert table[ctx_ab, sp] > table[ctx_ab, a]
+    assert table[ctx_ab, sp] > table[ctx_ab, b]
