@@ -33,8 +33,10 @@ base_params = {
     "logdir": os.environ.get("OS2S_LOGDIR", "conformer_rnnt_log_folder"),
     # with the diagonal-fused loss (decoder_params.fused_loss below) the
     # (B, T/4, U+1, V) joint lattice is never materialized, so batch is
-    # bounded by encoder activations, not the RNN-T memory wall
-    "batch_size_per_gpu": 32,
+    # bounded by encoder activations, not the RNN-T memory wall.
+    # bs128 is the measured throughput optimum on v5e (216.1 utt/s/chip
+    # vs 162.8 at bs64, 209.7 at bs256 — scripts/bench_transducer.py)
+    "batch_size_per_gpu": 128,
     "save_summaries_steps": 100,
     "print_loss_steps": 10,
     "print_samples_steps": 2200,
@@ -126,6 +128,16 @@ eval_params = {
 
 infer_params = {
     "batch_size_per_gpu": 32,
+    # beam decode with on-device n-gram shallow fusion (uncomment and
+    # point lm_fusion_arpa at a char LM built by
+    # ops/ngram_fusion.py:build_label_lm — see docs/speech-recognition.md):
+    # "decoder_params": {
+    #     "beam_width": 8,
+    #     "lm_fusion_arpa": os.path.join(_DATA, "char_lm.arpa"),
+    #     "lm_fusion_weight": 0.3,
+    #     "lm_fusion_beta": 0.1,
+    #     "alphabet_config_path": os.path.join(_DATA, "vocab.txt"),
+    # },
     "data_layer_params": {
         "dataset_files": [os.path.join(_DATA, "librivox-test-clean.csv")],
         "shuffle": False,

@@ -42,7 +42,7 @@ def main():
                                                shard_batch)
 
     n_chips = len(jax.devices())
-    batch_per_chip = int(os.environ.get("BENCH_BS", "32"))
+    batch_per_chip = int(os.environ.get("BENCH_BS", "128"))
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
     time_steps = int(os.environ.get("BENCH_T", "1000"))
     label_len = int(os.environ.get("BENCH_U", "160"))
