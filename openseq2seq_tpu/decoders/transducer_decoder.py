@@ -170,9 +170,14 @@ class TransducerDecoderModule(nn.Module):
 
         # ---- beam decode (expansion-limited TSD) --------------------
         if not train and self.beam_width > 1:
-            out["outputs"] = self._beam_decode(
+            best, nbest = self._beam_decode(
                 enc, enc_len, init_states, pred_step, joint_logits,
                 joint_enc_w, joint_pred_w, blank)
+            out["outputs"] = best
+            # full beam for host-side n-best rescoring
+            # (apps/lm_rescorer.py): [ids (B,K,Lmax), lens (B,K),
+            # scores (B,K)], score-sorted descending per utterance
+            out["nbest"] = nbest
         # ---- greedy decode ------------------------------------------
         elif not train:
             B, T, _ = enc.shape
@@ -366,9 +371,15 @@ class TransducerDecoderModule(nn.Module):
         xs = (jnp.moveaxis(enc_j, 1, 0), jnp.arange(T))
         (_, _, scores, out_ids, out_len, _), _ = jax.lax.scan(
             frame, (states0, pred_j0, scores0, ids0, len0, lm_ctx0), xs)
-        best = jnp.argmax(scores, axis=1)                       # (B,)
-        b_idx = jnp.arange(B)
-        return [out_ids[b_idx, best], out_len[b_idx, best]]
+        # sort lanes by final score (top_k keeps rounds sorted, but the
+        # last round's stay-put blanks can reorder ties) so nbest[:, 0]
+        # is the 1-best and rescorers can truncate cheaply
+        order = jnp.argsort(-scores, axis=1)                    # (B,K)
+        scores = jnp.take_along_axis(scores, order, axis=1)
+        out_len = jnp.take_along_axis(out_len, order, axis=1)
+        out_ids = jnp.take_along_axis(out_ids, order[:, :, None], axis=1)
+        return ([out_ids[:, 0], out_len[:, 0]],
+                [out_ids, out_len, scores])
 
 
 class TransducerDecoder(Decoder):

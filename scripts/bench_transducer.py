@@ -90,7 +90,9 @@ def main():
             "fused_loss": fused,
         },
         "loss": TransducerLoss,
-        "loss_params": {},
+        "loss_params": {
+            "fused_block_size": int(os.environ.get("BENCH_BLOCK", "8")),
+        },
         "data_layer": SyntheticSpeechDataLayer,
         "data_layer_params": {
             "num_audio_features": 80,

@@ -702,3 +702,32 @@ def test_fusion_lm_space_label_escape(tmp_path):
     ctx_ab = a * 1 + b * C        # oldest digit lowest: ('a','b')
     assert table[ctx_ab, sp] > table[ctx_ab, a]
     assert table[ctx_ab, sp] > table[ctx_ab, b]
+
+
+def test_beam_decode_nbest_contract():
+    """Beam decode exposes the full beam as ``nbest`` = [ids (B,K,L),
+    lens (B,K), scores (B,K)], score-sorted, with lane 0 == outputs —
+    the host-side rescoring input contract (apps/lm_rescorer.py)."""
+    rng = np.random.RandomState(13)
+    B, T, D, V, K = 3, 4, 6, 5, 6
+    module = TransducerDecoderModule(
+        tgt_vocab_size=V, pred_embed_size=6, pred_units=6, pred_layers=1,
+        joint_dim=6, max_symbols_per_frame=2, max_output_length=8,
+        dropout=0.0, fused_loss=False, beam_width=K,
+        dtype_=jnp.float32, mode="infer")
+    enc = (rng.randn(B, T, D) * 1.5).astype(np.float32)
+    enc_len = np.array([4, 2, 3], np.int32)
+    input_dict = {"encoder_output": {"outputs": jnp.asarray(enc),
+                                     "src_length": jnp.asarray(enc_len)}}
+    variables = module.init(jax.random.PRNGKey(1), input_dict, False)
+    out = jax.jit(lambda v, d: module.apply(v, d, False))(
+        variables, input_dict)
+    ids, lens, scores = [np.asarray(x) for x in out["nbest"]]
+    assert ids.shape == (B, K, 8) and lens.shape == (B, K) \
+        and scores.shape == (B, K)
+    np.testing.assert_array_equal(np.asarray(out["outputs"][0]),
+                                  ids[:, 0])
+    np.testing.assert_array_equal(np.asarray(out["outputs"][1]),
+                                  lens[:, 0])
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)
+    assert np.all(np.isfinite(scores[:, 0]))
