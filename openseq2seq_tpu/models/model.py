@@ -126,6 +126,14 @@ class Model(abc.ABC):
                                           # semantics), 8 = u8 threshold
                                           # masks (4x less RNG volume;
                                           # keep prob quantized to 1/256)
+            "compile_cache_dir": str,     # persistent XLA compilation
+                                          # cache (jax_compilation_cache
+                                          # _dir): first compile of the
+                                          # train/eval step is 20-40 s on
+                                          # TPU; later runs of the same
+                                          # recipe reload it in <1 s.
+                                          # Applied in run.py before any
+                                          # jit.
             "dropout_remat": bool,        # key-only dropout residuals:
                                           # regenerate masks in backward
                                           # from the PRNG key instead of

@@ -132,6 +132,37 @@ def apply_benchmark_mode(config: Dict[str, Any], bench_steps: int,
     return config
 
 
+def setup_compile_cache(base_config: Dict[str, Any]) -> Optional[str]:
+    """Enable JAX's persistent XLA compilation cache if requested.
+
+    The first jit of a full train/eval step costs 20-40 s on TPU; with
+    a cache dir the next run of the same recipe (resume after
+    preemption, eval of a checkpoint, sweeps over non-shape knobs)
+    reloads the compiled executable in well under a second. Selected by
+    the config key ``compile_cache_dir`` or env ``OS2S_COMPILE_CACHE``
+    (config wins). Returns the directory applied, or None.
+
+    No reference counterpart (TF1 graphs had no persistent executable
+    cache); this is a startup-latency product lever only — it never
+    changes steady-state throughput or numerics.
+    """
+    cache_dir = (base_config.get("compile_cache_dir")
+                 or os.environ.get("OS2S_COMPILE_CACHE"))
+    if not cache_dir:
+        return None
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        # default min-compile-time gate is 1 s; recipe steps always
+        # clear 0.5 s on TPU while unit-test-sized jits stay uncached
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # older jaxlib / exotic backend: degrade
+        deco_print("Compilation cache unavailable: {}".format(e))
+        return None
+    deco_print("Compilation cache: {}".format(cache_dir))
+    return str(cache_dir)
+
+
 def check_logdir(args, base_config) -> Optional[str]:
     """Resume-vs-fresh logdir semantics (reference `utils/utils.py:633-709`):
 

@@ -17,7 +17,8 @@ import jax
 from openseq2seq_tpu.parallel.mesh import mesh_from_config
 from openseq2seq_tpu.training import trainer
 from openseq2seq_tpu.utils.config import (apply_benchmark_mode, check_logdir,
-                                          configs_for_modes, get_base_config)
+                                          configs_for_modes, get_base_config,
+                                          setup_compile_cache)
 from openseq2seq_tpu.utils.logging import deco_print, enable_logs
 
 
@@ -38,6 +39,10 @@ def main(argv=None):
 
     if args.enable_logs and base_config.get("logdir") and worker_id == 0:
         enable_logs(base_config["logdir"])
+
+    # persistent XLA compilation cache (config `compile_cache_dir` or
+    # env OS2S_COMPILE_CACHE) — must run before the first jit
+    setup_compile_cache(base_config)
 
     if args.benchmark:
         base_config = apply_benchmark_mode(base_config, args.bench_steps,

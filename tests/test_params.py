@@ -46,3 +46,31 @@ def test_nested_update():
     base = {"a": {"b": 1, "c": 2}, "d": 3}
     nested_update(base, {"a": {"c": 20}, "e": 5})
     assert base == {"a": {"b": 1, "c": 20}, "d": 3, "e": 5}
+
+
+def test_setup_compile_cache(tmp_path):
+    """`compile_cache_dir` flips JAX's persistent compilation cache on
+    (startup-latency lever documented in docs/internals.md); absent key
+    is a no-op returning None."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from openseq2seq_tpu.utils.config import setup_compile_cache
+
+    assert setup_compile_cache({}) is None
+
+    cache_dir = str(tmp_path / "xla_cache")
+    applied = setup_compile_cache({"compile_cache_dir": cache_dir})
+    try:
+        assert applied == cache_dir
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+        # drop the min-compile-time gate so even a toy CPU jit is cached
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.jit(lambda x: x * 2.0 + 1.0)(jnp.arange(8.0))
+        assert os.path.isdir(cache_dir) and os.listdir(cache_dir), \
+            "persistent cache produced no entries"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
