@@ -52,12 +52,18 @@ def _is_dense_call(context) -> bool:
 
 
 def calibrate_dense_inputs(model, state, batches: Iterable,
-                           ) -> Dict[str, float]:
+                           train: bool = False) -> Dict[str, float]:
     """Per-Dense-layer input absmax over calibration batches.
 
     Unlike ``calibrate_activations`` (module *outputs*), this records
     the *inputs* each Dense consumes — the quantity the int8 input
-    quantizer needs."""
+    quantizer needs.
+
+    ``train=True`` calibrates the teacher-forced path only — it skips
+    the autoregressive decode that eval-mode forwards append, which
+    runs eagerly here and is prohibitively slow over a relayed device
+    link. Use it with zero dropout rates (serving configs), otherwise
+    the recorded ranges include dropout's 1/keep scaling."""
     variables = {"params": jax.device_get(state.params),
                  **jax.device_get(state.model_state)}
     ranges: Dict[str, float] = {}
@@ -77,7 +83,7 @@ def calibrate_dense_inputs(model, state, batches: Iterable,
 
     for batch in batches:
         with nn.intercept_methods(recorder):
-            model.module().apply(variables, batch, train=False,
+            model.module().apply(variables, batch, train=train,
                                  rngs={"dropout": jax.random.PRNGKey(0)})
     return ranges
 
