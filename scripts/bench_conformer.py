@@ -13,7 +13,11 @@ bf16 "mixed", AdamW + noam schedule, fused Pallas CTC, rbg dropout
 keys, u8 masks — the shipped `conformer_LibriSpeech.py` configuration
 on synthetic batches (pure step time, no host IO).
 
-Usage: [BENCH_BS=64] python scripts/bench_conformer.py
+Usage: [BENCH_BS=64] [BENCH_SCALE=m|l] python scripts/bench_conformer.py
+
+BENCH_SCALE=l selects the published Conformer-L geometry (17 layers,
+d=512, 8 heads, ~118M params) — the larger matmuls tile the MXU far
+better than the VPU/norm-bound M scale.
 """
 from __future__ import annotations
 
@@ -43,6 +47,11 @@ def main():
     n_chips = len(jax.devices())
     batch_per_chip = int(os.environ.get("BENCH_BS", "64"))
     time_steps = 1000
+    scale = os.environ.get("BENCH_SCALE", "m").lower()
+    # Gulati et al. 2020 table 1: M = 16 x d256/h4, L = 17 x d512/h8
+    geom = ({"num_layers": 17, "hidden_size": 512, "num_heads": 8}
+            if scale == "l" else
+            {"num_layers": 16, "hidden_size": 256, "num_heads": 4})
 
     mesh = make_mesh(num_data=n_chips, num_model=1)
     params = {
@@ -57,7 +66,8 @@ def main():
                              "beta2": 0.98, "epsilon": 1e-9,
                              "weight_decay": 1e-6},
         "lr_policy": "transformer_policy",
-        "lr_policy_params": {"learning_rate": 2.0, "d_model": 256,
+        "lr_policy_params": {"learning_rate": 2.0,
+                             "d_model": geom["hidden_size"],
                              "warmup_steps": 10000},
         "dtype": "mixed",
         "max_grad_norm": 5.0,
@@ -65,9 +75,7 @@ def main():
         "dropout_bits": int(os.environ.get("BENCH_DROPBITS", "8")),
         "encoder": ConformerEncoder,
         "encoder_params": {
-            "num_layers": 16,
-            "hidden_size": 256,
-            "num_heads": 4,
+            **geom,
             "conv_kernel_size": 31,
             "ffn_expansion": 4,
             "dropout_keep_prob": 0.9,
@@ -126,7 +134,7 @@ def main():
         pass
 
     result = {
-        "metric": "conformer_m_train_utt_per_sec_per_chip",
+        "metric": "conformer_%s_train_utt_per_sec_per_chip" % scale,
         "value": round(utt_per_sec_per_chip, 3),
         "unit": "utt/s/chip",
         "vs_baseline": round(utt_per_sec_per_chip /
