@@ -9,7 +9,10 @@
   * :class:`FullyConnectedCTCDecoder` — adds on-device greedy CTC
     decoding; beam-search-with-LM decoding is a host-side post-processor
     (see ``openseq2seq_tpu.ops.ctc_beam`` / native decoder, reference
-    `fc_decoders.py:218-245`'s custom CUDA op).
+    `fc_decoders.py:218-245`'s custom CUDA op) OR, beyond the
+    reference, fully on-device via ``on_device_beam_width`` (prefix
+    beam search inside the jitted step, optional dense n-gram shallow
+    fusion — `ops/ctc_beam_tpu.py`).
 """
 from __future__ import annotations
 
@@ -20,6 +23,7 @@ import jax.numpy as jnp
 
 from .decoder import Decoder
 from ..ops.ctc import ctc_greedy_decode
+from ..ops.ctc_beam_tpu import FusionLM, ctc_beam_search_tpu
 
 
 class FullyConnectedDecoder(Decoder):
@@ -112,6 +116,11 @@ class FullyConnectedCTCDecoder(FullyConnectedTimeDecoder):
             "lm_path": str,
             "trie_path": str,
             "alphabet_config_path": str,
+            "on_device_beam_width": int,   # >1: beam search inside the
+                                           # jitted step (ctc_beam_tpu)
+            "on_device_fusion": dict,      # keys: lm_path, labels?,
+                                           # alpha?, beta?, order? —
+                                           # dense n-gram shallow fusion
         })
 
     def __init__(self, params, model, name="fully_connected_ctc_decoder",
@@ -122,10 +131,27 @@ class FullyConnectedCTCDecoder(FullyConnectedTimeDecoder):
             # in-graph decode stays greedy
             self._params.setdefault("infer_logits_to_pickle", False)
 
+    def _make_fusion(self):
+        fus = self._params.get("on_device_fusion")
+        if not fus:
+            return None
+        from ..ops.ngram_fusion import dense_label_lm
+        labels = fus.get("labels")
+        if labels is None:
+            c2i = self._model.get_data_layer().params["char2idx"]
+            labels = tuple(sorted(c2i, key=c2i.get))
+        table, C, m, init_ctx = dense_label_lm(
+            fus["lm_path"], tuple(labels), order=fus.get("order", 3))
+        return FusionLM(jnp.asarray(table), C, m, init_ctx,
+                        float(fus.get("alpha", 0.5)),
+                        float(fus.get("beta", 0.0)))
+
     def make_module(self):
         vocab = self._params["tgt_vocab_size"]
         dtype = jnp.float32 if self._model is None \
             else self._model.mp_policy.compute_dtype
+        beam_k = int(self._params.get("on_device_beam_width", 0))
+        fusion = self._make_fusion() if beam_k > 1 else None
 
         class FCCTCDecoderModule(nn.Module):
             @nn.compact
@@ -139,8 +165,16 @@ class FullyConnectedCTCDecoder(FullyConnectedTimeDecoder):
                 out: Dict[str, Any] = {"logits": logits,
                                        "src_length": src_length}
                 if not train:
-                    ids, lengths = ctc_greedy_decode(logits, src_length)
-                    out["outputs"] = [ids, lengths]
+                    if beam_k > 1:
+                        ids3, lens2, scores = ctc_beam_search_tpu(
+                            logits, src_length, beam_width=beam_k,
+                            fusion=fusion)
+                        out["outputs"] = [ids3[:, 0], lens2[:, 0]]
+                        out["beam_scores"] = scores
+                    else:
+                        ids, lengths = ctc_greedy_decode(logits,
+                                                         src_length)
+                        out["outputs"] = [ids, lengths]
                 return out
 
         return FCCTCDecoderModule()
