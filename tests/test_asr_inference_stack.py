@@ -307,3 +307,22 @@ def test_decode_ladder_strictly_improves(tmp_path):
     # and absolute quality is sane at each rung
     assert wer_greedy < 0.35
     assert wer_beam < 0.08
+
+
+def test_eval_with_on_device_beam(trained_toy_asr, tmp_path):
+    """On-device prefix beam search (`ops/ctc_beam_tpu.py`) wired
+    through the REAL eval step: same checkpoint, beam-8 + character
+    shallow fusion, WER must match the (near-zero) greedy WER."""
+    from openseq2seq_tpu.ops.ngram_fusion import build_label_lm
+
+    arpa = build_label_lm(toy_speech.TRANSCRIPTS,
+                          str(tmp_path / "char.arpa"), order=3)
+    model = _build_model(
+        trained_toy_asr, "eval",
+        decoder_params={"on_device_beam_width": 8,
+                        "on_device_fusion": {"lm_path": arpa,
+                                             "alpha": 0.3,
+                                             "beta": 0.0}})
+    state = trainer.restore_state(model, trained_toy_asr["ckpt"])
+    res = trainer.evaluate_with_state(model, state)
+    assert res["Eval WER"] <= 0.05, res
