@@ -183,3 +183,21 @@ def test_fc_ctc_decoder_on_device_beam():
     for b, L in enumerate([9, 6]):
         oracle = np_prefix_beam(logp[b], L, 4)
         assert list(np.asarray(ids)[b, :int(lens[b])]) == oracle[0][0]
+
+
+def test_zero_length_and_u_cap():
+    rng = np.random.RandomState(9)
+    logits = rng.randn(2, 8, 5).astype(np.float32)
+    # utterance 0 has zero valid frames -> empty prefix, log prob 0
+    ids, lens, scores = _run_device(logits, np.array([0, 8], np.int32),
+                                    K=4, U=8)
+    assert lens[0, 0] == 0
+    assert scores[0, 0] == pytest.approx(0.0, abs=1e-6)
+    # U cap: labels-only frames force emission every step; with U=2 the
+    # search must stay shape-stable and keep lens <= U
+    hot = np.full((1, 8, 3), -9.0, np.float32)
+    hot[0, :, 0] = 9.0
+    hot[0, 4:, 1] = 19.0
+    ids2, lens2, _ = _run_device(hot, np.array([8], np.int32), K=4, U=2)
+    assert lens2[0, 0] <= 2
+    assert np.all(ids2[0, 0, : lens2[0, 0]] >= 0)
