@@ -156,9 +156,7 @@ def _beam_step(state, inputs, *, K, V, U, fusion: Optional[FusionLM]):
     return state, None
 
 
-def _beam_search_single(logp, length, *, K, V, U,
-                        fusion: Optional[FusionLM]):
-    T = logp.shape[0]
+def _init_single(K, U, fusion: Optional[FusionLM]):
     toks = jnp.full((K, U), -1, jnp.int32)
     lens = jnp.zeros((K,), jnp.int32)
     last = jnp.full((K,), -1, jnp.int32)
@@ -171,15 +169,30 @@ def _beam_search_single(logp, length, *, K, V, U,
     ctx = jnp.full((K,), init_ctx, jnp.int32)
     p_b = jnp.where(k == 0, 0.0, NEG_INF).astype(jnp.float32)
     p_nb = jnp.full((K,), NEG_INF, jnp.float32)
+    return (toks, lens, last, h1, h2, ctx, p_b, p_nb)
 
-    active = jnp.arange(T) < length
+
+def _scan_single(state, logp, n_valid, *, K, V, U,
+                 fusion: Optional[FusionLM]):
+    T = logp.shape[0]
+    active = jnp.arange(T) < n_valid
     step = functools.partial(_beam_step, K=K, V=V, U=U, fusion=fusion)
-    state, _ = jax.lax.scan(step, (toks, lens, last, h1, h2, ctx,
-                                   p_b, p_nb), (logp, active))
-    toks, lens, _, _, _, _, p_b, p_nb = state
-    scores = _lse(p_b, p_nb)
+    return jax.lax.scan(step, state, (logp, active))[0]
+
+
+def _rank_single(state, K):
+    toks, lens = state[0], state[1]
+    scores = _lse(state[6], state[7])
     top_scores, order = jax.lax.top_k(scores, K)
     return toks[order], lens[order], top_scores
+
+
+def _beam_search_single(logp, length, *, K, V, U,
+                        fusion: Optional[FusionLM]):
+    state = _init_single(K, U, fusion)
+    state = _scan_single(state, logp, length, K=K, V=V, U=U,
+                         fusion=fusion)
+    return _rank_single(state, K)
 
 
 def ctc_beam_search_tpu(logits: jax.Array,
@@ -210,3 +223,38 @@ def ctc_beam_search_tpu(logits: jax.Array,
     run = functools.partial(_beam_search_single, K=int(beam_width),
                             V=V, U=U, fusion=fusion)
     return jax.vmap(run)(logp, logit_lengths)
+
+
+# ---------------------------------------------------------------------
+# Streaming (chunked) API: carry the beam across chunks under jit —
+# the on-device analogue of the stateful host `BeamDecoder`
+# (`ops/ctc_beam_native.py`) that `apps/frame_asr.py` drives. Feeding
+# an utterance chunk-by-chunk yields bit-identical beams to one-shot
+# decoding (`tests/test_ctc_beam_tpu.py::test_streaming_chunks_match`).
+
+def ctc_beam_init(batch_size: int, beam_width: int, max_label_len: int,
+                  fusion: Optional[FusionLM] = None):
+    """Fresh batched beam state: the empty prefix in lane 0."""
+    one = _init_single(int(beam_width), int(max_label_len), fusion)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (batch_size,) + x.shape),
+        one)
+
+
+def ctc_beam_update(state, logits: jax.Array, chunk_lengths: jax.Array,
+                    fusion: Optional[FusionLM] = None):
+    """Advance the beam by one (B, Tc, V) logits chunk.
+
+    ``chunk_lengths`` (B,) marks valid frames in this chunk (ragged
+    tails supported). Returns ``(new_state, (ids, lens, scores))`` with
+    the current-best decode ranked best-first — callable after every
+    chunk for partial transcripts.
+    """
+    B, Tc, V = logits.shape
+    K, U = state[0].shape[1], state[0].shape[2]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    scan = functools.partial(_scan_single, K=K, V=V, U=U, fusion=fusion)
+    state = jax.vmap(scan)(state, logp, chunk_lengths)
+    ids, lens, scores = jax.vmap(functools.partial(_rank_single, K=K))(
+        state)
+    return state, (ids, lens, scores)

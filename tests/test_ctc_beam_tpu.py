@@ -201,3 +201,28 @@ def test_zero_length_and_u_cap():
     ids2, lens2, _ = _run_device(hot, np.array([8], np.int32), K=4, U=2)
     assert lens2[0, 0] <= 2
     assert np.all(ids2[0, 0, : lens2[0, 0]] >= 0)
+
+
+def test_streaming_chunks_match():
+    """Chunked beam updates == one-shot decode, bit-identical beams."""
+    from openseq2seq_tpu.ops.ctc_beam_tpu import (ctc_beam_init,
+                                                  ctc_beam_update)
+    rng = np.random.RandomState(21)
+    B, T, V, K = 2, 12, 6, 8
+    logits = rng.randn(B, T, V).astype(np.float32) * 2.0
+    lengths = np.array([12, 10], np.int32)
+    ids1, lens1, scores1 = _run_device(logits, lengths, K, U=T)
+
+    state = ctc_beam_init(B, K, T)
+    lg = jnp.asarray(logits)
+    done = np.zeros(B, np.int32)
+    upd = jax.jit(ctc_beam_update)
+    for start, stop in [(0, 5), (5, 9), (9, 12)]:
+        valid = np.clip(lengths - start, 0, stop - start)
+        state, (ids2, lens2, scores2) = upd(
+            state, lg[:, start:stop], jnp.asarray(valid))
+        done += valid
+    assert np.array_equal(done, lengths)
+    np.testing.assert_array_equal(np.asarray(ids2), ids1)
+    np.testing.assert_array_equal(np.asarray(lens2), lens1)
+    np.testing.assert_allclose(np.asarray(scores2), scores1, atol=1e-5)
