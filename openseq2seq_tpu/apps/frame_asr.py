@@ -24,6 +24,8 @@ from ..ops.ctc_beam import BeamDecoder, Scorer
 from ..ops.features import get_speech_features
 from ..training.trainer import restore_state
 
+import functools
+
 
 class FrameASR:
 
@@ -35,7 +37,9 @@ class FrameASR:
                  language_model: Optional[str] = None,
                  alpha: float = 2.8, beta: float = 1.0,
                  offset: int = 5, silence_threshold: float = 0.02,
-                 comfort_noise: float = 1e-3):
+                 comfort_noise: float = 1e-3,
+                 on_device_beam: bool = False,
+                 device_fusion=None, max_transcript_len: int = 400):
         """``model`` must be built in "interactive_infer" (or eval) mode;
         ``timestep_duration`` is seconds per output logit frame (feature
         hop x encoder time stride)."""
@@ -66,7 +70,19 @@ class FrameASR:
         self.comfort_noise = comfort_noise
         self._noise_rng = np.random.RandomState(0)
         self._beam_decoder = None
-        if beam_width > 1:
+        self._dev_beam = None
+        if beam_width > 1 and on_device_beam:
+            # carry the beam state across chunks INSIDE jit — no host
+            # decoder at all (ops/ctc_beam_tpu streaming API); optional
+            # `device_fusion` is a ctc_beam_tpu.FusionLM
+            from ..ops.ctc_beam_tpu import ctc_beam_init, ctc_beam_update
+            self._dev_K = beam_width
+            self._dev_U = int(max_transcript_len)
+            self._dev_init = lambda: ctc_beam_init(
+                1, self._dev_K, self._dev_U, device_fusion)
+            self._dev_beam = jax.jit(functools.partial(
+                ctc_beam_update, fusion=device_fusion))
+        elif beam_width > 1:
             scorer = None
             if language_model is not None:
                 scorer = Scorer(alpha, beta, language_model,
@@ -86,6 +102,8 @@ class FrameASR:
         self.prev_char = ""
         if self._beam_decoder is not None:
             self._beam_decoder.reset()
+        if self._dev_beam is not None:
+            self._dev_state = self._dev_init()
 
     def _featurize(self, signal: np.ndarray):
         dl_params = dict(self.model.get_data_layer().params)
@@ -147,6 +165,14 @@ class FrameASR:
         # windows tile without duplicates or gaps
         lo = self.n_timesteps_overlap
         central = logits[lo:lo + self.n_timesteps_frame]
+        if self._dev_beam is not None:
+            n = central.shape[0]
+            self._dev_state, (ids, lens, _) = self._dev_beam(
+                self._dev_state, np.asarray(central)[None],
+                np.asarray([n], np.int32))
+            best = np.asarray(ids)[0, 0, :int(np.asarray(lens)[0, 0])]
+            self.text = "".join(self.vocab[int(i)] for i in best)
+            return self.text
         probs = _softmax(central)
         if self._beam_decoder is not None:
             return self._beam_decoder.decode(probs)
@@ -167,11 +193,17 @@ class FrameASR:
 
     def flush(self) -> str:
         """Feed silence until the tail of the audio has passed through
-        the central (decoded) region; returns the text produced."""
+        the central (decoded) region. Greedy mode returns the newly
+        produced text (join with what came before); beam modes return
+        the FULL final transcript, matching what ``transcribe``
+        returns there."""
         out = []
         frames = self.n_frame_overlap // self.n_frame_len + 1
         for _ in range(frames):
             out.append(self.transcribe(self._noise(self.n_frame_len)))
+        if self._beam_decoder is not None or self._dev_beam is not None:
+            full = [t for t in out if t]
+            return full[-1] if full else self.text
         return "".join(out)
 
     def get_word_timestamps(self):

@@ -326,3 +326,30 @@ def test_eval_with_on_device_beam(trained_toy_asr, tmp_path):
     state = trainer.restore_state(model, trained_toy_asr["ckpt"])
     res = trainer.evaluate_with_state(model, state)
     assert res["Eval WER"] <= 0.05, res
+
+
+def test_frame_asr_on_device_beam(trained_toy_asr):
+    """Streaming with the jit-carried on-device beam: same audio as the
+    host-decoder streaming test, transcript recovered within the same
+    tolerance, no host beam decoder involved."""
+    from openseq2seq_tpu.apps.frame_asr import FrameASR
+    model = _build_model(trained_toy_asr, "interactive_infer")
+    asr = FrameASR(model, checkpoint=trained_toy_asr["ckpt"],
+                   frame_len=0.2, frame_overlap=0.4,
+                   timestep_duration=0.01, beam_width=8,
+                   on_device_beam=True, max_transcript_len=64)
+    assert asr._beam_decoder is None and asr._dev_beam is not None
+    sr, signal = wavfile.read(
+        os.path.join(trained_toy_asr["dir"], "data", "toy_0.wav"))
+    signal = signal.astype(np.float32) / 32767.0
+    n = asr.n_frame_len
+    pad = (-len(signal)) % n
+    rng = np.random.RandomState(7)
+    signal = np.concatenate(
+        [signal, (rng.randn(pad) * 1e-3).astype(np.float32)])
+    text = ""
+    for i in range(0, len(signal), n):
+        text = asr.transcribe(signal[i:i + n]) or text
+    text = asr.flush() or text
+    from openseq2seq_tpu.utils.metrics import levenshtein
+    assert levenshtein(list("abc bca"), list(text.strip())) <= 3, text
