@@ -1,7 +1,8 @@
 #!/bin/bash
-# Second sequential real-chip queue: on-device CTC beam decode.
+# Third sequential real-chip queue: Conformer-L batch scaling + the
+# on-device CTC beam decode benches.
 set -u
-LOG="${1:-/tmp/chip_queue2.log}"
+LOG="${1:-/tmp/chip_queue3.log}"
 cd "$(dirname "$0")/.."
 
 run() {
@@ -10,7 +11,8 @@ run() {
   echo "== exit $? : $*" >> "$LOG"
 }
 
+run BENCH_SCALE=l BENCH_BS=128 python scripts/bench_conformer.py
+run BENCH_SCALE=l BENCH_BS=256 BENCH_REMAT=blocks python scripts/bench_conformer.py
 run BENCH_BS=64 BENCH_BEAM=16 BENCH_HOST=1 python scripts/bench_ctc_beam_tpu.py
 run BENCH_BS=64 BENCH_BEAM=16 BENCH_FUSION=1 python scripts/bench_ctc_beam_tpu.py
-run BENCH_BS=128 BENCH_BEAM=16 python scripts/bench_ctc_beam_tpu.py
-echo "QUEUE2 DONE" >> "$LOG"
+echo "QUEUE3 DONE" >> "$LOG"
