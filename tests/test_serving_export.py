@@ -140,3 +140,36 @@ def test_int8_activation_execution(tmp_path):
     assert np.max(np.abs(e_logits - fp_logits)) < 0.35 * scale
     agree_e = np.mean(np.argmax(e_logits, -1) == np.argmax(fp_logits, -1))
     assert agree_e > 0.97
+
+
+def test_export_with_on_device_beam(toy_speech_data, tmp_path):
+    """The AOT artifact can bake the WHOLE decode: on-device prefix
+    beam search serializes inside the StableHLO export and the reloaded
+    artifact reproduces ids/lengths/scores with no model code."""
+    base_params, _ = w2l_test_config(toy_speech_data["csv"],
+                                     toy_speech_data["vocab"],
+                                     num_epochs=1)
+    base_params["decoder_params"] = dict(
+        base_params.get("decoder_params", {}),
+        on_device_beam_width=4)
+    model = Speech2Text(params=base_params, mode="eval")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+
+    path = str(tmp_path / "beam.stablehlo")
+    export_inference_fn(model, state, device_batch, path=path)
+    served = load_exported(path)
+    out = served(device_batch)
+    direct = model.module().apply(
+        {"params": state.params, **state.model_state}, device_batch,
+        train=False, rngs={"dropout": jax.random.PRNGKey(0)})
+    ids_s, lens_s = out["decoder_output"]["outputs"][:2]
+    ids_d, lens_d = direct["decoder_output"]["outputs"][:2]
+    np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_d))
+    np.testing.assert_array_equal(np.asarray(lens_s),
+                                  np.asarray(lens_d))
+    np.testing.assert_allclose(
+        np.asarray(out["decoder_output"]["beam_scores"]),
+        np.asarray(direct["decoder_output"]["beam_scores"]),
+        rtol=1e-5, atol=1e-5)
