@@ -107,6 +107,10 @@ eval_params = {
 
 infer_params = {
     "batch_size_per_gpu": 64,
+    # fully on-device beam decode (no host round trip) — opt in with:
+    # "decoder_params": {"on_device_beam_width": 16,
+    #                    "on_device_fusion": {"lm_path": "char.arpa",
+    #                                         "alpha": 0.5}},
     "data_layer_params": {
         "dataset_files": [os.path.join(_DATA, "librivox-test-clean.csv")],
         "shuffle": False,
