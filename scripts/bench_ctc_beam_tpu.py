@@ -62,13 +62,15 @@ def main():
     fn = jax.jit(lambda lg, ln: ctc_beam_search_tpu(
         lg, ln, beam_width=K, max_label_len=U, fusion=fusion))
     ids, lens, scores = fn(logits, lengths)
-    jax.block_until_ready(scores)
+    # host transfer, not block_until_ready — the remote-relay backend
+    # can report ready before remote execution completes
+    jax.device_get(scores)
 
     n_iter = 10
     t0 = time.time()
     for _ in range(n_iter):
         ids, lens, scores = fn(logits, lengths)
-    jax.block_until_ready(scores)
+    jax.device_get(scores)
     wall = time.time() - t0
     utt_per_sec = n_iter * B / wall
 

@@ -105,13 +105,16 @@ def main():
 
     for _ in range(2):
         out = infer_fn(state, device_batch)
-    jax.block_until_ready(out)
+    # device_get, not block_until_ready: over the remote-relay PJRT
+    # backend block_until_ready can return before remote execution
+    # completes — a host transfer is the only reliable fence
+    jax.device_get(jax.tree_util.tree_leaves(out)[0])
 
     n_steps = 10
     t0 = time.time()
     for _ in range(n_steps):
         out = infer_fn(state, device_batch)
-    jax.block_until_ready(out)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0])
     wall = time.time() - t0
 
     utt_per_sec_per_chip = n_steps * batch_per_chip / wall
