@@ -353,3 +353,47 @@ def test_frame_asr_on_device_beam(trained_toy_asr):
     text = asr.flush() or text
     from openseq2seq_tpu.utils.metrics import levenshtein
     assert levenshtein(list("abc bca"), list(text.strip())) <= 3, text
+
+
+def test_on_device_beam_matches_host_cpp(trained_toy_asr):
+    """Same trained logits, host C++ prefix beam vs on-device beam:
+    top-1 transcripts must agree (both implement Hannun prefix beam
+    search; no LM, no pruning at these sizes)."""
+    import jax.numpy as jnp
+    from openseq2seq_tpu.ops.ctc_beam import ctc_beam_search_decoder_batch
+    from openseq2seq_tpu.ops.ctc_beam_tpu import ctc_beam_search_tpu
+
+    model = _build_model(trained_toy_asr, "infer",
+                         decoder_params={"infer_logits_to_pickle": True})
+    import tempfile
+    dump = os.path.join(tempfile.mkdtemp(), "logits.pkl")
+    trainer.infer(model, trained_toy_asr["ckpt"], dump)
+    with open(dump, "rb") as f:
+        logits_map = pickle.load(f)
+
+    dl_params = model.get_data_layer().params
+    alphabet = [dl_params["idx2char"][i]
+                for i in range(len(dl_params["idx2char"]))]
+
+    def softmax(x):
+        e = np.exp(x - x.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+    items = sorted(logits_map.items())[:6]
+    probs_list = [softmax(lg) for _, lg in items]
+    lens = [p.shape[0] for p in probs_list]
+    host = ctc_beam_search_decoder_batch(probs_list, lens, alphabet,
+                                         beam_size=8)
+    T = max(lens)
+    batch = np.full((len(items), T, len(alphabet) + 1), -30.0,
+                    np.float32)
+    for i, (_, lg) in enumerate(items):
+        batch[i, :lg.shape[0]] = lg
+    ids, out_lens, _ = ctc_beam_search_tpu(
+        jnp.asarray(batch), jnp.asarray(np.array(lens, np.int32)),
+        beam_width=8)
+    for i, per_utt in enumerate(host):
+        host_text = per_utt[0][1]
+        dev_text = "".join(alphabet[int(c)] for c in
+                           np.asarray(ids)[i, 0, :int(out_lens[i, 0])])
+        assert dev_text == host_text, (i, dev_text, host_text)
