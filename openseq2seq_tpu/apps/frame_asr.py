@@ -175,7 +175,11 @@ class FrameASR:
             return self.text
         probs = _softmax(central)
         if self._beam_decoder is not None:
-            return self._beam_decoder.decode(probs)
+            # keep self.text tracking the decoder's current transcript so
+            # flush()'s fallback can return it when every flush frame is
+            # silence-gated
+            self.text = self._beam_decoder.decode(probs)
+            return self.text
         return self._greedy_merge_step(probs)
 
     def _greedy_merge_step(self, probs: np.ndarray) -> str:
@@ -207,6 +211,17 @@ class FrameASR:
         return "".join(out)
 
     def get_word_timestamps(self):
+        """Word timestamps from the stateful host beam decoder.
+
+        Only available in host ``BeamDecoder`` mode; the on-device beam
+        (``on_device_beam=True``) does not track per-word frame spans, so
+        asking for timestamps there is a configuration error, not an
+        empty result."""
+        if self._dev_beam is not None:
+            raise RuntimeError(
+                "word timestamps require the host BeamDecoder "
+                "(on_device_beam=False); the on-device beam does not "
+                "track word frame spans")
         if self._beam_decoder is None:
             return []
         return self._beam_decoder.get_word_timestamps()

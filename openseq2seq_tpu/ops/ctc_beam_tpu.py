@@ -21,10 +21,11 @@ static shapes so the whole search runs inside one `lax.scan`:
   * The merge step — the part that is a hash table on CPUs — becomes
     sort-by-prefix-hash + segmented log-sum-exp + top-K: identical
     prefixes reached through different parents sit adjacent after a
-    lexsort on two independent 32-bit rolling hashes, and
-    `jax.ops.segment_{max,sum}` folds their probabilities. A pair
-    collision over K*V ~ 500 candidates is ~1e-5 per step and at worst
-    perturbs one beam slot.
+    lexsort on (two independent 32-bit rolling hashes, exact prefix
+    length), and `jax.ops.segment_{max,sum}` folds their probabilities.
+    A spurious fuse needs a simultaneous collision of both hashes AND
+    an equal length — vanishingly rare over K*V ~ 500 candidates, and
+    at worst it perturbs one beam slot.
   * Optional shallow fusion reuses the dense n-gram table of
     `ops/ngram_fusion.py` (one int32 rolling context per beam, one
     gather per step) — the on-device analogue of the reference
@@ -96,21 +97,29 @@ def _beam_step(state, inputs, *, K, V, U, fusion: Optional[FusionLM]):
     step = jnp.where(is_stay, jnp.uint32(0), c.astype(jnp.uint32) + 1)
     cand_h1 = jnp.where(is_stay, h1[:, None], h1[:, None] * _P1 + step)
     cand_h2 = jnp.where(is_stay, h2[:, None], h2[:, None] * _P2 + step)
+    # exact prefix length joins the merge key as a free tiebreaker:
+    # two distinct prefixes must now collide on BOTH 32-bit hashes AND
+    # share a length before they can be fused
+    cand_len = lens[:, None] + (~is_stay).astype(lens.dtype)  # (K, V)
     parent = jnp.broadcast_to(jnp.arange(K)[:, None], (K, V))
 
     N = K * V
     f = lambda a: a.reshape(N)
     cand_b, cand_nb = f(cand_b), f(cand_nb)
     cand_h1, cand_h2 = f(cand_h1), f(cand_h2)
+    cand_len = f(cand_len)
     parent, char = f(parent), f(jnp.broadcast_to(c, (K, V)))
 
-    # ---- merge equal prefixes: lexsort on the hash pair, segment-LSE
-    order = jnp.lexsort((cand_h2, cand_h1))
+    # ---- merge equal prefixes: lexsort on (hash pair, length),
+    # segment-LSE over equal keys
+    order = jnp.lexsort((cand_len, cand_h2, cand_h1))
     h1s, h2s = cand_h1[order], cand_h2[order]
+    lns = cand_len[order]
     bs, nbs = cand_b[order], cand_nb[order]
     first = jnp.concatenate([jnp.ones((1,), bool),
                              (h1s[1:] != h1s[:-1]) |
-                             (h2s[1:] != h2s[:-1])])
+                             (h2s[1:] != h2s[:-1]) |
+                             (lns[1:] != lns[:-1])])
     seg = jnp.cumsum(first) - 1                              # (N,)
 
     def seg_lse(x):
@@ -146,6 +155,19 @@ def _beam_step(state, inputs, *, K, V, U, fusion: Optional[FusionLM]):
     new_h2 = h2s[rep[top]]
     new_b = jnp.maximum(m_b[top], NEG_INF)
     new_nb = jnp.maximum(m_nb[top], NEG_INF)
+
+    # lanes whose top-K slot landed on an empty segment (score still
+    # NEG_INF) must not inherit a real candidate's hash/tokens through
+    # the rep clip above — re-deaden them with unique junk hashes and
+    # -1 tokens so they can neither merge with a live prefix nor show
+    # up as a duplicate transcript in the returned beam
+    dead = top_score <= NEG_INF * 0.5
+    lane = jnp.arange(K, dtype=jnp.uint32)
+    new_h1 = jnp.where(dead, jnp.uint32(0x60000000) + lane, new_h1)
+    new_h2 = jnp.where(dead, jnp.uint32(0x70000000) + lane, new_h2)
+    new_toks = jnp.where(dead[:, None], jnp.int32(-1), new_toks)
+    new_lens = jnp.where(dead, 0, new_lens)
+    new_last = jnp.where(dead, -1, new_last)
 
     new_state = (new_toks, new_lens, new_last, new_h1, new_h2,
                  new_ctx, new_b, new_nb)
