@@ -99,6 +99,14 @@ double Scorer::ScoreWord(const std::vector<int>& ctx,
   return alpha_ * lp10 * kLn10 + beta_;
 }
 
+double Scorer::LogCond(const std::vector<std::string>& context,
+                       const std::string& word) const {
+  std::vector<int> ctx;
+  ctx.reserve(context.size());
+  for (const std::string& w : context) ctx.push_back(lm_.WordId(w));
+  return lm_.LogCond(ctx, lm_.WordId(word));
+}
+
 // ---------------------------------------------------------------------------
 // StreamingDecoder
 // ---------------------------------------------------------------------------

@@ -67,6 +67,12 @@ class Scorer {
   bool SaveBinary(const std::string& path) const {
     return lm_.SaveBinary(path);
   }
+  // raw log10 P(word | context) from the underlying n-gram model
+  // (unknown words map to <unk>) — the verification probe behind
+  // os2s_lm_logcond, used to check that a KenLM ".binary" scores
+  // identically to its ARPA source.
+  double LogCond(const std::vector<std::string>& context,
+                 const std::string& word) const;
 
  private:
   NGramLM lm_;

@@ -41,6 +41,24 @@ int os2s_lm_binarize(const char* arpa_path, const char* out_path) {
   return s.SaveBinary(out_path) ? 0 : -2;
 }
 
+// Raw log10 P(word | context); context is space-separated words
+// (may be empty). Verification probe for LM-format parity tests.
+double os2s_lm_logcond(void* scorer, const char* context,
+                       const char* word) {
+  std::vector<std::string> ctx;
+  const char* p = context;
+  while (p && *p) {
+    const char* sp = std::strchr(p, ' ');
+    if (sp == nullptr) {
+      ctx.emplace_back(p);
+      break;
+    }
+    if (sp != p) ctx.emplace_back(p, sp - p);
+    p = sp + 1;
+  }
+  return static_cast<Scorer*>(scorer)->LogCond(ctx, word);
+}
+
 // Decode one utterance. Returns length of text written to out (or -1).
 int os2s_decode(const float* probs, int T, int V, const char* alphabet,
                 int beam_size, double cutoff_prob, int cutoff_top_n,

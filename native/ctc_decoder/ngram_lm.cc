@@ -6,6 +6,7 @@
 #include <unistd.h>
 
 #include <algorithm>
+#include <cmath>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
@@ -16,6 +17,38 @@ namespace os2s {
 namespace {
 // 8-byte magic for the binary format ("OS2SLM" + version)
 constexpr char kMagic[8] = {'O', 'S', '2', 'S', 'L', 'M', '0', '1'};
+
+// KenLM binary files open with this sanity string (format version 5).
+constexpr char kKenlmMagic[] =
+    "mmap lm http://kheafield.com/code format version 5\n";
+
+// KenLM's n-gram key chain (lm/model.cc detail::CombineWordHash):
+// seeded with the LAST word id, then folds context words backwards.
+constexpr uint64_t kCombineA = 8978948897894561157ULL;
+constexpr uint64_t kCombineB = 17894857484156487943ULL;
+
+inline uint64_t KenlmCombine(uint64_t current, uint64_t next_id) {
+  return (current * kCombineA) ^ ((1 + next_id) * kCombineB);
+}
+
+inline uint64_t KenlmKey(const int* ids, int n) {
+  uint64_t h = (uint64_t)(uint32_t)ids[n - 1];
+  for (int i = n - 2; i >= 0; --i) h = KenlmCombine(h, (uint32_t)ids[i]);
+  return h;
+}
+
+// buckets for a KenLM probing table of `entries` records
+// (util/probing_hash_table.hh Size(), float multiplier arithmetic).
+inline uint64_t KenlmBuckets(uint64_t entries, float multiplier) {
+  uint64_t scaled = (uint64_t)(multiplier * (float)entries);
+  return entries + 1 > scaled ? entries + 1 : scaled;
+}
+
+inline uint64_t ReadU64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
 }  // namespace
 
 NGramLM::~NGramLM() {
@@ -31,11 +64,96 @@ std::string NGramLM::Key(const std::vector<int>& ids) {
 bool NGramLM::Load(const std::string& path) {
   std::ifstream probe(path, std::ios::binary);
   if (!probe.is_open()) return false;
-  char head[8] = {0};
-  probe.read(head, 8);
+  char head[64] = {0};
+  probe.read(head, 64);
   probe.close();
   if (std::memcmp(head, kMagic, 8) == 0) return LoadBinary(path);
+  if (std::memcmp(head, kKenlmMagic, sizeof(kKenlmMagic) - 1) == 0)
+    return LoadKenlm(path);
   return LoadArpa(path);
+}
+
+bool NGramLM::MapFile(const std::string& path) {
+  int fd = open(path.c_str(), O_RDONLY);
+  if (fd < 0) return false;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 24) {
+    close(fd);
+    return false;
+  }
+  map_size_ = (size_t)st.st_size;
+  map_base_ = mmap(nullptr, map_size_, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);  // mapping survives the close
+  if (map_base_ == MAP_FAILED) {
+    map_base_ = nullptr;
+    return false;
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// KenLM ".binary" reader (format documented in ngram_lm.h). Only the
+// PROBING model type (build_binary's default, model_type 0) is
+// supported; trie variants must be converted through ARPA text.
+// ---------------------------------------------------------------------------
+bool NGramLM::LoadKenlm(const std::string& path) {
+  if (!MapFile(path)) return false;
+  const uint8_t* b = (const uint8_t*)map_base_;
+  const uint8_t* end = b + map_size_;
+  if (map_size_ < 136) return false;
+
+  int order = b[88];
+  float multiplier;
+  int32_t model_type, has_vocab;
+  std::memcpy(&multiplier, b + 92, 4);
+  std::memcpy(&model_type, b + 96, 4);
+  std::memcpy(&has_vocab, b + 100, 4);
+  if (model_type != 0) {
+    std::fprintf(stderr,
+                 "NGramLM: KenLM model_type %d unsupported (only PROBING"
+                 " binaries load directly; rebuild with `build_binary "
+                 "probing` or convert via ARPA text)\n",
+                 model_type);
+    return false;
+  }
+  if (!has_vocab) {
+    std::fprintf(stderr,
+                 "NGramLM: KenLM binary lacks an embedded vocabulary "
+                 "(build_binary was run with vocabulary stripping)\n");
+    return false;
+  }
+  if (order < 1 || (size_t)(108 + 8 * order) > map_size_) return false;
+  std::vector<uint64_t> counts(order);
+  for (int k = 0; k < order; ++k) counts[k] = ReadU64(b + 108 + 8 * k);
+
+  size_t off = (size_t)(108 + 8 * order);
+  off = (off + 7) & ~(size_t)7;  // header padding
+  off += 8;                      // ProbingVocabularyHeader {version, bound}
+  off += KenlmBuckets(counts[0], multiplier) * 12;  // vocab hash table
+  if (off + (counts[0] + 1) * 8 > map_size_) return false;
+  kenlm_unigrams_ = b + off;
+  kenlm_n_unigrams_ = counts[0];
+  off += (counts[0] + 1) * 8;
+  kenlm_tables_.resize(order >= 2 ? order - 1 : 0);
+  for (int k = 2; k <= order; ++k) {
+    KenlmTable& t = kenlm_tables_[k - 2];
+    t.has_backoff = k < order;
+    t.buckets = KenlmBuckets(counts[k - 1], multiplier);
+    t.base = b + off;
+    off += t.buckets * t.stride();
+    if (off > map_size_) return false;
+  }
+  // vocab strings, NUL-separated in id order, run to end of file
+  const char* w = (const char*)(b + off);
+  vocab_.reserve(counts[0]);
+  for (uint64_t i = 0; i < counts[0]; ++i) {
+    size_t len = strnlen(w, (size_t)((const char*)end - w));
+    vocab_.emplace(std::string(w, len), (int)i);
+    w += len + 1;
+    if (w > (const char*)end) return false;
+  }
+  order_ = order;
+  return true;
 }
 
 bool NGramLM::LoadArpa(const std::string& arpa_path) {
@@ -97,7 +215,8 @@ bool NGramLM::LoadArpa(const std::string& arpa_path) {
 //     sorted ascending by id tuple
 // ---------------------------------------------------------------------------
 bool NGramLM::SaveBinary(const std::string& path) const {
-  if (order_ == 0 || !bin_tables_.empty()) return false;  // hash mode only
+  if (order_ == 0 || !bin_tables_.empty() || kenlm_unigrams_ != nullptr)
+    return false;  // hash (ARPA-loaded) mode only
   std::ofstream out(path, std::ios::binary | std::ios::trunc);
   if (!out.is_open()) return false;
   out.write(kMagic, 8);
@@ -151,20 +270,7 @@ bool NGramLM::SaveBinary(const std::string& path) const {
 }
 
 bool NGramLM::LoadBinary(const std::string& path) {
-  int fd = open(path.c_str(), O_RDONLY);
-  if (fd < 0) return false;
-  struct stat st;
-  if (fstat(fd, &st) != 0 || st.st_size < 24) {
-    close(fd);
-    return false;
-  }
-  map_size_ = (size_t)st.st_size;
-  map_base_ = mmap(nullptr, map_size_, PROT_READ, MAP_PRIVATE, fd, 0);
-  close(fd);  // mapping survives the close
-  if (map_base_ == MAP_FAILED) {
-    map_base_ = nullptr;
-    return false;
-  }
+  if (!MapFile(path)) return false;
   const uint8_t* p = (const uint8_t*)map_base_;
   const uint8_t* end = p + map_size_;
   p += 8;  // magic (verified by Load)
@@ -207,6 +313,36 @@ bool NGramLM::LoadBinary(const std::string& path) {
 bool NGramLM::Find(const std::vector<int>& ids, Entry* e) const {
   int k = (int)ids.size();
   if (k < 1 || k > order_) return false;
+  if (kenlm_unigrams_ != nullptr) {
+    for (int id : ids)
+      if (id < 0 || (uint64_t)id >= kenlm_n_unigrams_) return false;
+    if (k == 1) {
+      std::memcpy(e, kenlm_unigrams_ + (size_t)ids[0] * 8, 8);
+      // non-longest probs carry KenLM's left-extension flag in the
+      // sign bit; true log10 probs are always <= 0
+      if (order_ > 1) e->prob = -std::fabs(e->prob);
+      return true;
+    }
+    const KenlmTable& t = kenlm_tables_[k - 2];
+    if (t.buckets == 0) return false;
+    uint64_t key = KenlmKey(ids.data(), k);
+    uint64_t i = key % t.buckets;
+    for (uint64_t probes = 0; probes < t.buckets; ++probes) {
+      const uint8_t* rec = t.base + (size_t)i * t.stride();
+      uint64_t stored = ReadU64(rec);
+      if (stored == key) {
+        float prob, backoff = 0.0f;
+        std::memcpy(&prob, rec + 8, 4);
+        if (t.has_backoff) std::memcpy(&backoff, rec + 12, 4);
+        e->prob = (k == order_) ? prob : -std::fabs(prob);
+        e->backoff = backoff;
+        return true;
+      }
+      if (stored == 0) return false;  // empty bucket ends the probe run
+      if (++i == t.buckets) i = 0;
+    }
+    return false;
+  }
   if (!bin_tables_.empty()) {
     const BinTable& t = bin_tables_[k - 1];
     size_t rec = t.record_bytes();

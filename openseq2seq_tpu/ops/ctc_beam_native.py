@@ -46,6 +46,9 @@ def _load():
     lib.os2s_scorer_set_dict.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.os2s_lm_binarize.restype = ctypes.c_int
     lib.os2s_lm_binarize.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.os2s_lm_logcond.restype = ctypes.c_double
+    lib.os2s_lm_logcond.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_char_p]
     lib.os2s_decode_nbest.restype = ctypes.c_int
     lib.os2s_decode_nbest.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -88,8 +91,10 @@ def available() -> bool:
 class NativeScorer:
     def __init__(self, alpha: float, beta: float, arpa_path: str,
                  build_trie: bool = True, dict_constrained: bool = False):
-        """``arpa_path`` may be a text ARPA or the mmap binary format
-        produced by :func:`binarize` (auto-detected).
+        """``arpa_path`` may be a text ARPA, the mmap binary format
+        produced by :func:`binarize`, or a KenLM PROBING ``.binary``
+        (all auto-detected from the file magic — reference
+        `decoders/scorer.cpp:19-40` loads KenLM binaries the same way).
         ``dict_constrained`` enables the hard lexicon constraint
         (reference FSTMATCH, `decoders/scorer.h:77-89`)."""
         lib = _load()
@@ -103,6 +108,14 @@ class NativeScorer:
             raise ValueError("failed to load ARPA LM: " + arpa_path)
         if dict_constrained:
             lib.os2s_scorer_set_dict(self._ptr, 1)
+
+    def log_cond(self, context: Sequence[str], word: str) -> float:
+        """Raw log10 P(word | context) from the loaded n-gram model.
+
+        Verification probe: LM-format parity tests assert a KenLM
+        ``.binary`` scores identically to its ARPA source through this."""
+        return self._lib.os2s_lm_logcond(
+            self._ptr, " ".join(context).encode(), word.encode())
 
     def __del__(self):
         if getattr(self, "_ptr", None):
