@@ -231,6 +231,11 @@ class TransformerDataLayer(DataLayer):
             "pad_lengths_to_eight": bool,
             "pad_vocab_to_eight": bool,
             "batch_in_tokens": bool,
+            # T2T wordpiece vocab file ('subtoken' per line): enables
+            # real detokenization for samples/BLEU/infer output, id-
+            # compatible with reference-preprocessed TFRecords
+            # (reference models/text2text.py + tokenizer.py Subtokenizer)
+            "vocab_file": str,
         })
 
     def __init__(self, params, model, num_workers=1, worker_id=0):
@@ -238,6 +243,10 @@ class TransformerDataLayer(DataLayer):
         import glob as _glob
         p = self._params
         p["tgt_vocab_size"] = p["src_vocab_size"]
+        self._subtokenizer = None
+        if p.get("vocab_file"):
+            from .wordpiece import WordpieceSubtokenizer
+            self._subtokenizer = WordpieceSubtokenizer(p["vocab_file"])
         pattern = os.path.join(p["data_dir"], p["file_pattern"])
         files = sorted(_glob.glob(pattern))
         if not files:
@@ -258,6 +267,22 @@ class TransformerDataLayer(DataLayer):
             self._size = sum(1 for path in self._files
                              for _ in read_tfrecords(path))
         return self._size
+
+    def decode_ids(self, ids, side: str = "tgt") -> str:
+        """ids -> text. With ``vocab_file`` this is true wordpiece
+        detokenization (reference Subtokenizer.decode); without it,
+        space-joined raw ids (enough for matching-based metrics)."""
+        out = []
+        for i in np.asarray(ids).tolist():
+            i = int(i)
+            if i == SpecialTextTokens.EOS_ID.value:
+                break
+            if i == SpecialTextTokens.PAD_ID.value or i < 0:
+                continue
+            out.append(i)
+        if self._subtokenizer is not None:
+            return self._subtokenizer.decode(out)
+        return " ".join(str(i) for i in out)
 
     def iterate_one_epoch(self) -> Iterator[Dict[str, Any]]:
         from .t2t import parse_example, read_tfrecords

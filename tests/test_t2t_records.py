@@ -100,3 +100,35 @@ def test_imagenet_tfrecord_layer(tmp_path):
     batches = list(dl.iterate_one_epoch())
     assert batches[0]["source_tensors"][0].shape == (2, 32, 32, 3)
     assert np.asarray(batches[0]["target_tensors"][0]).tolist() == [0, 1]
+
+
+def test_transformer_layer_wordpiece_detok(tmp_path):
+    """vocab_file enables true wordpiece detokenization in decode_ids
+    (the reference detokenizes TransformerDataLayer output through its
+    T2T Subtokenizer)."""
+    from openseq2seq_tpu.data.text2text.wordpiece import (
+        WordpieceSubtokenizer)
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(["the quick brown fox jumps",
+                                 "the lazy dog sleeps"] * 30))
+    vocab = str(tmp_path / "wp.vocab")
+    tok = WordpieceSubtokenizer.init_from_files(
+        vocab, [str(corpus)], target_vocab_size=100, threshold=50,
+        min_count=2)
+    sent = "the quick dog"
+    ids = tok.encode(sent, add_eos=True)
+    path = str(tmp_path / "wmt-train-00000-of-00001")
+    write_tfrecords(path, [{"inputs": ids, "targets": ids}])
+    dl = TransformerDataLayer({
+        "mode": "train",
+        "data_dir": str(tmp_path),
+        "file_pattern": "wmt-train-*",
+        "src_vocab_size": tok.vocab_size,
+        "batch_size": 1,
+        "max_length": 32,
+        "shuffle": False,
+        "vocab_file": vocab,
+    }, model=None)
+    batch = next(iter(dl.iterate_one_epoch()))
+    y, y_len = batch["target_tensors"]
+    assert dl.decode_ids(y[0][:int(y_len[0])]) == sent
