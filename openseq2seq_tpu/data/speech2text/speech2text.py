@@ -274,6 +274,11 @@ class Speech2TextDataLayer(DataLayer):
                 raise ValueError("'width_freq_mask' should be smaller than "
                                  "'num_audio_features'")
 
+        if p.get("syn_enable", False) and not p.get("syn_subdirs"):
+            raise ValueError("syn_enable=True requires a non-empty "
+                             "'syn_subdirs' list of synthetic-wav "
+                             "subdirectories")
+
         if p.get("interactive", False):
             self.all_files = []
             self._files = []
@@ -303,6 +308,20 @@ class Speech2TextDataLayer(DataLayer):
         return len(self._files)
 
     # ------------------------------------------------------------------
+    def _resolve_wav(self, path: str, rng=None) -> str:
+        """Synthetic-speech training augmentation (``syn_enable``): CSV
+        wav paths are format templates (``.../{}/utt.wav``) and each
+        load substitutes one randomly-chosen subdir from
+        ``syn_subdirs`` — a different TTS rendition of the utterance
+        per epoch (reference `speech2text.py:421-422` +
+        `scripts/nsr_create_syn_train_csv.py`)."""
+        if self.params.get("syn_enable", False):
+            r = rng if rng is not None else self._rng
+            path = path.format(
+                self.params["syn_subdirs"][
+                    int(r.randint(len(self.params["syn_subdirs"])))])
+        return path
+
     def _featurize(self, wav_path: str, rng=None):
         return _featurize_path(self.params, wav_path,
                                rng if rng is not None else self._rng)
@@ -345,7 +364,8 @@ class Speech2TextDataLayer(DataLayer):
         # was its acknowledged input bottleneck
         # (`docs/speech-commands.rst:28`)
         workers = max(int(p.get("map_parallel_calls", 4)), 1)
-        randomized = bool(p.get("augmentation")) or p.get("dither", 0) > 0
+        randomized = (bool(p.get("augmentation")) or p.get("dither", 0) > 0
+                      or p.get("syn_enable", False))
         on_device = p.get("featurize_on_device", False)
         self._epoch_counter += 1
 
@@ -403,7 +423,10 @@ class Speech2TextDataLayer(DataLayer):
                     ctx = mp.get_context("spawn")
                 with ctx.Pool(workers, initializer=_pool_init,
                               initargs=(safe,)) as pool:
-                    tasks = [(self._files[i][0],
+                    tasks = [(self._resolve_wav(
+                                  self._files[i][0],
+                                  self.example_rng(i) if randomized
+                                  else None),
                               self.example_seed(i) if randomized else None)
                              for i in order]
                     for gi, res in zip(
@@ -426,11 +449,18 @@ class Speech2TextDataLayer(DataLayer):
         def load(global_idx):
             row = self._files[global_idx]
             rng = self.example_rng(global_idx) if randomized else None
+            # fresh RNG for the subdir draw: featurization must see an
+            # unconsumed stream so thread- and process-pool paths stay
+            # bit-identical (the pool resolves in the parent, then the
+            # worker re-creates its rng from the bare seed)
+            wav = self._resolve_wav(
+                row[0], self.example_rng(global_idx) if randomized
+                else None)
             try:
                 if on_device:
-                    features, duration = self._load_audio(row[0])
+                    features, duration = self._load_audio(wav)
                 else:
-                    features, duration = self._featurize(row[0], rng=rng)
+                    features, duration = self._featurize(wav, rng=rng)
             except (OSError, ValueError) as e:
                 return ("error", global_idx, e)
             return ("ok", global_idx, features, duration, row)

@@ -216,3 +216,70 @@ def test_feature_cache_with_masks_only_augmentation(toy_speech_data,
         np.mean(x["source_tensors"][0] != y["source_tensors"][0])
         for x, y in zip(warm, plain)]
     assert 0 < np.mean(masked_cells) < 0.6, masked_cells
+
+
+def test_syn_enable_substitutes_random_subdir(toy_speech_data, tmp_path):
+    """syn_enable: CSV wav paths are '{}' templates; each load picks a
+    random syn_subdirs rendition (reference speech2text.py:421-422).
+    Distinguishable wavs per subdir prove real substitution, and the
+    thread/process paths must agree."""
+    import os
+    import shutil
+    from openseq2seq_tpu.data.speech2text import Speech2TextDataLayer
+    from openseq2seq_tpu.test_utils import toy_speech
+
+    # two synthetic renditions: same transcripts, different noise seeds
+    for sub, seed in (("synA", 1), ("synB", 2)):
+        toy_speech.generate(str(tmp_path / sub), seed=seed, noise=0.05)
+    # template CSV pointing into {} subdirs
+    rows = ["wav_filename,wav_filesize,transcript"]
+    with open(toy_speech_data["csv"]) as f:
+        next(f)
+        for line in f:
+            wav, size, text = line.strip().split(",")
+            rows.append("{},{},{}".format(
+                os.path.join(str(tmp_path), "{}",
+                             os.path.basename(wav)), size, text))
+    csv = tmp_path / "syn.csv"
+    csv.write_text("\n".join(rows) + "\n")
+
+    def batches(use_pool, seed=11):
+        dl = Speech2TextDataLayer({
+            "mode": "train", "batch_size": 4, "shuffle": False,
+            "num_audio_features": 24, "input_type": "logfbank",
+            "vocab_file": toy_speech_data["vocab"],
+            "dataset_files": [str(csv)],
+            "sample_freq": 16000,
+            "syn_enable": True,
+            "syn_subdirs": ["synA", "synB"],
+            "use_process_pool": use_pool,
+        }, model=None)
+        dl.seed(seed)
+        return list(dl.iterate_one_epoch())
+
+    bt = batches(False)
+    assert len(bt) > 0
+    # thread and process pools draw the same renditions + features
+    for x, y in zip(bt, batches(True)):
+        np.testing.assert_array_equal(x["source_tensors"][0],
+                                      y["source_tensors"][0])
+    # different layer seeds pick different renditions (features differ)
+    other = batches(False, seed=12)
+    assert any(
+        x["source_tensors"][0].shape != y["source_tensors"][0].shape
+        or not np.array_equal(x["source_tensors"][0],
+                              y["source_tensors"][0])
+        for x, y in zip(bt, other))
+
+
+def test_syn_enable_requires_subdirs(toy_speech_data):
+    from openseq2seq_tpu.data.speech2text import Speech2TextDataLayer
+    with pytest.raises(ValueError, match="syn_subdirs"):
+        Speech2TextDataLayer({
+            "mode": "train", "batch_size": 4, "shuffle": False,
+            "num_audio_features": 24, "input_type": "logfbank",
+            "vocab_file": toy_speech_data["vocab"],
+            "dataset_files": [toy_speech_data["csv"]],
+            "sample_freq": 16000,
+            "syn_enable": True,
+        }, model=None)
