@@ -1,9 +1,16 @@
 #!/usr/bin/env python
 """Benchmark: Jasper-10x5 training throughput on the available chip(s).
 
-Prints ONE JSON line:
+Prints a JSON line (the LAST line is the full result):
   {"metric": "jasper10x5_train_utt_per_sec_per_chip", "value": N,
-   "unit": "utt/s/chip", "vs_baseline": N / 32.0}
+   "unit": "utt/s/chip", "vs_baseline": N / 32.0,
+   "e2e_value": M, ...}
+
+``value`` is the synthetic-input compute ceiling; ``e2e_value`` is the
+same recipe fed by the REAL host pipeline (wav load -> logfbank ->
+SpecAugment -> collate -> prefetch -> H2D), measured by running
+scripts/bench_e2e.py as a budgeted subprocess (skip: BENCH_E2E=0).
+The synthetic line is printed first so a result always exists.
 
 Baseline: NVIDIA publishes Jasper throughput only as scaling plots
 (BASELINE.md notes); public NVIDIA DeepLearningExamples numbers put
@@ -142,7 +149,48 @@ def main():
     }
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
-    print(json.dumps(result))
+    # the synthetic (compute-ceiling) line goes out immediately so a
+    # result exists even if the end-to-end phase below is cut short
+    print(json.dumps(result), flush=True)
+
+    e2e = _end_to_end_phase()
+    if e2e is not None:
+        # merged line: compute ceiling AND deliverable throughput with
+        # the REAL host pipeline (wav -> logfbank -> SpecAugment ->
+        # collate -> prefetch -> H2D), so the recorded metric cannot
+        # silently diverge from what a user gets (VERDICT r3 #7)
+        result["e2e_value"] = e2e.get("value")
+        result["e2e_host_cached_utt_per_sec"] = \
+            e2e.get("host_cached_utt_per_sec")
+        result["e2e_host_featurize_utt_per_sec"] = \
+            e2e.get("host_featurize_utt_per_sec")
+        print(json.dumps(result), flush=True)
+
+
+def _end_to_end_phase():
+    """Run scripts/bench_e2e.py (real host input pipeline feeding the
+    flagship recipe's jitted step) in a budgeted subprocess; returns its
+    parsed JSON line or None. Skip with BENCH_E2E=0; budget via
+    BENCH_E2E_BUDGET seconds (default 2400 — the recipe program is a
+    fresh remote compile)."""
+    import os
+    import subprocess
+    if os.environ.get("BENCH_E2E", "1") == "0":
+        return None
+    budget = int(os.environ.get("BENCH_E2E_BUDGET", "2400"))
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_e2e.py")
+    try:
+        proc = subprocess.run(
+            [sys.executable, script, "--steps", "15", "--n_utts", "640"],
+            capture_output=True, text=True, timeout=budget)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except (subprocess.TimeoutExpired, OSError, ValueError):
+        pass
+    return None
 
 
 if __name__ == "__main__":

@@ -117,15 +117,21 @@ class LMNet(nn.Module):
             sampling = (train and 0 < self.num_sampled < self.vocab_size)
             out = {"outputs": h, "src_length": lengths}
             if weights is None:
-                logits = dense(h.astype(jnp.float32))
                 if sampling:
+                    # touch the projection so its params exist, but do
+                    # NOT materialize full (B, T, V) logits — at
+                    # wkt103 scale that tensor is 21 GiB and the
+                    # sampled-softmax loss never reads it (it runs on
+                    # the weights/inputs bundle below)
+                    _ = dense(h[:, :1].astype(jnp.float32))
                     # Dense kernel is (E, V): hand the loss (V, E)
                     weights = dense.variables["params"]["kernel"].T
                     bias = dense.variables["params"]["bias"]
-            else:
-                logits = jnp.einsum("btd,vd->btv", h.astype(jnp.float32),
-                                    weights) + bias
-            out["logits"] = logits
+                else:
+                    out["logits"] = dense(h.astype(jnp.float32))
+            elif not sampling:
+                out["logits"] = jnp.einsum(
+                    "btd,vd->btv", h.astype(jnp.float32), weights) + bias
             if sampling:
                 # sampled-softmax bundle (reference
                 # `encoders/lm_encoders.py:375-381`): the loss computes

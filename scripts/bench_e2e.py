@@ -33,7 +33,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V100_BASELINE_UTT_PER_SEC = 32.0
-SYNTHETIC_CEILING = 164.8          # BENCH_r02.json, same model/bs/T
+SYNTHETIC_CEILING = 168.3          # BENCH_r03.json, same model/bs/T
 RECIPE = "example_configs/speech2text/jasper10x5_LibriSpeech.py"
 
 
