@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .decoder import Decoder
+from ..parts.initializers import resolve_initializer
 from ..ops.ctc import ctc_greedy_decode
 from ..ops.ctc_beam_tpu import FusionLM, ctc_beam_search_tpu
 
@@ -38,6 +39,10 @@ class FullyConnectedDecoder(Decoder):
         output_dim = self._params["output_dim"]
         dtype = jnp.float32 if self._model is None \
             else self._model.mp_policy.compute_dtype
+        kinit = resolve_initializer(
+            self._params.get("initializer"),
+            self._params.get("initializer_params")) or \
+            nn.linear.default_kernel_init
 
         class FCDecoderModule(nn.Module):
             @nn.compact
@@ -46,6 +51,7 @@ class FullyConnectedDecoder(Decoder):
                 if x.ndim > 2:
                     x = x.reshape((x.shape[0], -1))
                 logits = nn.Dense(output_dim, dtype=dtype,
+                                  kernel_init=kinit,
                                   param_dtype=jnp.float32,
                                   name="fully_connected")(x)
                 return {"logits": logits,
@@ -74,6 +80,10 @@ class FullyConnectedTimeDecoder(Decoder):
         dtype = jnp.float32 if self._model is None \
             else self._model.mp_policy.compute_dtype
         to_outputs = self._params.get("logits_to_outputs_func", None)
+        kinit = resolve_initializer(
+            self._params.get("initializer"),
+            self._params.get("initializer_params")) or \
+            nn.linear.default_kernel_init
 
         class FCTimeDecoderModule(nn.Module):
             @nn.compact
@@ -81,6 +91,7 @@ class FullyConnectedTimeDecoder(Decoder):
                 x = input_dict["encoder_output"]["outputs"]
                 src_length = input_dict["encoder_output"]["src_length"]
                 logits = nn.Dense(vocab, dtype=dtype,
+                                  kernel_init=kinit,
                                   param_dtype=jnp.float32,
                                   name="fully_connected")(x)
                 # logits feed fp32 losses/decoders
@@ -152,6 +163,10 @@ class FullyConnectedCTCDecoder(FullyConnectedTimeDecoder):
             else self._model.mp_policy.compute_dtype
         beam_k = int(self._params.get("on_device_beam_width", 0))
         fusion = self._make_fusion() if beam_k > 1 else None
+        kinit = resolve_initializer(
+            self._params.get("initializer"),
+            self._params.get("initializer_params")) or \
+            nn.linear.default_kernel_init
 
         class FCCTCDecoderModule(nn.Module):
             @nn.compact
@@ -159,6 +174,7 @@ class FullyConnectedCTCDecoder(FullyConnectedTimeDecoder):
                 x = input_dict["encoder_output"]["outputs"]
                 src_length = input_dict["encoder_output"]["src_length"]
                 logits = nn.Dense(vocab, dtype=dtype,
+                                  kernel_init=kinit,
                                   param_dtype=jnp.float32,
                                   name="fully_connected")(x)
                 logits = logits.astype(jnp.float32)
@@ -193,6 +209,10 @@ class FullyConnectedSCDecoder(FullyConnectedDecoder):
         output_dim = self._params["output_dim"]
         dtype = jnp.float32 if self._model is None \
             else self._model.mp_policy.compute_dtype
+        kinit = resolve_initializer(
+            self._params.get("initializer"),
+            self._params.get("initializer_params")) or \
+            nn.linear.default_kernel_init
 
         class FCSCDecoderModule(nn.Module):
             @nn.compact
@@ -208,6 +228,7 @@ class FullyConnectedSCDecoder(FullyConnectedDecoder):
                 elif x.ndim > 2:
                     x = x.reshape((x.shape[0], -1))
                 logits = nn.Dense(output_dim, dtype=dtype,
+                                  kernel_init=kinit,
                                   param_dtype=jnp.float32,
                                   name="fully_connected")(x)
                 return {"logits": logits.astype(jnp.float32),

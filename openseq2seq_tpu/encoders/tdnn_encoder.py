@@ -101,10 +101,12 @@ class TDNNNet(nn.Module):
     drop_block_prob: float
     drop_block_index: int
     dtype: Any
+    kernel_init: Optional[Callable] = None   # None: flax default
 
     @nn.compact
     def __call__(self, x, lengths, train: bool):
         x = x.astype(self.dtype)
+        kinit = self.kernel_init or nn.linear.default_kernel_init
         residuals: List[jax.Array] = []   # saved block outputs (dense topology)
         norm = lambda nm: _Norm(self.normalization, self.bn_momentum,  # noqa: E731
                                 self.bn_epsilon, self.dtype, name=nm)
@@ -140,6 +142,7 @@ class TDNNNet(nn.Module):
                     # causal temporal conv (reference parts/cnns/tcn.py)
                     x = nn.Conv(ch, kernel_size=(k,), strides=(s,),
                                 kernel_dilation=(d,), padding="CAUSAL",
+                                kernel_init=kinit,
                                 dtype=self.dtype, param_dtype=jnp.float32,
                                 name=name)(x)
                 elif kind == "sep_conv1d":
@@ -147,14 +150,17 @@ class TDNNNet(nn.Module):
                     x = nn.Conv(in_ch, kernel_size=(k,), strides=(s,),
                                 kernel_dilation=(d,), padding=padding,
                                 feature_group_count=in_ch,
+                                kernel_init=kinit,
                                 dtype=self.dtype, param_dtype=jnp.float32,
                                 name=name + "_dw")(x)
                     x = nn.Conv(ch, kernel_size=(1,), dtype=self.dtype,
+                                kernel_init=kinit,
                                 param_dtype=jnp.float32,
                                 name=name + "_pw")(x)
                 else:
                     x = nn.Conv(ch, kernel_size=(k,), strides=(s,),
                                 kernel_dilation=(d,), padding=padding,
+                                kernel_init=kinit,
                                 dtype=self.dtype, param_dtype=jnp.float32,
                                 name=name)(x)
                 x = norm("norm{}_{}".format(li + 1, r + 1))(x, train)
@@ -166,6 +172,7 @@ class TDNNNet(nn.Module):
                     res_sum = jnp.zeros_like(x)
                     for si, src in enumerate(res_sources):
                         proj = nn.Conv(ch, kernel_size=(1,),
+                                       kernel_init=kinit,
                                        dtype=self.dtype,
                                        param_dtype=jnp.float32,
                                        name="res{}_{}".format(li + 1, si))(src)
@@ -221,6 +228,7 @@ class TDNNEncoder(Encoder):
         })
 
     def make_module(self):
+        from ..parts.initializers import resolve_initializer
         p = self._params
         net = TDNNNet(
             convnet_layers=tuple(p["convnet_layers"]),
@@ -233,6 +241,8 @@ class TDNNEncoder(Encoder):
             drop_block_prob=p.get("drop_block_prob", 0.0),
             drop_block_index=p.get("drop_block_index", -1),
             dtype=self.compute_dtype,
+            kernel_init=resolve_initializer(
+                p.get("initializer"), p.get("initializer_params")),
         )
 
         class TDNNEncoderModule(nn.Module):

@@ -37,13 +37,27 @@ class EncoderDecoderModel(Model):
         self._loss_computator = (self._create_loss()
                                  if mode in ("train", "eval") else None)
 
+    def _inherit_initializer(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """If the component sets no initializer, the model-level one
+        applies (reference `encoders/encoder.py:68-69`: "If no
+        initializer is provided, model initializer will be used")."""
+        if "initializer" not in params and \
+                self._params.get("initializer") is not None:
+            params["initializer"] = self._params["initializer"]
+            if self._params.get("initializer_params") is not None:
+                params.setdefault("initializer_params",
+                                  self._params["initializer_params"])
+        return params
+
     def _create_encoder(self):
-        params = dict(self._params.get("encoder_params", {}))
+        params = self._inherit_initializer(
+            dict(self._params.get("encoder_params", {})))
         return self._params["encoder"](params=params, model=self,
                                        mode=self._mode)
 
     def _create_decoder(self):
-        params = dict(self._params.get("decoder_params", {}))
+        params = self._inherit_initializer(
+            dict(self._params.get("decoder_params", {})))
         return self._params["decoder"](params=params, model=self,
                                        mode=self._mode)
 

@@ -89,12 +89,18 @@ def jasper_model_params(data_layer, data_layer_params: Dict[str, Any],
             "convnet_layers": jasper_convnet_layers(
                 num_blocks, block_repeat, width_scale=width_scale),
             "dropout_keep_prob": 0.7,
+            # reference: xavier_initializer(uniform=False) — glorot
+            # normal (`jasper10x5_LibriSpeech_nvgrad_masks.py:151-154`)
+            "initializer": "xavier_normal",
             "normalization": "batch_norm",
             "activation_fn": jax.nn.relu,
             "use_conv_mask": True,
         },
         "decoder": FullyConnectedCTCDecoder,
-        "decoder_params": {"use_language_model": False},
+        # decoder initializer: the reference passes xavier_initializer
+        # with TF's default uniform=True (`...nvgrad_masks.py:163`)
+        "decoder_params": {"use_language_model": False,
+                           "initializer": "xavier_uniform"},
         "loss": CTCLoss,
         # the benchmarked perf defaults (BENCH_r02: 164.8 utt/s/chip at
         # MFU 0.826 on v5e) ship in the recipe itself: the fused Pallas
