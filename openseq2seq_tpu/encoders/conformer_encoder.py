@@ -122,35 +122,80 @@ class _FFN(nn.Module):
 
 
 class _ConvModule(nn.Module):
-    """LN → pointwise(2D)+GLU → depthwise(k) → norm → swish → pointwise."""
+    """LN → pointwise(2D)+GLU → depthwise(k) → norm → swish → pointwise.
+
+    Params are declared explicitly (not via nn.Conv/nn.LayerNorm
+    submodules) so the same weight tree serves two interchangeable
+    compute paths: the XLA graph below, and — with ``fused=True`` on a
+    TPU backend — the single fused Pallas kernel in
+    `ops/conformer_pallas.py` that keeps the whole chain in VMEM
+    (the conv module is the VPU/norm-bound part of the block at the
+    M scale; see that module's docstring for the measured motivation).
+    Initializer distributions match the flax submodules they replaced:
+    lecun_normal over the same fan shapes, zeros/ones for biases and
+    norm scales. Dropout stays outside both paths (same RNG stream).
+    """
     kernel_size: int
     dropout: float
     norm: str
     dtype: Any
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, lengths, train: bool):
         D = x.shape[-1]
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
-        h = nn.Conv(2 * D, kernel_size=(1,), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="pw1")(h)
+        k = self.kernel_size
+        init = nn.initializers.lecun_normal()
+        zeros, ones = nn.initializers.zeros, nn.initializers.ones
+        ln1_s = self.param("ln1_scale", ones, (D,), jnp.float32)
+        ln1_b = self.param("ln1_bias", zeros, (D,), jnp.float32)
+        w1 = self.param("pw1_kernel", init, (D, 2 * D), jnp.float32)
+        b1 = self.param("pw1_bias", zeros, (2 * D,), jnp.float32)
+        wd = self.param("dw_kernel", init, (k, D), jnp.float32)
+        bd = self.param("dw_bias", zeros, (D,), jnp.float32)
+        w2 = self.param("pw2_kernel", init, (D, D), jnp.float32)
+        b2 = self.param("pw2_bias", zeros, (D,), jnp.float32)
+        if self.norm != "batch_norm":
+            ln2_s = self.param("ln2_scale", ones, (D,), jnp.float32)
+            ln2_b = self.param("ln2_bias", zeros, (D,), jnp.float32)
+
+        from ..ops import conformer_pallas as cp
+        if (self.fused and self.norm != "batch_norm"
+                and cp.supported(x.shape, interpret=cp.FORCE_INTERPRET)):
+            h = cp.conformer_conv_module(
+                x, lengths, ln1_s, ln1_b, w1, b1, wd, bd, ln2_s, ln2_b,
+                w2, b2, interpret=cp.FORCE_INTERPRET)
+            return Dropout(rate=self.dropout,
+                           deterministic=not train)(h)
+
+        def _ln(v, scale, bias):
+            v32 = v.astype(jnp.float32)
+            mu = jnp.mean(v32, axis=-1, keepdims=True)
+            var = jnp.mean(v32 * v32, axis=-1, keepdims=True) - mu * mu
+            out = (v32 - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+            return out.astype(self.dtype)
+
+        h = _ln(x, ln1_s, ln1_b)
+        h = jnp.einsum("btd,df->btf", h, w1.astype(self.dtype)) + \
+            b1.astype(self.dtype)
         h = nn.glu(h, axis=-1)
         # padded frames must not leak through the depthwise receptive
         # field (and, for batch_norm, into the batch statistics)
         h = _mask_time(h, lengths)
-        h = nn.Conv(D, kernel_size=(self.kernel_size,),
-                    feature_group_count=D, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="dw")(h)
+        h = jax.lax.conv_general_dilated(
+            h, wd.astype(self.dtype)[:, None, :],
+            window_strides=(1,), padding="SAME", feature_group_count=D,
+            dimension_numbers=("NWC", "WIO", "NWC")) + \
+            bd.astype(self.dtype)
         if self.norm == "batch_norm":
             h = nn.BatchNorm(use_running_average=not train,
                              momentum=0.9, epsilon=1e-3, dtype=self.dtype,
                              param_dtype=jnp.float32, name="bn")(h)
         else:
-            h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
-                             name="ln")(h)
+            h = _ln(h, ln2_s, ln2_b)
         h = jax.nn.swish(h)
-        h = nn.Conv(D, kernel_size=(1,), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="pw2")(h)
+        h = jnp.einsum("btd,df->btf", h, w2.astype(self.dtype)) + \
+            b2.astype(self.dtype)
         return Dropout(rate=self.dropout, deterministic=not train)(h)
 
 
@@ -162,6 +207,7 @@ class ConformerBlock(nn.Module):
     attention_dropout: float
     conv_norm: str
     dtype: Any
+    fused_conv: bool = False
 
     @nn.compact
     def __call__(self, x, lengths, pad_mask, train: bool):
@@ -175,6 +221,7 @@ class ConformerBlock(nn.Module):
         x = x + Dropout(rate=self.dropout, deterministic=not train)(attn)
         x = x + _ConvModule(self.conv_kernel_size, self.dropout,
                             self.conv_norm, self.dtype,
+                            fused=self.fused_conv,
                             name="conv")(x, lengths, train)
         x = x + 0.5 * _FFN(self.ffn_expansion, self.dropout, self.dtype,
                            name="ffn2")(x, train)
@@ -193,6 +240,7 @@ class ConformerNet(nn.Module):
     attention_dropout: float
     conv_norm: str
     dtype_: Any
+    fused_conv: bool = False
 
     @nn.compact
     def __call__(self, feats, lengths, train: bool):
@@ -222,6 +270,7 @@ class ConformerNet(nn.Module):
                 attention_dropout=self.attention_dropout,
                 conv_norm=self.conv_norm,
                 dtype=self.dtype_,
+                fused_conv=self.fused_conv,
                 name=f"block{i}")(x, lengths, pad_mask, train)
             # model-level remat="blocks" saves only these activations
             x = checkpoint_name(x, "block_boundary")
@@ -249,6 +298,10 @@ class ConformerEncoder(Encoder):
             "dropout_keep_prob": float,
             "attention_dropout_keep_prob": float,
             "conv_norm": ["layer_norm", "batch_norm"],
+            # single fused Pallas kernel for the conv module (VMEM-
+            # resident LN->pw1->GLU->dwconv->LN->swish->pw2; TPU only,
+            # layer_norm only — silently uses the XLA path elsewhere)
+            "fused_conv_module": bool,
         })
 
     def make_module(self):
@@ -267,6 +320,7 @@ class ConformerEncoder(Encoder):
                 p.get("dropout_keep_prob", 0.9)),
             conv_norm=p.get("conv_norm", "layer_norm"),
             dtype_=self.compute_dtype,
+            fused_conv=p.get("fused_conv_module", False),
         )
 
         class ConformerEncoderModule(nn.Module):

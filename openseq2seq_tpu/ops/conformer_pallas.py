@@ -1,0 +1,415 @@
+"""Fused Conformer convolution module as Pallas TPU kernels.
+
+Why: at the Conformer-M scale (D=256) the block is VPU/norm-bound, not
+MXU-bound — measured MFU 0.16 vs 0.27+ for Conformer-L (PARITY.md).
+The conv module is the worst offender: XLA materializes every link of
+LN -> pointwise(2D) -> GLU -> mask -> depthwise(k) -> LN -> swish ->
+pointwise to HBM (matmul boundaries break elementwise fusion), and the
+depthwise conv itself lowers to a poor TPU program. Here the whole
+module runs inside one Pallas kernel per batch tile: HBM traffic drops
+from ~8 intermediate (B, T, D)-class tensors to exactly read-x/write-y,
+the two pointwise matmuls hit the MXU on a (R*T, D) tile, and the
+depthwise conv is k masked-roll FMAs over VMEM-resident data.
+
+Kernel layout: grid over batch tiles of R rows. Each program flattens
+its (R, T, D) block to (R*T, D) so LayerNorms (lane reductions), GLU,
+swish and the matmuls all vectorize across rows; the depthwise conv's
+time shifts are per-row rolls over the flattened axis with an
+in-row-validity mask (t+s within [0, T)) so taps never leak across
+batch rows. Padded time positions are zeroed before the conv exactly
+like the XLA path's ``_mask_time`` (`encoders/tdnn_encoder.py:53`).
+
+Backward (``jax.custom_vjp``): the only residuals are the input x and
+the weights — the backward kernel recomputes the forward intermediates
+in VMEM (rematerialization at VMEM speed) and emits dx plus all weight
+gradients, accumulated across the sequential grid into revisited
+output blocks.
+
+Dropout and the residual add stay OUTSIDE the kernel (they are one
+fusable elementwise op for XLA and keeping them out preserves the flax
+RNG stream bit-for-bit vs the unfused module).
+
+No reference counterpart: OpenSeq2Seq predates the Conformer. The op
+mirrors `encoders/conformer_encoder.py:_ConvModule` (layer_norm
+variant; batch_norm falls back to XLA because running statistics are
+training state, not a pure function).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 9 * 1024 * 1024   # leave headroom under ~16MB/core
+
+# CPU tests flip this to run the kernels in interpreter mode (compiled
+# Pallas needs a real TPU; interpret is far too slow to be a silent
+# production fallback, so it is opt-in and test-only).
+FORCE_INTERPRET = False
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _ln_fwd(x, scale, bias, eps):
+    """LayerNorm over the last axis, f32 statistics (flax semantics:
+    fast variance E[x^2]-E[x]^2, 1/D normalization)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + eps)
+    xh = (x32 - mu) * rstd
+    return xh * scale + bias, xh, rstd
+
+
+def _ln_bwd(dh, xh, rstd, scale):
+    """Given d(out), the normalized xh and rstd, return (dx, dscale,
+    dbias) for LayerNorm (1/D stats)."""
+    dscale = jnp.sum(dh * xh, axis=0, keepdims=True)
+    dbias = jnp.sum(dh, axis=0, keepdims=True)
+    dxh = dh * scale
+    dx = rstd * (dxh
+                 - jnp.mean(dxh, axis=-1, keepdims=True)
+                 - xh * jnp.mean(dxh * xh, axis=-1, keepdims=True))
+    return dx, dscale, dbias
+
+
+def _row_meta(R, Tp, len_ref):
+    """(N, 1) in-row time index and per-position length vector from the
+    (R, 1) SMEM lengths."""
+    N = R * Tp
+    g = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    t_idx = g % Tp
+    row_id = g // Tp
+    lens = jnp.zeros((N, 1), jnp.int32)
+    for r in range(R):
+        lens = jnp.where(row_id == r, len_ref[r, 0], lens)
+    return t_idx, lens
+
+
+def _roll(x, s):
+    """Signed circular roll along axis 0 (pltpu.roll wants shift>=0)."""
+    return x if s % x.shape[0] == 0 else \
+        pltpu.roll(x, s % x.shape[0], 0)
+
+
+def _dw_taps(u, wd_ref, k, Tp, t_idx):
+    """Depthwise conv over the flattened (N, D) tile: k masked-roll
+    FMAs; the validity mask keeps every tap inside its own row."""
+    P = (k - 1) // 2
+    acc = jnp.zeros_like(u)
+    for j in range(k):
+        s = j - P
+        tap = _roll(u, -s)
+        valid = jnp.logical_and(t_idx + s >= 0, t_idx + s < Tp)
+        acc = acc + wd_ref[j, :][None, :] * jnp.where(valid, tap, 0.0)
+    return acc
+
+
+def _compute_forward(x32, t_idx, lens, ln1s_ref, ln1b_ref, w1_ref,
+                     b1_ref, wd_ref, bd_ref, ln2s_ref, ln2b_ref,
+                     k, Tp, eps, mxu_dtype):
+    """Shared fwd chain up to the swish output (everything the backward
+    must rematerialize). Returns the intermediates the bwd needs."""
+    D = x32.shape[-1]
+    h0, xh1, rstd1 = _ln_fwd(x32, ln1s_ref[0, :], ln1b_ref[0, :], eps)
+    a = jnp.dot(h0.astype(mxu_dtype), w1_ref[:].astype(mxu_dtype),
+                preferred_element_type=jnp.float32) + b1_ref[0, :]
+    p, q = a[:, :D], a[:, D:]
+    sq = jax.nn.sigmoid(q)
+    u = p * sq
+    u = jnp.where(t_idx < lens, u, 0.0)                    # _mask_time
+    c = _dw_taps(u, wd_ref, k, Tp, t_idx) + bd_ref[0, :]
+    n, xh2, rstd2 = _ln_fwd(c, ln2s_ref[0, :], ln2b_ref[0, :], eps)
+    sn = jax.nn.sigmoid(n)
+    sw = n * sn
+    return h0, p, q, sq, u, xh2, rstd2, n, sn, sw, xh1, rstd1
+
+
+def _fwd_kernel(R, Tp, k, eps, mxu_dtype,
+                len_ref, x_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+                wd_ref, bd_ref, ln2s_ref, ln2b_ref, w2_ref, b2_ref,
+                y_ref):
+    D = x_ref.shape[-1]
+    N = R * Tp
+    x32 = x_ref[:].reshape(N, D).astype(jnp.float32)
+    t_idx, lens = _row_meta(R, Tp, len_ref)
+    (_, _, _, _, _, _, _, _, _, sw, _, _) = _compute_forward(
+        x32, t_idx, lens, ln1s_ref, ln1b_ref, w1_ref, b1_ref, wd_ref,
+        bd_ref, ln2s_ref, ln2b_ref, k, Tp, eps, mxu_dtype)
+    y = jnp.dot(sw.astype(mxu_dtype), w2_ref[:].astype(mxu_dtype),
+                preferred_element_type=jnp.float32) + b2_ref[0, :]
+    y_ref[:] = y.reshape(R, Tp, D).astype(y_ref.dtype)
+
+
+def _bwd_kernel(R, Tp, k, eps, mxu_dtype,
+                len_ref, x_ref, dy_ref, ln1s_ref, ln1b_ref, w1_ref,
+                b1_ref, wd_ref, bd_ref, ln2s_ref, ln2b_ref, w2_ref,
+                b2_ref,
+                dx_ref, dln1s_ref, dln1b_ref, dw1_ref, db1_ref,
+                dwd_ref, dbd_ref, dln2s_ref, dln2b_ref, dw2_ref,
+                db2_ref):
+    D = x_ref.shape[-1]
+    N = R * Tp
+    P = (k - 1) // 2
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        dln1s_ref[:] = jnp.zeros_like(dln1s_ref)
+        dln1b_ref[:] = jnp.zeros_like(dln1b_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dwd_ref[:] = jnp.zeros_like(dwd_ref)
+        dbd_ref[:] = jnp.zeros_like(dbd_ref)
+        dln2s_ref[:] = jnp.zeros_like(dln2s_ref)
+        dln2b_ref[:] = jnp.zeros_like(dln2b_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    x32 = x_ref[:].reshape(N, D).astype(jnp.float32)
+    dy = dy_ref[:].reshape(N, D).astype(jnp.float32)
+    t_idx, lens = _row_meta(R, Tp, len_ref)
+    (h0, p, q, sq, u, xh2, rstd2, n, sn, sw, xh1, rstd1) = \
+        _compute_forward(x32, t_idx, lens, ln1s_ref, ln1b_ref, w1_ref,
+                         b1_ref, wd_ref, bd_ref, ln2s_ref, ln2b_ref,
+                         k, Tp, eps, mxu_dtype)
+
+    # pw2: y = sw @ w2 + b2
+    contract0 = (((0,), (0,)), ((), ()))      # (N,A)^T (N,B) -> (A,B)
+    dw2_ref[:] += jax.lax.dot_general(
+        sw.astype(mxu_dtype), dy.astype(mxu_dtype), contract0,
+        preferred_element_type=jnp.float32)
+    db2_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+    ds = jax.lax.dot_general(
+        dy.astype(mxu_dtype), w2_ref[:].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())),             # dy @ w2^T
+        preferred_element_type=jnp.float32)
+
+    # swish: sw = n * sigmoid(n)
+    dn = ds * (sn + n * sn * (1.0 - sn))
+
+    # ln2
+    dc, dg2, db2n = _ln_bwd(dn, xh2, rstd2, ln2s_ref[0, :])
+    dln2s_ref[:] += dg2
+    dln2b_ref[:] += db2n
+    dbd_ref[:] += jnp.sum(dc, axis=0, keepdims=True)
+
+    # depthwise conv: c[t] = sum_j wd[j] * u[t + j - P]
+    #   du[t] = sum_j wd[j] * dc[t - (j - P)]
+    #   dwd[j] = sum_t u[t + j - P] * dc[t]
+    du = jnp.zeros_like(dc)
+    dwd_rows = []
+    for j in range(k):
+        s = j - P
+        v_fwd = jnp.logical_and(t_idx + s >= 0, t_idx + s < Tp)
+        u_tap = jnp.where(v_fwd, _roll(u, -s), 0.0)
+        dwd_rows.append(jnp.sum(u_tap * dc, axis=0, keepdims=True))
+        v_bwd = jnp.logical_and(t_idx - s >= 0, t_idx - s < Tp)
+        dc_tap = _roll(dc, s)
+        du = du + wd_ref[j, :][None, :] * jnp.where(v_bwd, dc_tap, 0.0)
+    dwd_rows += [jnp.zeros((1, D), jnp.float32)] * (_round_up(k, 8) - k)
+    dwd_ref[:] += jnp.concatenate(dwd_rows, axis=0)
+
+    # mask + GLU: u = mask * (p * sigmoid(q))
+    du = jnp.where(t_idx < lens, du, 0.0)
+    dp = du * sq
+    dq = du * p * sq * (1.0 - sq)
+    da = jnp.concatenate([dp, dq], axis=1)
+
+    # pw1: a = h0 @ w1 + b1
+    dw1_ref[:] += jax.lax.dot_general(
+        h0.astype(mxu_dtype), da.astype(mxu_dtype), contract0,
+        preferred_element_type=jnp.float32)
+    db1_ref[:] += jnp.sum(da, axis=0, keepdims=True)
+    dh0 = jax.lax.dot_general(
+        da.astype(mxu_dtype), w1_ref[:].astype(mxu_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # ln1
+    dx, dg1, db1n = _ln_bwd(dh0, xh1, rstd1, ln1s_ref[0, :])
+    dln1s_ref[:] += dg1
+    dln1b_ref[:] += db1n
+    dx_ref[:] = dx.reshape(R, Tp, D).astype(dx_ref.dtype)
+
+
+def _pick_rows(B, Tp, D, k, backward):
+    """Largest R whose estimated VMEM peak fits the budget."""
+    for R in (8, 4, 2, 1):
+        N = R * Tp
+        io = N * D * 4 * (3 if backward else 2)        # x / dy / dx
+        mid = N * 2 * D * 4 * (4 if backward else 2)   # (N, 2D) chain
+        params = (D * 2 * D + D * D + _round_up(k, 8) * D + 8 * D) * 4
+        peak = io + mid + params * (2 if backward else 1)
+        if peak <= _VMEM_BUDGET and B % R == 0:
+            return R
+        if peak <= _VMEM_BUDGET and R == 1:
+            return R
+    return 1
+
+
+def _pad_args(x, lengths, dy=None):
+    """Pad B to a multiple of 8 and T to a multiple of 8 (sublane
+    tiling); padded rows get length 0."""
+    B, T, D = x.shape
+    Bp, Tp = _round_up(B, 8), _round_up(T, 8)
+    if (Bp, Tp) != (B, T):
+        x = jnp.pad(x, ((0, Bp - B), (0, Tp - T), (0, 0)))
+        lengths = jnp.pad(lengths, (0, Bp - B))
+        if dy is not None:
+            dy = jnp.pad(dy, ((0, Bp - B), (0, Tp - T), (0, 0)))
+    return x, lengths.astype(jnp.int32).reshape(Bp, 1), dy, Bp, Tp
+
+
+def _param_specs(D, k):
+    """BlockSpecs for the 10 weight tensors (constant index maps —
+    resident across the grid)."""
+    vec = lambda w: pl.BlockSpec(        # noqa: E731
+        (1, w), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    mat = lambda h, w: pl.BlockSpec(     # noqa: E731
+        (h, w), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    return [vec(D), vec(D), mat(D, 2 * D), vec(2 * D),
+            mat(_round_up(k, 8), D), vec(D), vec(D), vec(D),
+            mat(D, D), vec(D)]
+
+
+def _shape_params(ln1s, ln1b, w1, b1, wd, bd, ln2s, ln2b, w2, b2):
+    """Reshape vectors to (1, W) f32 and pad wd's tap axis to the
+    sublane tile."""
+    k, D = wd.shape
+    kp = _round_up(k, 8)
+    f32 = lambda a: a.astype(jnp.float32)  # noqa: E731
+    wd_p = jnp.pad(f32(wd), ((0, kp - k), (0, 0)))
+    row = lambda a: f32(a).reshape(1, -1)  # noqa: E731
+    return (row(ln1s), row(ln1b), f32(w1), row(b1), wd_p, row(bd),
+            row(ln2s), row(ln2b), f32(w2), row(b2))
+
+
+def supported(x_shape, interpret=False):
+    """Static predicate: can the fused kernel run for this shape on the
+    current backend? (callers fall back to the XLA module otherwise)"""
+    _, T, D = x_shape
+    if D % 128 != 0:
+        return False
+    if _round_up(T, 8) * D * 4 * 6 > _VMEM_BUDGET:   # R=1 must fit
+        return False
+    return interpret or jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused(cfg, x, lengths, ln1s, ln1b, w1, b1, wd, bd, ln2s, ln2b,
+           w2, b2):
+    eps, interpret = cfg
+    B, T, D = x.shape
+    k = wd.shape[0]
+    xp, lens, _, Bp, Tp = _pad_args(x, lengths)
+    R = _pick_rows(Bp, Tp, D, k, backward=False)
+    mxu_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    pargs = _shape_params(ln1s, ln1b, w1, b1, wd, bd, ln2s, ln2b,
+                          w2, b2)
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel, R, Tp, k, eps, mxu_dtype),
+        grid=(Bp // R,),
+        in_specs=[
+            pl.BlockSpec((R, 1), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, Tp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _param_specs(D, k),
+        out_specs=pl.BlockSpec((R, Tp, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Tp, D), x.dtype),
+        interpret=interpret,
+    )(lens, xp, *pargs)
+    return y[:B, :T]
+
+
+def _fused_fwd(cfg, x, lengths, ln1s, ln1b, w1, b1, wd, bd, ln2s,
+               ln2b, w2, b2):
+    y = _fused(cfg, x, lengths, ln1s, ln1b, w1, b1, wd, bd, ln2s,
+               ln2b, w2, b2)
+    return y, (x, lengths, ln1s, ln1b, w1, b1, wd, bd, ln2s, ln2b,
+               w2, b2)
+
+
+def _fused_bwd(cfg, res, dy):
+    eps, interpret = cfg
+    x, lengths, ln1s, ln1b, w1, b1, wd, bd, ln2s, ln2b, w2, b2 = res
+    B, T, D = x.shape
+    k = wd.shape[0]
+    kp = _round_up(k, 8)
+    xp, lens, dyp, Bp, Tp = _pad_args(x, lengths, dy)
+    R = _pick_rows(Bp, Tp, D, k, backward=True)
+    mxu_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    pargs = _shape_params(ln1s, ln1b, w1, b1, wd, bd, ln2s, ln2b,
+                          w2, b2)
+    full = lambda h, w: pl.BlockSpec(    # noqa: E731
+        (h, w), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, R, Tp, k, eps, mxu_dtype),
+        grid=(Bp // R,),
+        in_specs=[
+            pl.BlockSpec((R, 1), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, Tp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Tp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _param_specs(D, k),
+        out_specs=[
+            pl.BlockSpec((R, Tp, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, D), full(1, D), full(D, 2 * D), full(1, 2 * D),
+            full(kp, D), full(1, D), full(1, D), full(1, D),
+            full(D, D), full(1, D),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Tp, D), x.dtype),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((D, 2 * D), f32),
+            jax.ShapeDtypeStruct((1, 2 * D), f32),
+            jax.ShapeDtypeStruct((kp, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((D, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+        ],
+        interpret=interpret,
+    )(lens, xp, dyp, *pargs)
+    (dx, dln1s, dln1b, dw1, db1, dwd, dbd, dln2s, dln2b, dw2,
+     db2) = outs
+    cast = lambda g, ref: g.reshape(ref.shape).astype(ref.dtype)  # noqa: E731
+    return (cast(dx[:B, :T], x), None,
+            cast(dln1s, ln1s), cast(dln1b, ln1b), cast(dw1, w1),
+            cast(db1, b1), cast(dwd[:k], wd), cast(dbd, bd),
+            cast(dln2s, ln2s), cast(dln2b, ln2b), cast(dw2, w2),
+            cast(db2, b2))
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def conformer_conv_module(x, lengths, ln1_scale, ln1_bias, pw1_kernel,
+                          pw1_bias, dw_kernel, dw_bias, ln2_scale,
+                          ln2_bias, pw2_kernel, pw2_bias,
+                          eps: float = 1e-6, interpret: bool = False):
+    """Fused Conformer conv module (layer_norm variant).
+
+    x: (B, T, D) activations (f32 or bf16); lengths: (B,) valid frame
+    counts; pw1_kernel (D, 2D), dw_kernel (k, D) depthwise taps,
+    pw2_kernel (D, D); norms' scale/bias (D,). Returns (B, T, D) in
+    x's dtype: ``pw2(swish(ln2(dwconv(mask(glu(pw1(ln1(x))))))))`` —
+    dropout and the residual add are the caller's (they fuse fine in
+    XLA and keep the flax RNG stream unchanged).
+    """
+    return _fused((float(eps), bool(interpret)), x, lengths,
+                  ln1_scale, ln1_bias, pw1_kernel, pw1_bias, dw_kernel,
+                  dw_bias, ln2_scale, ln2_bias, pw2_kernel, pw2_bias)

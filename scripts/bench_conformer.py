@@ -80,6 +80,10 @@ def main():
             "ffn_expansion": 4,
             "dropout_keep_prob": 0.9,
             "attention_dropout_keep_prob": 0.9,
+            # BENCH_FUSED=1 routes the conv module through the fused
+            # Pallas kernel (ops/conformer_pallas.py)
+            "fused_conv_module":
+                os.environ.get("BENCH_FUSED", "0") == "1",
         },
         "decoder": FullyConnectedCTCDecoder,
         "decoder_params": {"use_language_model": False},
