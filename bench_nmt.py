@@ -73,6 +73,10 @@ def main():
     # residual traffic saved. Kept opt-in as a MEMORY lever
     # (BENCH_NMT_DROPREMAT=1).
     drop_remat = os.environ.get("BENCH_NMT_DROPREMAT", "0") == "1"
+    # Pallas dropout(+residual) kernels: mask drawn from the TPU
+    # hardware PRNG inside the kernel, never written to HBM
+    # (ops/dropout_pallas.py). Sweep with BENCH_NMT_FUSEDDROP=1.
+    fused_drop = os.environ.get("BENCH_NMT_FUSEDDROP", "0") == "1"
     d_model = 1024
 
     mesh = make_mesh(num_data=n_chips, num_model=1)
@@ -86,6 +90,7 @@ def main():
         "prng_impl": prng_impl,
         "dropout_bits": drop_bits,
         "dropout_remat": drop_remat,
+        "fused_residual_dropout": fused_drop,
         "batch_size_per_gpu": batch_per_chip,
         "print_loss_steps": None,
         "optimizer": "NovoGrad",

@@ -142,6 +142,13 @@ class Model(abc.ABC):
                                           # gradients; saves ~1 B/elem
                                           # of HBM residual per site)
                                           # — see parts/dropout.py
+            "fused_residual_dropout": bool,  # Pallas dropout(+residual)
+                                          # kernels at the transformer
+                                          # postprocess/relu sites: the
+                                          # mask is drawn from the TPU
+                                          # hardware PRNG inside the
+                                          # kernel and never touches
+                                          # HBM (ops/dropout_pallas.py)
         }
 
     def __init__(self, params: Dict[str, Any], mode: str = "train",
@@ -185,9 +192,12 @@ class Model(abc.ABC):
 
         # process-global dropout mask width (read at jit-trace time;
         # see parts/dropout.py for why it is not a module attribute)
-        from ..parts.dropout import set_dropout_bits, set_dropout_remat
+        from ..parts.dropout import (set_dropout_bits, set_dropout_remat,
+                                     set_fused_dropout)
         set_dropout_bits(self._params.get("dropout_bits", 32))
         set_dropout_remat(self._params.get("dropout_remat", False))
+        set_fused_dropout(self._params.get("fused_residual_dropout",
+                                           False))
 
         base_seed = self._params.get("random_seed", 0)
         # per-worker seed offset for the DATA pipeline (reference
@@ -420,7 +430,9 @@ class Model(abc.ABC):
         # construction-time global alone would be clobbered by any
         # model constructed after this one but before this trace
         with dropout_config(self._params.get("dropout_bits", 32),
-                            self._params.get("dropout_remat", False)):
+                            self._params.get("dropout_remat", False),
+                            self._params.get("fused_residual_dropout",
+                                             False)):
             out = forward(variables, batch)
         if train:
             outputs, new_state = out

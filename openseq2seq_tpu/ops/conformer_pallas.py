@@ -80,14 +80,17 @@ def _ln_bwd(dh, xh, rstd, scale):
 
 def _row_meta(R, Tp, len_ref):
     """(N, 1) in-row time index and per-position length vector from the
-    (R, 1) SMEM lengths."""
+    full (Bp, 1) SMEM lengths (blocked SMEM specs violate the TPU
+    (8, 128) tile rule, so the array is passed whole and indexed by
+    program id)."""
     N = R * Tp
+    row0 = pl.program_id(0) * R
     g = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     t_idx = g % Tp
     row_id = g // Tp
     lens = jnp.zeros((N, 1), jnp.int32)
     for r in range(R):
-        lens = jnp.where(row_id == r, len_ref[r, 0], lens)
+        lens = jnp.where(row_id == r, len_ref[row0 + r, 0], lens)
     return t_idx, lens
 
 
@@ -316,8 +319,7 @@ def _fused(cfg, x, lengths, ln1s, ln1b, w1, b1, wd, bd, ln2s, ln2b,
         functools.partial(_fwd_kernel, R, Tp, k, eps, mxu_dtype),
         grid=(Bp // R,),
         in_specs=[
-            pl.BlockSpec((R, 1), lambda b: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((R, Tp, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + _param_specs(D, k),
@@ -355,8 +357,7 @@ def _fused_bwd(cfg, res, dy):
         functools.partial(_bwd_kernel, R, Tp, k, eps, mxu_dtype),
         grid=(Bp // R,),
         in_specs=[
-            pl.BlockSpec((R, 1), lambda b: (b, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((R, Tp, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, Tp, D), lambda b: (b, 0, 0),

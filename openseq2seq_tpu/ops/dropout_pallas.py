@@ -1,0 +1,201 @@
+"""Fused dropout(+residual-add) as Pallas TPU kernels.
+
+Motivation (ROADMAP "Performance", VERDICT r3 #8): transformer-big at
+T=256 runs MFU 0.479 dropout-on vs 0.567 dropout-off even with u8
+masks — the remaining cost is mask traffic. XLA's lowering
+materializes the RngBitGenerator output to HBM (write N + read N per
+site), keeps it alive as an autodiff residual (or regenerates it as a
+separate kernel under ``dropout_remat``), and only then fuses the
+select+add. Here the mask never exists outside VMEM:
+
+  * forward: ``out = x + where(bits < thr, y/q, 0)`` with ``bits``
+    drawn from the TPU hardware PRNG *inside* the kernel
+    (``pltpu.prng_seed(seed, program_id)`` + ``prng_random_bits``) —
+    HBM traffic is exactly read-x/read-y/write-out.
+  * backward: ``dx = g`` passes through untouched (no kernel at all);
+    ``dy`` regenerates the identical bits from the saved (tiny) seed
+    and applies the same select — read-g/write-dy.
+
+Keep probability is quantized to a multiple of 2^-32 (vs 2^-8 for
+``dropout_bits: 8``) and rescaled by the quantized value, so
+``E[out] == x + y`` stays exact.
+
+Semantics note: the mask is iid Bernoulli but drawn from the TPU
+hardware PRNG stream, not from ``jax.random`` — dropout patterns
+differ run-to-run from the flax path (the same kind of trade
+``prng_impl: "rbg"`` already makes). Opt-in via model param
+``fused_residual_dropout`` (see `parts/dropout.py`); silent fallback
+to the flax path off-TPU or for non-lane-aligned feature dims.
+
+No reference counterpart (tf.nn.dropout everywhere); this is a TPU
+throughput lever for the sites the reference implements as
+dropout-then-add (`parts/transformer/common.py` PrePostProcessingWrapper)
+and relu_dropout (`parts/transformer/ffn_layer.py`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TM = 256                      # rows per program of the flattened (M, D)
+
+# CPU tests flip this to run the kernels in interpreter mode
+FORCE_INTERPRET = False
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _thr_q(rate: float):
+    """uint32 threshold + the quantized keep probability it encodes."""
+    keep = 1.0 - rate
+    thr = min(2**32 - 1, max(1, int(round(keep * 2.0**32))))
+    return thr, thr / 2.0**32
+
+
+def _bits(shape, seed_ref, interpret):
+    """uint32 random bits: hardware PRNG on TPU; a deterministic
+    counter-based mix (murmur3-style finalizer) in interpret mode,
+    where the CPU interpreter's PRNG stub returns zeros. Both are pure
+    functions of (seed, program_id, position), which is what the
+    backward's mask regeneration relies on."""
+    if not interpret:
+        pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+        return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    s = (seed_ref[0, 0].astype(jnp.uint32)
+         + pl.program_id(0).astype(jnp.uint32)
+         * jnp.uint32(0x9E3779B1))
+    h = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+         * jnp.uint32(0x85EBCA77)
+         ^ jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+         * jnp.uint32(0xC2B2AE3D)) + s
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    return h ^ (h >> 16)
+
+
+def _mask_kernel(thr, inv_q, add_residual, interpret, seed_ref, y_ref,
+                 *rest):
+    if add_residual:
+        x_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    keep = _bits(y_ref.shape, seed_ref, interpret) < jnp.uint32(thr)
+    y32 = y_ref[:].astype(jnp.float32)
+    dropped = jnp.where(keep, y32 * inv_q, 0.0)
+    if add_residual:
+        dropped = dropped + x_ref[:].astype(jnp.float32)
+    out_ref[:] = dropped.astype(out_ref.dtype)
+
+
+def _run(seed, y, x, rate, interpret):
+    """Flatten to (M, D), tile rows, run the kernel; x=None is the
+    no-residual variant."""
+    thr, q = _thr_q(rate)
+    shape = y.shape
+    D = shape[-1]
+    M = y.size // D
+    y2 = y.reshape(M, D)
+    Mp = _round_up(M, _TM)
+    if Mp != M:
+        y2 = jnp.pad(y2, ((0, Mp - M), (0, 0)))
+    args = [y2]
+    tile = lambda: pl.BlockSpec((_TM, D), lambda i: (i, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), tile()]
+    if x is not None:
+        x2 = x.reshape(M, D)
+        if Mp != M:
+            x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+        args.append(x2)
+        in_specs.append(tile())
+    out = pl.pallas_call(
+        functools.partial(_mask_kernel, thr, 1.0 / q, x is not None,
+                          interpret),
+        grid=(Mp // _TM,),
+        in_specs=in_specs,
+        out_specs=tile(),
+        out_shape=jax.ShapeDtypeStruct((Mp, D), y.dtype),
+        # the TPU interpreter (not the generic HLO one) implements
+        # prng_seed/prng_random_bits on CPU
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed.reshape(1, 1), *args)
+    return out[:M].reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fda(cfg, seed, y, x):
+    rate, interpret = cfg
+    return _run(seed, y, x, rate, interpret)
+
+
+def _fda_fwd(cfg, seed, y, x):
+    return _fda(cfg, seed, y, x), seed
+
+
+def _fda_bwd(cfg, seed, g):
+    rate, interpret = cfg
+    # d/dy: the same mask applied to the cotangent; d/dx: identity
+    dy = _run(seed, g, None, rate, interpret)
+    return None, dy, g
+
+
+_fda.defvjp(_fda_fwd, _fda_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fd(cfg, seed, y):
+    rate, interpret = cfg
+    return _run(seed, y, None, rate, interpret)
+
+
+def _fd_fwd(cfg, seed, y):
+    return _fd(cfg, seed, y), seed
+
+
+def _fd_bwd(cfg, seed, g):
+    rate, interpret = cfg
+    return None, _run(seed, g, None, rate, interpret)
+
+
+_fd.defvjp(_fd_fwd, _fd_bwd)
+
+
+def supported(shape, interpret=False):
+    """Lane-aligned feature dim on a TPU backend (or interpret)."""
+    if shape[-1] % 128 != 0:
+        return False
+    return interpret or jax.default_backend() == "tpu"
+
+
+def _seed_from_key(key):
+    """One int32 seed per call site derived from the flax dropout key
+    (folded with the hardware PRNG's per-program id inside the
+    kernel)."""
+    return jax.random.bits(key, (1,), jnp.uint32).astype(jnp.int32)
+
+
+def fused_dropout_add(key, x, y, rate: float, interpret: bool = False):
+    """``x + dropout(y, rate)`` in one kernel; mask lives only in VMEM.
+
+    key: a jax PRNG key (the flax ``dropout`` collection key);
+    x, y: same-shape activations; returns y's dtype/shape.
+    """
+    if rate <= 0.0:
+        return x + y
+    return _fda((float(rate), bool(interpret)), _seed_from_key(key),
+                y, x)
+
+
+def fused_dropout(key, y, rate: float, interpret: bool = False):
+    """``dropout(y, rate)`` with the in-kernel hardware-PRNG mask."""
+    if rate <= 0.0:
+        return y
+    return _fd((float(rate), bool(interpret)), _seed_from_key(key), y)

@@ -33,6 +33,7 @@ from jax import lax
 
 _DROPOUT_BITS = 32
 _DROPOUT_REMAT = False
+_FUSED_DROPOUT = False
 
 
 def set_dropout_bits(bits) -> None:
@@ -72,8 +73,22 @@ def get_dropout_remat() -> bool:
     return _DROPOUT_REMAT
 
 
+def set_fused_dropout(on: bool) -> None:
+    """Route residual/relu dropout sites through the Pallas kernels in
+    `ops/dropout_pallas.py` (mask generated in VMEM from the TPU
+    hardware PRNG; never written to HBM, regenerated in the backward).
+    Model param ``fused_residual_dropout``; TPU-only — unsupported
+    shapes/backends silently keep the flax path."""
+    global _FUSED_DROPOUT
+    _FUSED_DROPOUT = bool(on)
+
+
+def get_fused_dropout() -> bool:
+    return _FUSED_DROPOUT
+
+
 @contextmanager
-def dropout_config(bits, remat):
+def dropout_config(bits, remat, fused=False):
     """Bind (dropout_bits, dropout_remat) for the duration of a trace.
 
     The process-global default set at model construction is fragile:
@@ -83,14 +98,15 @@ def dropout_config(bits, remat):
     context so every trace reads its OWN model's params, whatever was
     constructed in between; restoring on exit keeps nested traces
     (e.g. a model applied inside another's step) correct."""
-    global _DROPOUT_BITS, _DROPOUT_REMAT
-    prev = (_DROPOUT_BITS, _DROPOUT_REMAT)
+    global _DROPOUT_BITS, _DROPOUT_REMAT, _FUSED_DROPOUT
+    prev = (_DROPOUT_BITS, _DROPOUT_REMAT, _FUSED_DROPOUT)
     set_dropout_bits(bits)
     set_dropout_remat(remat)
+    set_fused_dropout(fused)
     try:
         yield
     finally:
-        _DROPOUT_BITS, _DROPOUT_REMAT = prev
+        _DROPOUT_BITS, _DROPOUT_REMAT, _FUSED_DROPOUT = prev
 
 
 def _mask_scale(rng, x, spec, bshape):

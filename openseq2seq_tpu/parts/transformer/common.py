@@ -130,9 +130,19 @@ class PreNormResidual(nn.Module):
         extra = None
         if isinstance(y, tuple):
             y, extra = y
-        y = Dropout(rate=self.dropout_rate,
-                       deterministic=not train)(y)
-        out = x + y
+        from ...ops import dropout_pallas as dp
+        from ..dropout import get_fused_dropout
+        if (train and self.dropout_rate > 0.0 and get_fused_dropout()
+                and x.shape == y.shape
+                and dp.supported(y.shape, interpret=dp.FORCE_INTERPRET)):
+            # mask generated in VMEM, dropout+residual in one kernel
+            out = dp.fused_dropout_add(
+                self.make_rng("dropout"), x, y, self.dropout_rate,
+                interpret=dp.FORCE_INTERPRET)
+        else:
+            y = Dropout(rate=self.dropout_rate,
+                        deterministic=not train)(y)
+            out = x + y
         if extra is not None:
             return out, extra
         return out

@@ -22,7 +22,16 @@ class FeedForwardNetwork(nn.Module):
         x = nn.DenseGeneral(self.filter_size, dtype=self.dtype,
                             param_dtype=jnp.float32, name="filter")(x)
         x = jax.nn.relu(x)
-        x = Dropout(rate=self.relu_dropout, deterministic=not train)(x)
+        from ...ops import dropout_pallas as dp
+        from ..dropout import get_fused_dropout
+        if (train and self.relu_dropout > 0.0 and get_fused_dropout()
+                and dp.supported(x.shape, interpret=dp.FORCE_INTERPRET)):
+            x = dp.fused_dropout(self.make_rng("dropout"), x,
+                                 self.relu_dropout,
+                                 interpret=dp.FORCE_INTERPRET)
+        else:
+            x = Dropout(rate=self.relu_dropout,
+                        deterministic=not train)(x)
         return nn.DenseGeneral(self.hidden_size, dtype=self.dtype,
                                param_dtype=jnp.float32, name="output")(x)
 
