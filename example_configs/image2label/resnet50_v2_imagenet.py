@@ -1,6 +1,10 @@
-"""ResNet-50 v2 on ImageNet with NovoGrad (reference
-`example_configs/image2label/resnet-50-v2-mp.py` + the NovoGrad recipe
-— top-1 target 77.00 @ 100 epochs, 77.63 @ 300, BASELINE.md)."""
+"""ResNet-50 v2 on ImageNet with NovoGrad — faithful to the reference
+(`example_configs/image2label/resnet-50v2-nvgrad.py`): NovoGrad(0.95,
+0.98, wd 0.004, no grad averaging), poly_decay lr 0.03 power 2 over the
+full run, bs128, bf16 mixed. Top-1 target 77.00 @ 100 epochs, 77.63 @
+300 (BASELINE.md). The model-level initializer matches the reference's
+tf.variance_scaling_initializer defaults (scale 1.0, fan_in, normal) —
+that is flax's lecun_normal, the Conv/Dense default, so no override."""
 import os
 
 from openseq2seq_tpu.data.image2label import ImagenetDataLayer
@@ -25,11 +29,12 @@ base_params = {
 
     "optimizer": "NovoGrad",
     "optimizer_params": {"beta1": 0.95, "beta2": 0.98, "epsilon": 1e-8,
-                         "weight_decay": 0.001,
+                         "weight_decay": 0.004,
                          "grad_averaging": False},
-    "lr_policy": "cosine_decay",
-    "lr_policy_params": {"learning_rate": 0.02, "warmup_steps": 5000,
-                         "decay_steps": 1000000, "min_lr": 0.0},
+    # decay_steps defaults to the full run (models/model.py
+    # _resolved_lr_policy_params, mirroring the reference)
+    "lr_policy": "poly_decay",
+    "lr_policy_params": {"learning_rate": 0.03, "power": 2.0},
     "dtype": "mixed",
 
     "encoder": ResNetEncoder,

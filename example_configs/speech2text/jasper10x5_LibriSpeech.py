@@ -34,7 +34,6 @@ base_params = jasper_model_params(
         "sample_freq": 16000,
         "pad_to": 16,
         "dither": 1e-5,
-        "max_duration": 16.7,
         "backend": "librosa",
         # base logfbank features are cached to npz after epoch 1 and the
         # SpecAugment masks drawn per epoch on load — featurization is
@@ -55,13 +54,18 @@ base_params = jasper_model_params(
     num_checkpoints=2,
     save_summaries_steps=100,
 )
-base_params["lr_policy_params"]["decay_steps"] = 400 * 2200
+# poly_decay's decay_steps defaults to the full training run
+# (num_epochs x steps/epoch, computed from the dataset size at model
+# construction — reference models/model.py:480-495); no hardcoded value.
 base_params["data_layer_params"]["augmentation"] = {
     "n_freq_mask": 2, "n_time_mask": 2,
     "width_freq_mask": 6, "width_time_mask": 6,
 }
 
-train_params = {"data_layer_params": {"shuffle": True}}
+# max_duration filters TRAINING utterances only (reference puts it in
+# train_params:199 — eval/infer must score every utterance)
+train_params = {"data_layer_params": {"shuffle": True,
+                                      "max_duration": 16.7}}
 eval_params = {
     "data_layer_params": {
         "dataset_files": [os.path.join(_DATA, "librivox-dev-clean.csv")],

@@ -16,3 +16,4 @@ from .las_encoder import ListenAttendSpellEncoder
 from .centaur_encoder import CentaurEncoder
 from .transformer_xl_encoder import TransformerXLEncoder
 from .conformer_encoder import ConformerEncoder
+from .gatedconv_encoder import GatedConvEncoder, GatedConvNet  # noqa: F401

@@ -77,9 +77,14 @@ class RelPosSelfAttention(nn.Module):
                        jnp.float32).astype(self.dtype)
         w = self.param("w_bias", nn.initializers.zeros, (H, Dh),
                        jnp.float32).astype(self.dtype)
-        # 2T-1 distances: row r encodes distance d = r - (T-1),
-        # d = i - j for query i, key j
-        r = rel_pos_embedding(2 * T - 1, D)
+        # 2T-1 distances: row r of the ORIGINAL table encodes distance
+        # d = r - (T-1), d = i - j for query i, key j. The table is
+        # consumed in REVERSED row order so the position term can be
+        # aligned with the pad-reshape relative shift below instead of
+        # a (B,H,T,T) take_along_axis gather — the gather dominated the
+        # M-scale block at 73% (scripts/probe_conformer_breakdown.py);
+        # both forms are exact, this one is reshapes + a slice.
+        r = rel_pos_embedding(2 * T - 1, D)[::-1]
         r = nn.DenseGeneral((H, Dh), use_bias=False, dtype=self.dtype,
                             param_dtype=jnp.float32, name="r")(
             r.astype(self.dtype))                           # (2T-1, H, Dh)
@@ -87,10 +92,14 @@ class RelPosSelfAttention(nn.Module):
         scale = 1.0 / np.sqrt(Dh)
         ac = jnp.einsum("bthd,bkhd->bhtk", q + u, k)
         pos_score = jnp.einsum("bthd,rhd->bhtr", q + w, r)  # (B,H,T,2T-1)
-        dist = jnp.arange(T)[:, None] - jnp.arange(T)[None, :]
-        gather = dist + (T - 1)                             # (T, T) static
-        bd = jnp.take_along_axis(pos_score, gather[None, None, :, :],
-                                 axis=3)
+        # relative shift: with the reversed table, bd[t, j] must read
+        # pos_score[t, j + (T-1-t)]; pad one leading column, view the
+        # trailing (T, 2T) as (2T, T), drop the first row, re-view as
+        # (T, 2T-1) and keep the first T columns — an exact skew
+        # (Transformer-XL appendix B, bidirectional variant)
+        ps = jnp.pad(pos_score, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        ps = ps.reshape(B, H, 2 * T, T)[:, :, 1:, :]
+        bd = ps.reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
         logits = (ac + bd).astype(jnp.float32) * scale
         logits = jnp.where(pad_mask[:, None, None, :], logits, NEG_INF)
         weights = jax.nn.softmax(logits, axis=-1)

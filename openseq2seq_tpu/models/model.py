@@ -322,13 +322,50 @@ class Model(abc.ABC):
             self._module = self.build_module()
         return self._module
 
+    def _resolved_lr_policy_params(self) -> Dict[str, Any]:
+        """lr_policy_params with the reference's defaulting applied
+        (ref `models/model.py:480-495`): a policy that takes
+        ``decay_steps`` decays over the whole training run when the
+        config doesn't pin it (minus warmup/begin_decay_at), and
+        epoch-bounded policies get ``steps_per_epoch`` from the data
+        layer — so recipes match the reference without hardcoding a
+        steps-per-epoch guess."""
+        lr_params = dict(self._params.get("lr_policy_params") or {})
+        lr_policy = self._params.get("lr_policy")
+        if lr_policy is None:
+            return lr_params
+        from inspect import signature
+
+        from ..optimizers.lr_policies import LR_POLICY_REGISTRY
+        fn = LR_POLICY_REGISTRY.get(lr_policy) \
+            if isinstance(lr_policy, str) else lr_policy
+        if fn is None:
+            return lr_params
+        fp = signature(fn).parameters
+        if ("decay_steps" in fp and "decay_steps" not in lr_params
+                and self._last_step):
+            lr_params["decay_steps"] = self._last_step
+            if "begin_decay_at" in fp:
+                if "warmup_steps" in fp:
+                    lr_params["begin_decay_at"] = max(
+                        lr_params.get("begin_decay_at", 0),
+                        lr_params.get("warmup_steps", 0))
+                lr_params["decay_steps"] -= lr_params.get(
+                    "begin_decay_at", 0)
+        if ("steps_per_epoch" in fp
+                and "steps_per_epoch" not in lr_params
+                and "num_epochs" in self._params
+                and self._steps_in_epoch):
+            lr_params["steps_per_epoch"] = self._steps_in_epoch
+        return lr_params
+
     def optimizer(self) -> optax.GradientTransformation:
         if self._tx is None:
             self._tx = build_optimizer(
                 optimizer=self._params.get("optimizer", "Adam"),
                 optimizer_params=self._params.get("optimizer_params", {}),
                 lr_policy=self._params.get("lr_policy"),
-                lr_policy_params=self._params.get("lr_policy_params"),
+                lr_policy_params=self._resolved_lr_policy_params(),
                 max_grad_norm=self._params.get("max_grad_norm"),
                 larc_params=self._params.get("larc_params"),
                 iter_size=self._params.get("iter_size", 1),
@@ -493,7 +530,11 @@ class Model(abc.ABC):
             updates = flax.traverse_util.unflatten_dict(flat)
         new_params = optax.apply_updates(state.params, updates)
 
-        lr_schedule = get_lr_schedule_from_config(self._params)
+        # same decay_steps/steps_per_epoch defaulting as the optimizer
+        # build, so the logged lr is the lr actually applied
+        lr_schedule = get_lr_schedule_from_config(
+            dict(self._params,
+                 lr_policy_params=self._resolved_lr_policy_params()))
         # state.step counts MICRObatch steps; under iter_size>1 the
         # optimizer (optax.MultiSteps) advances its inner schedule only
         # on real updates, so report the lr actually applied

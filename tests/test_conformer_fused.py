@@ -130,3 +130,26 @@ def test_bf16_smoke():
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0.1, atol=0.1)
+
+
+def test_rel_shift_equals_gather():
+    """The pad-reshape relative shift (reversed table) must reproduce
+    take_along_axis(pos_score, t-j+T-1) exactly — the two forms of the
+    Transformer-XL bidirectional position term."""
+    B, H, T = 2, 3, 7
+    rng = np.random.RandomState(0)
+    qw = rng.randn(B, T, H, 5)
+    table = rng.randn(2 * T - 1, H, 5)      # row r: distance r-(T-1)
+
+    # reference: score against the table in natural order, then gather
+    pos_nat = np.einsum("bthd,rhd->bhtr", qw, table)
+    gather = (np.arange(T)[:, None] - np.arange(T)[None, :]) + (T - 1)
+    want = np.take_along_axis(pos_nat, gather[None, None], axis=3)
+
+    # shifted: score against the REVERSED table, pad/reshape/slice
+    ps = jnp.asarray(np.einsum("bthd,rhd->bhtr", qw, table[::-1]))
+    ps = jnp.pad(ps, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    ps = ps.reshape(B, H, 2 * T, T)[:, :, 1:, :]
+    got = ps.reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6,
+                               atol=1e-8)

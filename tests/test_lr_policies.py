@@ -88,3 +88,47 @@ def test_make_lr_schedule_by_name():
 def test_make_lr_schedule_unknown():
     with pytest.raises(ValueError, match="Unknown lr_policy"):
         lrp.make_lr_schedule("nope", {})
+
+
+def test_decay_steps_defaults_to_total_steps(toy_speech_data):
+    """A decay policy without explicit decay_steps decays over the FULL
+    training run (num_epochs x steps/epoch), minus warmup — reference
+    `models/model.py:480-495` defaulting."""
+    from openseq2seq_tpu.models import Speech2Text
+    from openseq2seq_tpu.test_utils.test_speech_configs import (
+        w2l_test_config)
+
+    params, _ = w2l_test_config(toy_speech_data["csv"],
+                                toy_speech_data["vocab"], num_epochs=7)
+    params["lr_policy"] = "poly_decay"
+    params["lr_policy_params"] = {"learning_rate": 0.1, "power": 2.0,
+                                  "warmup_steps": 3}
+    model = Speech2Text(params=params, mode="train")
+    resolved = model._resolved_lr_policy_params()
+    total = 7 * model.steps_in_epoch
+    assert resolved["begin_decay_at"] == 3
+    assert resolved["decay_steps"] == total - 3
+    # the schedule the optimizer uses hits min_lr (0) at the last step
+    sched = lrp.make_lr_schedule("poly_decay", resolved)
+    assert float(sched(total)) == pytest.approx(0.0, abs=1e-7)
+    assert float(sched(total // 2)) > 0.0
+    # an explicit decay_steps is never overridden
+    params["lr_policy_params"]["decay_steps"] = 11
+    model2 = Speech2Text(params=params, mode="train")
+    assert model2._resolved_lr_policy_params()["decay_steps"] == 11
+
+
+def test_steps_per_epoch_defaults_for_piecewise(toy_speech_data):
+    from openseq2seq_tpu.models import Speech2Text
+    from openseq2seq_tpu.test_utils.test_speech_configs import (
+        w2l_test_config)
+
+    params, _ = w2l_test_config(toy_speech_data["csv"],
+                                toy_speech_data["vocab"], num_epochs=4)
+    params["lr_policy"] = "piecewise_constant"
+    params["lr_policy_params"] = {"learning_rate": 0.1,
+                                  "boundaries": [2, 3],
+                                  "decay_rates": [0.1, 0.01]}
+    model = Speech2Text(params=params, mode="train")
+    resolved = model._resolved_lr_policy_params()
+    assert resolved["steps_per_epoch"] == model.steps_in_epoch
