@@ -13,11 +13,13 @@ Design (TPU-first, not a port):
 
 * Relative-position attention (Dai et al. 2019) with the content/
   position split: ``score = (q+u)·k + (q+v)·R[d]`` where ``d`` is the
-  query-key distance. Instead of the reference's pad-reshape
-  ``_rel_shift`` trick (mem_transformer.py:194-207) the position term
-  is aligned with a static distance-index gather
-  (``take_along_axis``), which XLA lowers to a single vectorized
-  gather — no reshape gymnastics, shape-static, fuses with the mask.
+  query-key distance. The position term is aligned with the
+  pad-reshape ``_rel_shift`` trick (mem_transformer.py:194-207) over a
+  reversed distance table — round-3 shipped a ``take_along_axis``
+  gather instead, but on-chip piece profiling showed the big gather
+  dominating rel-pos attention (73% of the Conformer block,
+  `scripts/probe_conformer_breakdown.py`), so round 4 reverted to the
+  shift, exactness-tested against the gather form.
 * Segment-level recurrence: ``mems`` (one (B, M, D) tensor per layer)
   are concatenated to keys/values, queries attend causally at absolute
   offset M. Functional API — ``apply`` returns ``(out, new_mems)``;
@@ -88,8 +90,12 @@ class RelMultiHeadAttention(nn.Module):
                        jnp.float32).astype(self.dtype)
         w = self.param("w_bias", nn.initializers.zeros, (H, Dh),
                        jnp.float32).astype(self.dtype)
-        # projected sinusoidal relative embeddings, distances 0..K-1
-        r = rel_pos_embedding(K, D)
+        # projected sinusoidal relative embeddings, distances 0..K-1,
+        # consumed in REVERSED order so the position term aligns via
+        # the pad-reshape relative shift instead of a (B,H,T,K) gather
+        # (the gather dominated rel-pos attention on TPU — measured on
+        # the Conformer variant, scripts/probe_conformer_breakdown.py)
+        r = rel_pos_embedding(K, D)[::-1]
         r = nn.DenseGeneral((H, Dh), use_bias=False, dtype=self.dtype,
                             param_dtype=jnp.float32, name="r")(
             r.astype(self.dtype))                           # (K, H, Dh)
@@ -97,13 +103,17 @@ class RelMultiHeadAttention(nn.Module):
         scale = 1.0 / np.sqrt(Dh)
         # content term: (q+u)·k
         ac = jnp.einsum("bthd,bkhd->bhtk", q + u, k)
-        # position term, computed over all distances then aligned by the
-        # static gather  bd[i, j] = pos_score[i, d] at d = M + i - j
-        pos_score = jnp.einsum("bthd,khd->bhtk", q + w, r)  # k == distance
+        # position term: bd[t, j] = (q+w)[t]·r_orig[M + t - j]. With the
+        # reversed table this is the classic Transformer-XL rel-shift
+        # (appendix B): pad one leading column, view (T, K+1) as
+        # (K+1, T), drop the first row, view back as (T, K). Positions
+        # that wrap rows are exactly the dist<0 entries the causal mask
+        # kills below (the clip in the old gather guarded the same).
+        pos_score = jnp.einsum("bthd,khd->bhtk", q + w, r)
+        ps = jnp.pad(pos_score, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        ps = ps.reshape(B, H, K + 1, T)[:, :, 1:, :]
+        bd = ps.reshape(B, H, T, K)
         dist = M + jnp.arange(T)[:, None] - jnp.arange(K)[None, :]
-        gather = jnp.clip(dist, 0, K - 1)                   # (T, K) static
-        bd = jnp.take_along_axis(pos_score, gather[None, None, :, :],
-                                 axis=3)
         logits = (ac + bd).astype(jnp.float32) * scale
 
         causal = dist >= 0                                   # key <= query

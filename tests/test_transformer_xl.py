@@ -165,3 +165,33 @@ def test_txl_lm_converges_and_rescoring(tmp_path_factory, tmp_path):
     assert scores[0] > scores[1]
     nbest = [[(-1.0, "aa dd bb cc"), (-1.2, "aa bb cc dd")]]
     assert rescorer.rescore(nbest, lm_weight=0.5)[0] == "aa bb cc dd"
+
+
+def test_causal_rel_shift_equals_gather():
+    """The causal pad-reshape shift over the reversed table reproduces
+    the distance gather bd[t,j] = P[t, M+t-j] at every unmasked
+    (dist>=0) position, with and without memory."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    for M, T in [(0, 6), (4, 6), (5, 1)]:
+        K = M + T
+        B, H, Dh = 2, 3, 4
+        qw = rng.randn(B, T, H, Dh)
+        table = rng.randn(K, H, Dh)         # row d: distance d
+
+        pos_nat = np.einsum("bthd,khd->bhtk", qw, table)
+        dist = M + np.arange(T)[:, None] - np.arange(K)[None, :]
+        gather = np.clip(dist, 0, K - 1)
+        want = np.take_along_axis(pos_nat, gather[None, None], axis=3)
+
+        ps = jnp.asarray(np.einsum("bthd,khd->bhtk", qw, table[::-1]))
+        ps = jnp.pad(ps, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        ps = ps.reshape(B, H, K + 1, T)[:, :, 1:, :]
+        got = np.asarray(ps.reshape(B, H, T, K))
+
+        valid = (dist >= 0)[None, None]
+        np.testing.assert_allclose(np.where(valid, got, 0.0),
+                                   np.where(valid, want, 0.0),
+                                   rtol=1e-6, atol=1e-8)
