@@ -210,3 +210,33 @@ def test_tts_eval_emits_image_and_audio_summaries(toy_lj):
     wav, sr = metrics["audio/synthesized"]
     assert sr == 22050 and len(wav) > 100
     assert np.isfinite(wav).all() and np.abs(wav).max() <= 0.95
+
+
+def test_golden_mel_regression(toy_lj):
+    """Golden-mel pin (round-4, VERDICT weak #7): the teacher-forced
+    mel output of fixed-seed params on the fixed toy batch must match
+    the checked-in golden within loose fp32 tolerance — any refactor
+    that changes Tacotron graph numerics (layer order, init, masking,
+    dtype) fails loudly instead of silently shifting quality.
+    Regenerate intentionally with OS2S_REGEN_GOLDEN=1."""
+    import os
+
+    import jax
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "tacotron_toy_mel.npz")
+    model = Text2SpeechTacotron(params=_config(toy_lj), mode="train")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    eval_model = Text2SpeechTacotron(params=_config(toy_lj),
+                                     mode="eval")
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    out = jax.jit(eval_model.eval_step)(state, device_batch)
+    spec = np.asarray(
+        out["outputs"]["decoder_output"]["outputs"][0],
+        np.float32)[:, :16, :]                 # (6 clips, 16 fr, 20 mel)
+    if os.environ.get("OS2S_REGEN_GOLDEN") == "1":
+        np.savez_compressed(golden_path, mel=spec)
+        pytest.skip("golden regenerated")
+    golden = np.load(golden_path)["mel"]
+    assert spec.shape == golden.shape
+    np.testing.assert_allclose(spec, golden, rtol=5e-3, atol=5e-3)
