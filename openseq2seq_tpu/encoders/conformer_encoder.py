@@ -170,7 +170,8 @@ class _ConvModule(nn.Module):
 
         from ..ops import conformer_pallas as cp
         if (self.fused and self.norm != "batch_norm"
-                and cp.supported(x.shape, interpret=cp.FORCE_INTERPRET)):
+                and cp.supported(x.shape, k,
+                                 interpret=cp.FORCE_INTERPRET)):
             h = cp.conformer_conv_module(
                 x, lengths, ln1_s, ln1_b, w1, b1, wd, bd, ln2_s, ln2_b,
                 w2, b2, interpret=cp.FORCE_INTERPRET)

@@ -51,8 +51,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 9 * 1024 * 1024   # leave headroom under ~16MB/core
-
 # CPU tests flip this to run the kernels in interpreter mode (compiled
 # Pallas needs a real TPU; interpret is far too slow to be a silent
 # production fallback, so it is opt-in and test-only).
@@ -250,18 +248,21 @@ def _bwd_kernel(R, Tp, k, eps, mxu_dtype,
 
 
 def _pick_rows(B, Tp, D, k, backward):
-    """Largest R whose estimated VMEM peak fits the budget."""
+    """Largest R whose estimated VMEM peak fits the budget, or None if
+    even R=1 doesn't (callers fall back to the XLA path). The budget is
+    calibrated against hardware: at D=512/Tp=256 the backward's real
+    Mosaic stack peaked at 28.3M against a 12.2M estimate (~2.3x), so
+    the estimate budget is ~16M/2.3."""
+    budget = 7 * 1024 * 1024
     for R in (8, 4, 2, 1):
         N = R * Tp
         io = N * D * 4 * (3 if backward else 2)        # x / dy / dx
         mid = N * 2 * D * 4 * (4 if backward else 2)   # (N, 2D) chain
         params = (D * 2 * D + D * D + _round_up(k, 8) * D + 8 * D) * 4
         peak = io + mid + params * (2 if backward else 1)
-        if peak <= _VMEM_BUDGET and B % R == 0:
+        if peak <= budget and B % R == 0:
             return R
-        if peak <= _VMEM_BUDGET and R == 1:
-            return R
-    return 1
+    return None
 
 
 def _pad_args(x, lengths, dy=None):
@@ -301,13 +302,14 @@ def _shape_params(ln1s, ln1b, w1, b1, wd, bd, ln2s, ln2b, w2, b2):
             row(ln2s), row(ln2b), f32(w2), row(b2))
 
 
-def supported(x_shape, interpret=False):
+def supported(x_shape, k: int = 31, interpret=False):
     """Static predicate: can the fused kernel run for this shape on the
     current backend? (callers fall back to the XLA module otherwise)"""
-    _, T, D = x_shape
+    B, T, D = x_shape
     if D % 128 != 0:
         return False
-    if _round_up(T, 8) * D * 4 * 6 > _VMEM_BUDGET:   # R=1 must fit
+    if _pick_rows(_round_up(B, 8), _round_up(T, 8), D, k,
+                  backward=True) is None:
         return False
     return interpret or jax.default_backend() == "tpu"
 
@@ -319,7 +321,11 @@ def _fused(cfg, x, lengths, ln1s, ln1b, w1, b1, wd, bd, ln2s, ln2b,
     B, T, D = x.shape
     k = wd.shape[0]
     xp, lens, _, Bp, Tp = _pad_args(x, lengths)
-    R = _pick_rows(Bp, Tp, D, k, backward=False)
+    R = _pick_rows(Bp, Tp, D, k, backward=False) or \
+        (8 if interpret else None)
+    if R is None:
+        raise ValueError("conformer_conv_module: shape exceeds the "
+                         "VMEM budget — gate calls with supported()")
     mxu_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     pargs = _shape_params(ln1s, ln1b, w1, b1, wd, bd, ln2s, ln2b,
                           w2, b2)
@@ -354,7 +360,11 @@ def _fused_bwd(cfg, res, dy):
     k = wd.shape[0]
     kp = _round_up(k, 8)
     xp, lens, dyp, Bp, Tp = _pad_args(x, lengths, dy)
-    R = _pick_rows(Bp, Tp, D, k, backward=True)
+    R = _pick_rows(Bp, Tp, D, k, backward=True) or \
+        (8 if interpret else None)
+    if R is None:
+        raise ValueError("conformer_conv_module: shape exceeds the "
+                         "VMEM budget — gate calls with supported()")
     mxu_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     pargs = _shape_params(ln1s, ln1b, w1, b1, wd, bd, ln2s, ln2b,
                           w2, b2)
