@@ -142,6 +142,13 @@ class Model(abc.ABC):
                                           # gradients; saves ~1 B/elem
                                           # of HBM residual per site)
                                           # — see parts/dropout.py
+            "shard_optimizer_states": bool,  # ZeRO-1: dp-shard the
+                                          # optimizer moment leaves
+                                          # (memory and update FLOPs
+                                          # /= dp degree; math
+                                          # unchanged — GSPMD inserts
+                                          # one params all-gather).
+                                          # parallel/mesh.py
             "fused_residual_dropout": bool,  # Pallas dropout(+residual)
                                           # kernels at the transformer
                                           # postprocess/relu sites: the

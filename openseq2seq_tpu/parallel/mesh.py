@@ -225,7 +225,8 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def tp_state_sharding(state, mesh: Mesh, rules=DEFAULT_TP_RULES):
+def tp_state_sharding(state, mesh: Mesh, rules=DEFAULT_TP_RULES,
+                      zero1: bool = False):
     """Per-leaf NamedSharding pytree for a TrainState: TP rules applied
     by parameter name (optimizer moments mirror the param tree names,
     so they pick up the same layout), everything else replicated.
@@ -235,9 +236,31 @@ def tp_state_sharding(state, mesh: Mesh, rules=DEFAULT_TP_RULES):
     Pipeline meshes: leaves of a stacked pipelined layer stack
     (``pipeline_layers`` in the path, leading layer axis) shard that
     axis over ``pipe`` so each stage's devices hold only their own
-    layers' params and optimizer moments."""
+    layers' params and optimizer moments.
+
+    ``zero1`` (model param ``shard_optimizer_states``) additionally
+    shards otherwise-replicated OPTIMIZER-STATE leaves over the data
+    axis (first dimension divisible by its size) — ZeRO stage 1.
+    Params stay replicated; GSPMD turns the sharded elementwise update
+    into shard-local work plus one all-gather of the new params, so
+    moment memory and update FLOPs drop by the dp degree. The math is
+    unchanged up to fp reduction order (XLA re-tiles the gradient
+    reductions to the new layout) — the same variance as changing the
+    dp degree. Linear-update optimizers match the replicated layout to
+    ~1e-7 (equivalence-tested with Momentum); Adam-family optimizers
+    can amplify that noise to lr-sized differences on elements whose
+    gradient is ~0 (step-1 update is sign(g))."""
     msize = mesh.shape.get(MODEL_AXIS, 1)
     psize = mesh.shape.get("pipe", 1)
+    dsize = mesh.shape.get(DATA_AXIS, 1)
+
+    def zero1_spec(name, leaf):
+        if not (zero1 and dsize > 1 and name.startswith("opt_state")):
+            return P()
+        for dim, n in enumerate(leaf.shape):
+            if n % dsize == 0 and n > 0:
+                return P(*((None,) * dim + (DATA_AXIS,)))
+        return P()
 
     def spec_for(path, leaf):
         if not hasattr(leaf, "ndim") or leaf.ndim == 0:
@@ -261,7 +284,7 @@ def tp_state_sharding(state, mesh: Mesh, rules=DEFAULT_TP_RULES):
                     return spec
             return P(*(("pipe",) + (None,) * (leaf.ndim - 1)))
         if msize == 1:
-            return P()
+            return zero1_spec(name, leaf)
         for pat, spec in rules:
             if re.search(pat, name):
                 for dim, ax in enumerate(spec):
@@ -271,7 +294,7 @@ def tp_state_sharding(state, mesh: Mesh, rules=DEFAULT_TP_RULES):
                         break
                 else:
                     return spec
-        return P()
+        return zero1_spec(name, leaf)
 
     return jax.tree_util.tree_map_with_path(
         lambda p, l: NamedSharding(mesh, spec_for(p, l)), state)

@@ -72,8 +72,11 @@ def restore_state(model, checkpoint: Optional[str] = None):
             (np.zeros(sr, np.float32), sr))
     state = model.init_state(example_batch)
     # TP param layouts by name (no-op replication when the model axis
-    # has size 1); optimizer moments inherit the same specs
-    state_sharding = tp_state_sharding(state, mesh)
+    # has size 1); optimizer moments inherit the same specs. ZeRO-1
+    # (shard_optimizer_states) dp-shards the remaining moment leaves.
+    state_sharding = tp_state_sharding(
+        state, mesh,
+        zero1=model.params.get("shard_optimizer_states", False))
     state = jax.device_put(state, state_sharding)
     if checkpoint:
         state = CheckpointManager.restore(checkpoint, state)

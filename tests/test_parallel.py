@@ -554,3 +554,65 @@ def test_stacked_decoder_eval_decode_runs(tmp_path):
     ids, lengths = dec["outputs"]
     assert ids.ndim == 2 and (lengths > 0).all()
     assert np.isfinite(dec["scores"]).all()
+
+
+def test_zero1_sharded_optimizer_matches_replicated(toy_speech_data):
+    """ZeRO-1 (`shard_optimizer_states`): dp-sharding the moment leaves
+    must leave the math untouched (params after 3 steps identical to
+    the replicated layout) while the big moments are actually sharded
+    over the data axis.
+
+    The probe optimizer is Momentum: its update is LINEAR in the
+    gradient, so the only layout effect is fp reduction-order noise
+    (~1e-7). Adam would amplify that noise to lr-sized sign flips on
+    near-zero-gradient elements at step 1 (update -> sign(g)) — the
+    same variance one gets from changing the dp degree, documented in
+    `parallel/mesh.py:tp_state_sharding`."""
+    from openseq2seq_tpu.models import Speech2Text
+    from openseq2seq_tpu.parallel.mesh import tp_state_sharding
+    from openseq2seq_tpu.test_utils.test_speech_configs import (
+        w2l_test_config)
+    from openseq2seq_tpu.utils.params import nested_update
+
+    mesh = make_mesh(num_data=8, num_model=1)
+
+    def run(zero1):
+        base_params, _ = w2l_test_config(toy_speech_data["csv"],
+                                         toy_speech_data["vocab"],
+                                         num_epochs=1)
+        nested_update(base_params, {
+            "batch_size_per_gpu": 1,
+            "shard_optimizer_states": zero1,
+            "optimizer": "Momentum",
+            "optimizer_params": {"learning_rate": 1e-3,
+                                 "momentum": 0.9},
+            "encoder_params": {"dropout_keep_prob": 1.0,
+                               "drop_block_prob": 0.0}})
+        model = Speech2Text(params=base_params, mode="train", mesh=mesh)
+        batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+        state = model.init_state(batch)
+        sharding = tp_state_sharding(state, mesh, zero1=zero1)
+        state = jax.device_put(state, sharding)
+        if zero1:
+            specs = [s.spec for s in
+                     jax.tree_util.tree_leaves(sharding.opt_state)]
+            assert any("data" in str(sp) for sp in specs), specs
+            # params themselves stay replicated under ZeRO-1
+            pspecs = [s.spec for s in
+                      jax.tree_util.tree_leaves(sharding.params)]
+            assert all("data" not in str(sp) for sp in pspecs)
+        db = shard_batch(batch, mesh)
+        step = jax.jit(model.train_step)
+        rng = jax.random.PRNGKey(0)
+        for _ in range(3):
+            state, metrics = step(state, db, rng)
+        return (jax.device_get(state.params),
+                float(metrics["loss"]))
+
+    params_rep, loss_rep = run(False)
+    params_z1, loss_z1 = run(True)
+    np.testing.assert_allclose(loss_z1, loss_rep, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_rep),
+                    jax.tree_util.tree_leaves(params_z1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
