@@ -142,6 +142,12 @@ class Model(abc.ABC):
                                           # gradients; saves ~1 B/elem
                                           # of HBM residual per site)
                                           # — see parts/dropout.py
+            "shard_params": bool,         # FSDP / ZeRO-3: dp-shard the
+                                          # params at rest too (GSPMD
+                                          # all-gathers per use,
+                                          # reduce-scatters grads);
+                                          # implies the zero1 moment
+                                          # layout. parallel/mesh.py
             "shard_optimizer_states": bool,  # ZeRO-1: dp-shard the
                                           # optimizer moment leaves
                                           # (memory and update FLOPs

@@ -226,7 +226,7 @@ def _path_str(path) -> str:
 
 
 def tp_state_sharding(state, mesh: Mesh, rules=DEFAULT_TP_RULES,
-                      zero1: bool = False):
+                      zero1: bool = False, fsdp: bool = False):
     """Per-leaf NamedSharding pytree for a TrainState: TP rules applied
     by parameter name (optimizer moments mirror the param tree names,
     so they pick up the same layout), everything else replicated.
@@ -249,13 +249,24 @@ def tp_state_sharding(state, mesh: Mesh, rules=DEFAULT_TP_RULES,
     dp degree. Linear-update optimizers match the replicated layout to
     ~1e-7 (equivalence-tested with Momentum); Adam-family optimizers
     can amplify that noise to lr-sized differences on elements whose
-    gradient is ~0 (step-1 update is sign(g))."""
+    gradient is ~0 (step-1 update is sign(g)).
+
+    ``fsdp`` (model param ``shard_params``) extends the same dp layout
+    to the PARAMS (ZeRO-3-style fully sharded data parallelism):
+    at-rest param memory also drops by the dp degree; GSPMD
+    all-gathers each weight at its use sites and reduce-scatters its
+    gradient — the standard FSDP communication pattern, obtained from
+    sharding annotations alone. Implies the zero1 moment layout."""
     msize = mesh.shape.get(MODEL_AXIS, 1)
     psize = mesh.shape.get("pipe", 1)
     dsize = mesh.shape.get(DATA_AXIS, 1)
 
     def zero1_spec(name, leaf):
-        if not (zero1 and dsize > 1 and name.startswith("opt_state")):
+        if dsize <= 1:
+            return P()
+        dp_shardable = ((zero1 or fsdp) and name.startswith("opt_state")
+                        or (fsdp and name.startswith("params")))
+        if not dp_shardable:
             return P()
         for dim, n in enumerate(leaf.shape):
             if n % dsize == 0 and n > 0:

@@ -76,7 +76,8 @@ def restore_state(model, checkpoint: Optional[str] = None):
     # (shard_optimizer_states) dp-shards the remaining moment leaves.
     state_sharding = tp_state_sharding(
         state, mesh,
-        zero1=model.params.get("shard_optimizer_states", False))
+        zero1=model.params.get("shard_optimizer_states", False),
+        fsdp=model.params.get("shard_params", False))
     state = jax.device_put(state, state_sharding)
     if checkpoint:
         state = CheckpointManager.restore(checkpoint, state)

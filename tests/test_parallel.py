@@ -616,3 +616,53 @@ def test_zero1_sharded_optimizer_matches_replicated(toy_speech_data):
                     jax.tree_util.tree_leaves(params_z1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fsdp_sharded_params_matches_replicated(toy_speech_data):
+    """FSDP (`shard_params`): dp-sharding the params at rest must give
+    the same training math (GSPMD all-gathers weights at their use
+    sites), with params AND moments actually dp-sharded."""
+    from openseq2seq_tpu.models import Speech2Text
+    from openseq2seq_tpu.parallel.mesh import tp_state_sharding
+    from openseq2seq_tpu.test_utils.test_speech_configs import (
+        w2l_test_config)
+    from openseq2seq_tpu.utils.params import nested_update
+
+    mesh = make_mesh(num_data=8, num_model=1)
+
+    def run(fsdp):
+        base_params, _ = w2l_test_config(toy_speech_data["csv"],
+                                         toy_speech_data["vocab"],
+                                         num_epochs=1)
+        nested_update(base_params, {
+            "batch_size_per_gpu": 1,
+            "shard_params": fsdp,
+            "optimizer": "Momentum",
+            "optimizer_params": {"learning_rate": 1e-3,
+                                 "momentum": 0.9},
+            "encoder_params": {"dropout_keep_prob": 1.0,
+                               "drop_block_prob": 0.0}})
+        model = Speech2Text(params=base_params, mode="train", mesh=mesh)
+        batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+        state = model.init_state(batch)
+        sharding = tp_state_sharding(state, mesh, fsdp=fsdp)
+        state = jax.device_put(state, sharding)
+        if fsdp:
+            for part in (sharding.params, sharding.opt_state):
+                specs = [s.spec for s in
+                         jax.tree_util.tree_leaves(part)]
+                assert any("data" in str(sp) for sp in specs), specs
+        db = shard_batch(batch, mesh)
+        step = jax.jit(model.train_step)
+        rng = jax.random.PRNGKey(0)
+        for _ in range(2):
+            state, metrics = step(state, db, rng)
+        return jax.device_get(state.params), float(metrics["loss"])
+
+    params_rep, loss_rep = run(False)
+    params_f, loss_f = run(True)
+    np.testing.assert_allclose(loss_f, loss_rep, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_rep),
+                    jax.tree_util.tree_leaves(params_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
