@@ -29,7 +29,12 @@ base_params = {
     "use_horovod": False,
     "num_epochs": 100,
     "logdir": os.environ.get("OS2S_LOGDIR", "conformer_l_log_folder"),
-    "batch_size_per_gpu": 32,
+    # measured ladder (v5e, synthetic T=1000, scripts/bench_conformer
+    # BENCH_SCALE=l): bs32 105.1 utt/s / bs64 218.7 / bs128 294.9 (MFU
+    # 0.293, post rel-shift) / bs256 OOM. Real LibriSpeech batches pad
+    # to ~1670 frames (max_duration 16.7 s), so bs64 here carries the
+    # bench's ~bs107 token budget — the saturated point with headroom.
+    "batch_size_per_gpu": 64,
     "save_summaries_steps": 100,
     "print_loss_steps": 10,
     "print_samples_steps": 2200,
@@ -97,7 +102,7 @@ base_params = {
 train_params = {"data_layer_params": {"shuffle": True}}
 
 eval_params = {
-    "batch_size_per_gpu": 32,
+    "batch_size_per_gpu": 64,
     "data_layer_params": {
         "dataset_files": [os.path.join(_DATA, "librivox-dev-clean.csv")],
         "shuffle": False,
@@ -106,7 +111,7 @@ eval_params = {
 }
 
 infer_params = {
-    "batch_size_per_gpu": 32,
+    "batch_size_per_gpu": 64,
     "data_layer_params": {
         "dataset_files": [os.path.join(_DATA, "librivox-test-clean.csv")],
         "shuffle": False,
