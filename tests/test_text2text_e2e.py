@@ -1,6 +1,8 @@
 """Transformer NMT end-to-end on the toy reversal task (the analogue of
 the reference's `models/text2text_test.py` + run_all_tests.sh toy NMT
 runs)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -100,3 +102,29 @@ def test_transformer_batch_norm_variant(tmp_path):
     stats1 = jax.tree_util.tree_leaves(
         new_state.model_state["batch_stats"])[0]
     assert not np.allclose(np.asarray(stats0), np.asarray(stats1))
+
+
+def test_score_bleu_script(tmp_path):
+    """scripts/score_bleu.py — the multi-bleu.perl equivalent: exact
+    BLEU on a perfect match, sane components on a partial match."""
+    import subprocess
+    import sys
+
+    hyp = tmp_path / "hyp.txt"
+    ref = tmp_path / "ref.txt"
+    ref.write_text("the cat sat on the mat\na b c d\n")
+    hyp.write_text("the cat sat on the mat\na b c d\n")
+    out = subprocess.run(
+        [sys.executable, "scripts/score_bleu.py", str(hyp), str(ref)],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir))
+    assert out.stdout.startswith("BLEU = 100.00"), out.stdout
+
+    hyp.write_text("the cat sat on the hat\nA b c d\n")
+    out = subprocess.run(
+        [sys.executable, "scripts/score_bleu.py", "-lc", str(hyp),
+         str(ref)],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.join(os.path.dirname(__file__), os.pardir))
+    score = float(out.stdout.split()[2].rstrip(","))
+    assert 0.0 < score < 100.0, out.stdout
