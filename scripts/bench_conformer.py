@@ -79,7 +79,10 @@ def main():
             "conv_kernel_size": 31,
             "ffn_expansion": 4,
             "dropout_keep_prob": 0.9,
-            "attention_dropout_keep_prob": 0.9,
+            # BENCH_ATTN_KEEP=1.0 disables attention-weight dropout to
+            # quantify its (B,H,T,T) mask cost
+            "attention_dropout_keep_prob":
+                float(os.environ.get("BENCH_ATTN_KEEP", "0.9")),
             # BENCH_FUSED=1 routes the conv module through the fused
             # Pallas kernel (ops/conformer_pallas.py)
             "fused_conv_module":
