@@ -49,6 +49,97 @@ inline uint64_t ReadU64(const uint8_t* p) {
   std::memcpy(&v, p, 8);
   return v;
 }
+
+// --- KenLM trie helpers -----------------------------------------------
+
+// util/bit_packing.hh semantics: a field of `bits` bits starts at
+// absolute bit offset `bit_off`, little-endian within the byte stream
+// (first field of a record sits in the LOW bits). Every bit-packed
+// section carries 8 slack bytes so this unconditional 8-byte read
+// never runs past the mapping.
+inline uint64_t ReadBits(const uint8_t* base, uint64_t bit_off,
+                         uint8_t bits) {
+  uint64_t chunk;
+  std::memcpy(&chunk, base + (bit_off >> 3), 8);
+  chunk >>= (bit_off & 7);
+  return bits >= 64 ? chunk : (chunk & ((1ULL << bits) - 1ULL));
+}
+
+// probs are <= 0 so KenLM drops the sign bit and stores 31 bits
+// (util/bit_packing.hh WriteNonPositiveFloat31).
+inline float ReadProb31(const uint8_t* base, uint64_t bit_off) {
+  uint32_t u = (uint32_t)ReadBits(base, bit_off, 31) | 0x80000000u;
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f;
+}
+
+inline float ReadPackedFloat32(const uint8_t* base, uint64_t bit_off) {
+  uint32_t u = (uint32_t)ReadBits(base, bit_off, 32);
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f;
+}
+
+// util::RequiredBits: bits needed to store values in [0, max_value].
+inline uint8_t RequiredBits(uint64_t max_value) {
+  if (!max_value) return 0;
+  uint8_t ret = 1;
+  while (max_value >>= 1) ++ret;
+  return ret;
+}
+
+// lm/bhiksha.hh ChopBits: how many high bits of the next pointer move
+// into the offsets array. Minimises total size: the array costs 64
+// bits per high value, chopping saves `chop` bits in each of the
+// max_offset inline fields.
+inline uint8_t KenlmChopBits(uint64_t max_offset, uint64_t max_next,
+                             uint8_t conf_bits) {
+  uint8_t required = RequiredBits(max_next);
+  uint8_t best_chop = 0;
+  int64_t lowest_change = INT64_MAX;
+  uint8_t bound = required < conf_bits ? required : conf_bits;
+  for (uint8_t chop = 0; chop <= bound; ++chop) {
+    int64_t change = (int64_t)(max_next >> (required - chop)) * 64 -
+                     (int64_t)max_offset * (int64_t)chop;
+    if (change < lowest_change) {
+      lowest_change = change;
+      best_chop = chop;
+    }
+  }
+  return best_chop;
+}
+
+// util::MurmurHash64A with seed 0 — KenLM's vocab hash
+// (lm/vocab.cc detail::HashForVocab).
+inline uint64_t MurmurHash64A(const void* key, size_t len) {
+  const uint64_t m = 0xc6a4a7935bd1e995ULL;
+  const int r = 47;
+  uint64_t h = 0 ^ (len * m);
+  const uint8_t* data = (const uint8_t*)key;
+  const uint8_t* end8 = data + (len / 8) * 8;
+  while (data != end8) {
+    uint64_t k;
+    std::memcpy(&k, data, 8);
+    data += 8;
+    k *= m;
+    k ^= k >> r;
+    k *= m;
+    h ^= k;
+    h *= m;
+  }
+  uint64_t tail = 0;
+  size_t rem = len & 7;
+  if (rem) {
+    std::memcpy(&tail, data, rem);
+    h ^= tail;
+    h *= m;
+  }
+  h ^= h >> r;
+  h *= m;
+  h ^= h >> r;
+  return h;
+}
 }  // namespace
 
 NGramLM::~NGramLM() {
@@ -92,9 +183,10 @@ bool NGramLM::MapFile(const std::string& path) {
 }
 
 // ---------------------------------------------------------------------------
-// KenLM ".binary" reader (format documented in ngram_lm.h). Only the
-// PROBING model type (build_binary's default, model_type 0) is
-// supported; trie variants must be converted through ARPA text.
+// KenLM ".binary" reader (format documented in ngram_lm.h). PROBING
+// (model_type 0) and the trie family (2 TRIE / 3 QUANT_TRIE /
+// 4 ARRAY_TRIE / 5 QUANT_ARRAY_TRIE) load directly; REST_PROBING (1)
+// must be converted through ARPA text.
 // ---------------------------------------------------------------------------
 bool NGramLM::LoadKenlm(const std::string& path) {
   if (!MapFile(path)) return false;
@@ -108,14 +200,6 @@ bool NGramLM::LoadKenlm(const std::string& path) {
   std::memcpy(&multiplier, b + 92, 4);
   std::memcpy(&model_type, b + 96, 4);
   std::memcpy(&has_vocab, b + 100, 4);
-  if (model_type != 0) {
-    std::fprintf(stderr,
-                 "NGramLM: KenLM model_type %d unsupported (only PROBING"
-                 " binaries load directly; rebuild with `build_binary "
-                 "probing` or convert via ARPA text)\n",
-                 model_type);
-    return false;
-  }
   if (!has_vocab) {
     std::fprintf(stderr,
                  "NGramLM: KenLM binary lacks an embedded vocabulary "
@@ -125,6 +209,16 @@ bool NGramLM::LoadKenlm(const std::string& path) {
   if (order < 1 || (size_t)(108 + 8 * order) > map_size_) return false;
   std::vector<uint64_t> counts(order);
   for (int k = 0; k < order; ++k) counts[k] = ReadU64(b + 108 + 8 * k);
+  if (model_type >= 2 && model_type <= 5)
+    return LoadKenlmTrie(order, model_type, counts);
+  if (model_type != 0) {
+    std::fprintf(stderr,
+                 "NGramLM: KenLM model_type %d unsupported (PROBING and "
+                 "the trie family load directly; convert REST_PROBING "
+                 "via ARPA text)\n",
+                 model_type);
+    return false;
+  }
 
   size_t off = (size_t)(108 + 8 * order);
   off = (off + 7) & ~(size_t)7;  // header padding
@@ -154,6 +248,268 @@ bool NGramLM::LoadKenlm(const std::string& path) {
   }
   order_ = order;
   return true;
+}
+
+// ---------------------------------------------------------------------------
+// KenLM trie-family reader (layout documented in ngram_lm.h; the
+// reference's published LMs are `build_binary trie -q 8 -b 7 -a 256`,
+// reference scripts/build_lm.py:38). Structural invariants — every
+// level's terminal next pointer must equal the next level's count and
+// the vocab strings must exactly fill the file — are validated at
+// load so a layout mismatch fails loudly instead of mis-scoring.
+// ---------------------------------------------------------------------------
+bool NGramLM::LoadKenlmTrie(int order, int model_type,
+                            const std::vector<uint64_t>& counts) {
+  const uint8_t* b = (const uint8_t*)map_base_;
+  const bool quantized = model_type == 3 || model_type == 5;
+  const bool arrayed = model_type == 4 || model_type == 5;
+  const int search_version = b[104];
+  if (search_version != 1) {
+    std::fprintf(stderr,
+                 "NGramLM: KenLM trie search_version %d unsupported "
+                 "(expected 1)\n",
+                 search_version);
+    return false;
+  }
+  size_t off = ((size_t)(108 + 8 * order) + 7) & ~(size_t)7;
+
+  // SortedVocabulary: uint64 hash count, sorted MurmurHash64A values
+  // (one per word except <unk>); region is 8*(counts[0]+1) bytes.
+  if (off + 8 * (counts[0] + 1) > map_size_) return false;
+  const uint64_t n_hashes = ReadU64(b + off);
+  const uint64_t* hashes = (const uint64_t*)(b + off + 8);
+  if (n_hashes >= counts[0] + 1) return false;
+  off += 8 * (counts[0] + 1);
+
+  // quantization tables
+  uint8_t prob_bits = 0, backoff_bits = 0;
+  const float* quant_tables = nullptr;
+  if (quantized) {
+    if (off + 8 > map_size_) return false;
+    if (b[off] != 2) {
+      std::fprintf(stderr,
+                   "NGramLM: KenLM quantization version %d unsupported "
+                   "(expected 2)\n",
+                   (int)b[off]);
+      return false;
+    }
+    prob_bits = b[off + 1];
+    backoff_bits = b[off + 2];
+    if (prob_bits == 0 || prob_bits > 25 || backoff_bits > 25)
+      return false;
+    quant_tables = (const float*)(b + off + 8);
+    size_t n_floats =
+        (size_t)(order - 2) *
+            (((size_t)1 << prob_bits) + ((size_t)1 << backoff_bits)) +
+        ((size_t)1 << prob_bits);
+    off += 8 + 4 * n_floats;
+    if (off > map_size_) return false;
+  }
+
+  // unigram array: (counts[0]+2) x {float prob, float backoff, u64 next}
+  trie_unigrams_ = b + off;
+  trie_n_words_ = counts[0];
+  off += (counts[0] + 2) * 16;
+  if (off > map_size_) return false;
+  if (order >= 2 &&
+      ReadU64(trie_unigrams_ + 16 * counts[0] + 8) != counts[1]) {
+    std::fprintf(stderr,
+                 "NGramLM: KenLM trie unigram terminal pointer mismatch "
+                 "(corrupt file or layout drift)\n");
+    return false;
+  }
+
+  // middle levels (orders 2..N-1)
+  const uint8_t word_bits = RequiredBits(counts[0]);
+  const float* qt = quant_tables;
+  trie_middles_.assign(order >= 3 ? order - 2 : 0, KenlmTrieMiddle());
+  for (int d = 2; d < order; ++d) {
+    KenlmTrieMiddle& m = trie_middles_[d - 2];
+    m.count = counts[d - 1];
+    m.word_bits = word_bits;
+    if (quantized) {
+      m.prob_field_bits = prob_bits;
+      m.backoff_field_bits = backoff_bits;
+      m.prob_bins = qt;
+      qt += (size_t)1 << prob_bits;
+      m.backoff_bins = qt;
+      qt += (size_t)1 << backoff_bits;
+    } else {
+      m.prob_field_bits = 31;
+      m.backoff_field_bits = 32;
+    }
+    const uint64_t max_next = counts[d];
+    const uint8_t required = RequiredBits(max_next);
+    if (arrayed) {
+      // bhiksha section: {u8 version, u8 conf_bits} at base; u64
+      // offsets table at align8(base)+8; region 8*(1+table)+7 bytes.
+      if (off + 8 > map_size_) return false;
+      if (b[off] != 0) {
+        std::fprintf(stderr,
+                     "NGramLM: KenLM bhiksha version %d unsupported "
+                     "(expected 0)\n",
+                     (int)b[off]);
+        return false;
+      }
+      const uint8_t conf_bits = b[off + 1];
+      const uint8_t chopped =
+          KenlmChopBits(m.count + 1, max_next, conf_bits);
+      m.inline_bits = required - chopped;
+      m.bhiksha_count = (max_next >> m.inline_bits) + 1;
+      size_t table_at = ((off + 7) & ~(size_t)7) + 8;
+      m.bhiksha = (const uint64_t*)(b + table_at);
+      off += 8 * (1 + m.bhiksha_count) + 7;
+      if (table_at + 8 * m.bhiksha_count > map_size_ || off > map_size_)
+        return false;
+    } else {
+      m.inline_bits = required;
+    }
+    m.total_bits = m.word_bits + m.prob_field_bits +
+                   m.backoff_field_bits + m.inline_bits;
+    m.records = b + off;
+    off += ((1 + m.count) * m.total_bits + 7) / 8 + 8;
+    if (off > map_size_) return false;
+    if (TrieNext(m, m.count) != max_next) {
+      std::fprintf(stderr,
+                   "NGramLM: KenLM trie order-%d terminal pointer "
+                   "mismatch (corrupt file or layout drift)\n",
+                   d);
+      return false;
+    }
+  }
+
+  // longest level (order N)
+  if (order >= 2) {
+    trie_longest_ = b + off;
+    trie_longest_word_bits_ = word_bits;
+    if (quantized) {
+      trie_longest_prob_bits_ = prob_bits;
+      trie_longest_bins_ = qt;
+    } else {
+      trie_longest_prob_bits_ = 31;
+    }
+    uint8_t total = word_bits + trie_longest_prob_bits_;
+    off += ((1 + counts[order - 1]) * total + 7) / 8 + 8;
+    if (off > map_size_) return false;
+  }
+
+  // vocab strings in word-id order; ids recovered through the sorted
+  // hash array so the mapping holds even if string order ever drifts.
+  const char* w = (const char*)(b + off);
+  const char* send = (const char*)(b + map_size_);
+  vocab_.reserve(counts[0]);
+  for (uint64_t i = 0; i < counts[0]; ++i) {
+    size_t len = strnlen(w, (size_t)(send - w));
+    if (w + len >= send && i + 1 < counts[0]) return false;
+    uint64_t h = MurmurHash64A(w, len);
+    const uint64_t* pos =
+        std::lower_bound(hashes, hashes + n_hashes, h);
+    int id;
+    if (pos != hashes + n_hashes && *pos == h) {
+      id = (int)(pos - hashes) + 1;
+    } else {
+      // only <unk>/<UNK> hash outside the array (KenLM pins them to 0)
+      id = 0;
+    }
+    vocab_.emplace(std::string(w, len), id);
+    w += len + 1;
+  }
+  if ((size_t)(send - w) >= 8) {
+    std::fprintf(stderr,
+                 "NGramLM: KenLM trie has %zu unexplained trailing "
+                 "bytes (layout drift)\n",
+                 (size_t)(send - w));
+    return false;
+  }
+  order_ = order;
+  return true;
+}
+
+uint64_t NGramLM::TrieNext(const KenlmTrieMiddle& m, uint64_t idx) const {
+  uint64_t low = ReadBits(m.records,
+                          idx * m.total_bits + m.word_bits +
+                              m.prob_field_bits + m.backoff_field_bits,
+                          m.inline_bits);
+  if (m.bhiksha == nullptr) return low;
+  // offsets[h] = first record index whose high part >= h (offsets[0]=0);
+  // high(idx) = largest h with offsets[h] <= idx.
+  const uint64_t* p =
+      std::upper_bound(m.bhiksha, m.bhiksha + m.bhiksha_count, idx);
+  uint64_t high = (uint64_t)(p - m.bhiksha) - 1;
+  return (high << m.inline_bits) | low;
+}
+
+bool NGramLM::FindTrie(const std::vector<int>& ids, Entry* e) const {
+  const int k = (int)ids.size();
+  for (int id : ids)
+    if (id < 0 || (uint64_t)id >= trie_n_words_) return false;
+  const uint8_t* uni = trie_unigrams_ + 16 * (size_t)ids[k - 1];
+  if (k == 1) {
+    std::memcpy(&e->prob, uni, 4);
+    std::memcpy(&e->backoff, uni + 4, 4);
+    return true;
+  }
+  uint64_t begin = ReadU64(uni + 8);
+  uint64_t end = ReadU64(uni + 24);
+  for (int d = 2; d <= k; ++d) {
+    const uint64_t word = (uint64_t)ids[k - d];
+    if (d == order_) {
+      // longest level: [word][prob] records, no next pointers
+      const uint8_t total = trie_longest_word_bits_ +
+                            trie_longest_prob_bits_;
+      uint64_t lo = begin, hi = end;
+      while (lo < hi) {
+        uint64_t mid = lo + (hi - lo) / 2;
+        uint64_t wm = ReadBits(trie_longest_, mid * total,
+                               trie_longest_word_bits_);
+        if (wm < word) {
+          lo = mid + 1;
+        } else if (wm > word) {
+          hi = mid;
+        } else {
+          uint64_t at = mid * total + trie_longest_word_bits_;
+          e->prob = trie_longest_bins_ != nullptr
+                        ? trie_longest_bins_[ReadBits(
+                              trie_longest_, at, trie_longest_prob_bits_)]
+                        : ReadProb31(trie_longest_, at);
+          e->backoff = 0.0f;
+          return true;
+        }
+      }
+      return false;
+    }
+    const KenlmTrieMiddle& m = trie_middles_[d - 2];
+    uint64_t lo = begin, hi = end, found = ~0ULL;
+    while (lo < hi) {
+      uint64_t mid = lo + (hi - lo) / 2;
+      uint64_t wm = ReadBits(m.records, mid * m.total_bits, m.word_bits);
+      if (wm < word) {
+        lo = mid + 1;
+      } else if (wm > word) {
+        hi = mid;
+      } else {
+        found = mid;
+        break;
+      }
+    }
+    if (found == ~0ULL) return false;
+    if (d == k) {
+      uint64_t at = found * m.total_bits + m.word_bits;
+      if (m.prob_bins != nullptr) {
+        e->prob = m.prob_bins[ReadBits(m.records, at, m.prob_field_bits)];
+        e->backoff = m.backoff_bins[ReadBits(m.records,
+                                             at + m.prob_field_bits,
+                                             m.backoff_field_bits)];
+      } else {
+        e->prob = ReadProb31(m.records, at);
+        e->backoff = ReadPackedFloat32(m.records, at + 31);
+      }
+      return true;
+    }
+    begin = TrieNext(m, found);
+    end = TrieNext(m, found + 1);
+  }
+  return false;
 }
 
 bool NGramLM::LoadArpa(const std::string& arpa_path) {
@@ -215,7 +571,8 @@ bool NGramLM::LoadArpa(const std::string& arpa_path) {
 //     sorted ascending by id tuple
 // ---------------------------------------------------------------------------
 bool NGramLM::SaveBinary(const std::string& path) const {
-  if (order_ == 0 || !bin_tables_.empty() || kenlm_unigrams_ != nullptr)
+  if (order_ == 0 || !bin_tables_.empty() || kenlm_unigrams_ != nullptr ||
+      trie_unigrams_ != nullptr)
     return false;  // hash (ARPA-loaded) mode only
   std::ofstream out(path, std::ios::binary | std::ios::trunc);
   if (!out.is_open()) return false;
@@ -313,6 +670,7 @@ bool NGramLM::LoadBinary(const std::string& path) {
 bool NGramLM::Find(const std::vector<int>& ids, Entry* e) const {
   int k = (int)ids.size();
   if (k < 1 || k > order_) return false;
+  if (trie_unigrams_ != nullptr) return FindTrie(ids, e);
   if (kenlm_unigrams_ != nullptr) {
     for (int id : ids)
       if (id < 0 || (uint64_t)id >= kenlm_n_unigrams_) return false;
