@@ -168,8 +168,10 @@ def check_logdir(args, base_config) -> Optional[str]:
 
     * train without --continue_learning: logdir must be empty/absent;
     * train with --continue_learning: logdir must contain a checkpoint;
-    * eval/infer: restore the latest checkpoint ("best_models" preferred
-      is handled by the caller).
+    * eval/infer: restore the latest checkpoint, or the newest
+      "best_models" checkpoint when the config sets
+      ``restore_best_checkpoint: True`` (reference run.py:34-40 +
+      utils.py:683-689).
 
     Returns the checkpoint path to restore from, or None.
     """
@@ -191,17 +193,25 @@ def check_logdir(args, base_config) -> Optional[str]:
                 "logdir".format(logdir))
         return None
     # eval / infer / interactive_infer need a checkpoint
+    if base_config.get("restore_best_checkpoint"):
+        best = _latest_checkpoint(logdir, subdir="best_models")
+        if best is not None:
+            deco_print("Restoring from the best checkpoint")
+            return best
+        deco_print("No best_models checkpoint yet; restoring from the "
+                   "latest checkpoint")
     if checkpoint is None:
         raise OSError("There is no checkpoint in '{}' to restore "
                       "from".format(logdir))
     return checkpoint
 
 
-def _latest_checkpoint(logdir: str) -> Optional[str]:
-    """Find the newest step-numbered checkpoint dir under logdir/checkpoints."""
+def _latest_checkpoint(logdir: str,
+                       subdir: str = "checkpoints") -> Optional[str]:
+    """Find the newest step-numbered checkpoint dir under logdir/<subdir>."""
     if not logdir:
         return None
-    ckpt_root = os.path.join(logdir, "checkpoints")
+    ckpt_root = os.path.join(logdir, subdir)
     if not os.path.isdir(ckpt_root):
         return None
     steps = []
