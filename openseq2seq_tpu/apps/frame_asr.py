@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from ..models import Speech2Text
-from ..ops.ctc_beam import BeamDecoder, Scorer
+from ..ops.ctc_beam import BeamDecoder, Scorer, group_word_timestamps
 from ..ops.features import get_speech_features
 from ..training.trainer import restore_state
 
@@ -104,6 +104,7 @@ class FrameASR:
             self._beam_decoder.reset()
         if self._dev_beam is not None:
             self._dev_state = self._dev_init()
+            self._dev_times = []
 
     def _featurize(self, signal: np.ndarray):
         dl_params = dict(self.model.get_data_layer().params)
@@ -167,11 +168,13 @@ class FrameASR:
         central = logits[lo:lo + self.n_timesteps_frame]
         if self._dev_beam is not None:
             n = central.shape[0]
-            self._dev_state, (ids, lens, _) = self._dev_beam(
+            self._dev_state, (ids, lens, _, frames) = self._dev_beam(
                 self._dev_state, np.asarray(central)[None],
                 np.asarray([n], np.int32))
-            best = np.asarray(ids)[0, 0, :int(np.asarray(lens)[0, 0])]
+            n_len = int(np.asarray(lens)[0, 0])
+            best = np.asarray(ids)[0, 0, :n_len]
             self.text = "".join(self.vocab[int(i)] for i in best)
+            self._dev_times = np.asarray(frames)[0, 0, :n_len].tolist()
             return self.text
         probs = _softmax(central)
         if self._beam_decoder is not None:
@@ -211,17 +214,13 @@ class FrameASR:
         return "".join(out)
 
     def get_word_timestamps(self):
-        """Word timestamps from the stateful host beam decoder.
-
-        Only available in host ``BeamDecoder`` mode; the on-device beam
-        (``on_device_beam=True``) does not track per-word frame spans, so
-        asking for timestamps there is a configuration error, not an
-        empty result."""
+        """[(word, start_frame, end_frame)] from either beam backend:
+        the stateful host decoder's per-character emission times, or —
+        in on-device mode — the beam kernel's carried emission-frame
+        buffer (utterance-absolute, same grouping)."""
         if self._dev_beam is not None:
-            raise RuntimeError(
-                "word timestamps require the host BeamDecoder "
-                "(on_device_beam=False); the on-device beam does not "
-                "track word frame spans")
+            return group_word_timestamps(self.text,
+                                         getattr(self, "_dev_times", []))
         if self._beam_decoder is None:
             return []
         return self._beam_decoder.get_word_timestamps()

@@ -70,8 +70,8 @@ def _lse(a, b):
 
 
 def _beam_step(state, inputs, *, K, V, U, fusion: Optional[FusionLM]):
-    toks, lens, last, h1, h2, ctx, p_b, p_nb = state
-    logp, active = inputs                     # (V,), bool scalar
+    toks, lens, last, h1, h2, ctx, p_b, p_nb, frames = state
+    logp, active, t = inputs                  # (V,), bool, int32 scalars
     blank = V - 1
 
     # ---- candidate grid (K, V): column `blank` = stay, else extend
@@ -141,9 +141,11 @@ def _beam_step(state, inputs, *, K, V, U, fusion: Optional[FusionLM]):
     ext = ch != blank
     plen = lens[par]
     wpos = jnp.clip(plen, 0, U - 1)
-    new_toks = jnp.where(ext[:, None] &
-                         (jnp.arange(U)[None, :] == wpos[:, None]),
-                         ch[:, None], toks[par])
+    upd = ext[:, None] & (jnp.arange(U)[None, :] == wpos[:, None])
+    new_toks = jnp.where(upd, ch[:, None], toks[par])
+    # emission timestamps: the frame at which each label first entered
+    # the prefix (the host decoder's per-character time source)
+    new_frames = jnp.where(upd, t, frames[par])
     new_lens = jnp.clip(plen + ext.astype(plen.dtype), 0, U)
     new_last = jnp.where(ext, ch, last[par])
     if fusion is not None:
@@ -166,11 +168,12 @@ def _beam_step(state, inputs, *, K, V, U, fusion: Optional[FusionLM]):
     new_h1 = jnp.where(dead, jnp.uint32(0x60000000) + lane, new_h1)
     new_h2 = jnp.where(dead, jnp.uint32(0x70000000) + lane, new_h2)
     new_toks = jnp.where(dead[:, None], jnp.int32(-1), new_toks)
+    new_frames = jnp.where(dead[:, None], jnp.int32(-1), new_frames)
     new_lens = jnp.where(dead, 0, new_lens)
     new_last = jnp.where(dead, -1, new_last)
 
     new_state = (new_toks, new_lens, new_last, new_h1, new_h2,
-                 new_ctx, new_b, new_nb)
+                 new_ctx, new_b, new_nb, new_frames)
     # frames past the utterance length are identity
     keep = lambda new, old: jnp.where(
         jnp.reshape(active, (1,) * new.ndim), new, old)
@@ -191,22 +194,24 @@ def _init_single(K, U, fusion: Optional[FusionLM]):
     ctx = jnp.full((K,), init_ctx, jnp.int32)
     p_b = jnp.where(k == 0, 0.0, NEG_INF).astype(jnp.float32)
     p_nb = jnp.full((K,), NEG_INF, jnp.float32)
-    return (toks, lens, last, h1, h2, ctx, p_b, p_nb)
+    frames = jnp.full((K, U), -1, jnp.int32)
+    return (toks, lens, last, h1, h2, ctx, p_b, p_nb, frames)
 
 
-def _scan_single(state, logp, n_valid, *, K, V, U,
+def _scan_single(state, logp, n_valid, t0=0, *, K, V, U,
                  fusion: Optional[FusionLM]):
     T = logp.shape[0]
     active = jnp.arange(T) < n_valid
+    t = t0 + jnp.arange(T, dtype=jnp.int32)
     step = functools.partial(_beam_step, K=K, V=V, U=U, fusion=fusion)
-    return jax.lax.scan(step, state, (logp, active))[0]
+    return jax.lax.scan(step, state, (logp, active, t))[0]
 
 
 def _rank_single(state, K):
-    toks, lens = state[0], state[1]
+    toks, lens, frames = state[0], state[1], state[8]
     scores = _lse(state[6], state[7])
     top_scores, order = jax.lax.top_k(scores, K)
-    return toks[order], lens[order], top_scores
+    return toks[order], lens[order], top_scores, frames[order]
 
 
 def _beam_search_single(logp, length, *, K, V, U,
@@ -221,8 +226,9 @@ def ctc_beam_search_tpu(logits: jax.Array,
                         logit_lengths: jax.Array,
                         beam_width: int = 16,
                         max_label_len: Optional[int] = None,
-                        fusion: Optional[FusionLM] = None
-                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                        fusion: Optional[FusionLM] = None,
+                        return_frames: bool = False
+                        ) -> Tuple[jax.Array, ...]:
     """Batched on-device CTC prefix beam search.
 
     Args:
@@ -234,17 +240,25 @@ def ctc_beam_search_tpu(logits: jax.Array,
         that reach U stop growing (the last slot is overwritten) —
         choose U at least the longest expected transcript.
       fusion: optional :class:`FusionLM` for on-device shallow fusion.
+      return_frames: also return per-label emission frame indices —
+        the timestamp source the host ``BeamDecoder`` exposes as word
+        timings (reference `decoders/ctc_beam_search_decoder.cpp`).
 
     Returns ``(ids, lengths, scores)``: (B, K, U) label ids padded with
     -1, (B, K) lengths, (B, K) total log probabilities (LM-fused when
-    ``fusion`` is given), best beam first.
+    ``fusion`` is given), best beam first. With ``return_frames`` a
+    fourth (B, K, U) int32 array gives the frame at which each label
+    entered the prefix (-1 past the length).
     """
     B, T, V = logits.shape
     U = int(max_label_len or T)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     run = functools.partial(_beam_search_single, K=int(beam_width),
                             V=V, U=U, fusion=fusion)
-    return jax.vmap(run)(logp, logit_lengths)
+    ids, lens, scores, frames = jax.vmap(run)(logp, logit_lengths)
+    if return_frames:
+        return ids, lens, scores, frames
+    return ids, lens, scores
 
 
 # ---------------------------------------------------------------------
@@ -256,11 +270,14 @@ def ctc_beam_search_tpu(logits: jax.Array,
 
 def ctc_beam_init(batch_size: int, beam_width: int, max_label_len: int,
                   fusion: Optional[FusionLM] = None):
-    """Fresh batched beam state: the empty prefix in lane 0."""
+    """Fresh batched beam state: the empty prefix in lane 0. The last
+    element is the per-utterance global frame counter, so streamed
+    emission timestamps are utterance-absolute."""
     one = _init_single(int(beam_width), int(max_label_len), fusion)
-    return jax.tree_util.tree_map(
+    core = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (batch_size,) + x.shape),
         one)
+    return core + (jnp.zeros((batch_size,), jnp.int32),)
 
 
 def ctc_beam_update(state, logits: jax.Array, chunk_lengths: jax.Array,
@@ -268,15 +285,18 @@ def ctc_beam_update(state, logits: jax.Array, chunk_lengths: jax.Array,
     """Advance the beam by one (B, Tc, V) logits chunk.
 
     ``chunk_lengths`` (B,) marks valid frames in this chunk (ragged
-    tails supported). Returns ``(new_state, (ids, lens, scores))`` with
-    the current-best decode ranked best-first — callable after every
-    chunk for partial transcripts.
+    tails supported). Returns ``(new_state, (ids, lens, scores,
+    frames))`` with the current-best decode ranked best-first —
+    callable after every chunk for partial transcripts; ``frames``
+    carries utterance-absolute emission frame indices.
     """
     B, Tc, V = logits.shape
     K, U = state[0].shape[1], state[0].shape[2]
+    core, t_done = state[:-1], state[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     scan = functools.partial(_scan_single, K=K, V=V, U=U, fusion=fusion)
-    state = jax.vmap(scan)(state, logp, chunk_lengths)
-    ids, lens, scores = jax.vmap(functools.partial(_rank_single, K=K))(
-        state)
-    return state, (ids, lens, scores)
+    core = jax.vmap(scan)(core, logp, chunk_lengths, t_done)
+    ids, lens, scores, frames = jax.vmap(
+        functools.partial(_rank_single, K=K))(core)
+    state = core + (t_done + chunk_lengths.astype(jnp.int32),)
+    return state, (ids, lens, scores, frames)

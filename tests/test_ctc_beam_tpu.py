@@ -133,6 +133,35 @@ def test_peaky_matches_greedy():
         assert list(ids[b, 0, :lens[b, 0]]) == want
 
 
+def test_emission_frames_on_peaky_lattice():
+    """`return_frames` gives each label's emission frame: on a peaky
+    lattice, the first frame of each label run (CTC emits when the
+    label first enters the prefix)."""
+    V, blank = 5, 4
+    # frames: a a blank b blank blank c c  -> labels a@0, b@3, c@6
+    hot = [0, 0, blank, 1, blank, blank, 2, 2]
+    T = len(hot)
+    logits = np.full((1, T, V), -9.0, np.float32)
+    logits[0, np.arange(T), hot] = 9.0
+    ids, lens, _, frames = jax.jit(
+        lambda lg, ln: ctc_beam_search_tpu(
+            lg, ln, beam_width=4, max_label_len=T, return_frames=True)
+    )(jnp.asarray(logits), jnp.asarray([T], np.int32))
+    n = int(np.asarray(lens)[0, 0])
+    assert list(np.asarray(ids)[0, 0, :n]) == [0, 1, 2]
+    assert list(np.asarray(frames)[0, 0, :n]) == [0, 3, 6]
+    # padding stays -1
+    assert (np.asarray(frames)[0, 0, n:] == -1).all()
+
+
+def test_frame_asr_word_timestamps_grouping():
+    """The on-device beam's (text, per-char frames) pair groups into
+    word timestamps exactly like the host decoder's."""
+    from openseq2seq_tpu.ops.ctc_beam import group_word_timestamps
+    assert group_word_timestamps("ab cd", [2, 3, 5, 7, 8]) == \
+        [("ab", 2, 3), ("cd", 7, 8)]
+
+
 def test_shallow_fusion_matches_oracle(tmp_path):
     from openseq2seq_tpu.ops.ngram_fusion import (build_label_lm,
                                                   dense_label_lm)
@@ -219,10 +248,17 @@ def test_streaming_chunks_match():
     upd = jax.jit(ctc_beam_update)
     for start, stop in [(0, 5), (5, 9), (9, 12)]:
         valid = np.clip(lengths - start, 0, stop - start)
-        state, (ids2, lens2, scores2) = upd(
+        state, (ids2, lens2, scores2, frames2) = upd(
             state, lg[:, start:stop], jnp.asarray(valid))
         done += valid
     assert np.array_equal(done, lengths)
     np.testing.assert_array_equal(np.asarray(ids2), ids1)
     np.testing.assert_array_equal(np.asarray(lens2), lens1)
     np.testing.assert_allclose(np.asarray(scores2), scores1, atol=1e-5)
+    # streamed emission frames are utterance-absolute: identical to the
+    # one-shot decode's
+    _, _, _, frames1 = ctc_beam_search_tpu(
+        jnp.asarray(logits), jnp.asarray(lengths), beam_width=K,
+        max_label_len=T, return_frames=True)
+    np.testing.assert_array_equal(np.asarray(frames2),
+                                  np.asarray(frames1))
