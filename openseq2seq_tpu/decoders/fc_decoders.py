@@ -25,6 +25,7 @@ from .decoder import Decoder
 from ..parts.initializers import resolve_initializer
 from ..ops.ctc import ctc_greedy_decode
 from ..ops.ctc_beam_tpu import FusionLM, ctc_beam_search_tpu
+from ..utils.logging import deco_print
 
 
 class FullyConnectedDecoder(Decoder):
@@ -141,6 +142,17 @@ class FullyConnectedCTCDecoder(FullyConnectedTimeDecoder):
             # host-side beam+LM decoding consumes dumped logits; the
             # in-graph decode stays greedy
             self._params.setdefault("infer_logits_to_pickle", False)
+        # reference-config compatibility keys with no effect here: the
+        # native decoder is bundled (no .so path) and its trie is built
+        # from the LM vocabulary at load — say so rather than silently
+        # ignoring them
+        for legacy in ("decoder_library_path", "trie_path",
+                       "trie_weight"):
+            if legacy in self._params:
+                deco_print(
+                    "NOTE: decoder_params['{}'] is accepted for "
+                    "reference-config compatibility but has no effect "
+                    "(see docs/migrating.md)".format(legacy))
 
     def _make_fusion(self):
         fus = self._params.get("on_device_fusion")
