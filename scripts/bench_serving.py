@@ -145,7 +145,18 @@ def main():
     def timed(fn, n_steps=30):
         note("compile+warmup")
         f = jax.jit(fn)
-        for _ in range(3):
+        # this environment's remote-compile relay can drop the pipe on
+        # long compiles (transient UNAVAILABLE); retry the first call
+        for attempt in range(3):
+            try:
+                logits = f(batch)
+                break
+            except Exception as e:  # jax.errors.JaxRuntimeError
+                if "UNAVAILABLE" not in str(e) or attempt == 2:
+                    raise
+                note(f"relay dropped during compile, retrying: {e}")
+                time.sleep(20)
+        for _ in range(2):
             logits = f(batch)
         np.asarray(jax.device_get(logits[0, 0, :4]))
         t0 = time.time()
