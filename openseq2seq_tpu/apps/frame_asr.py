@@ -252,6 +252,8 @@ class TransducerFrameASR(FrameASR):
     def reset(self):
         super().reset()
         self._carry = None
+        self._frames_done = 0   # decoded central frames consumed so far
+        self._times = []        # per-emitted-character absolute frames
 
     def transcribe(self, frame: np.ndarray) -> str:
         """Feed ``frame_len`` seconds of audio; returns the text newly
@@ -277,8 +279,21 @@ class TransducerFrameASR(FrameASR):
         ids = np.asarray(ids)[0]
         n = int(np.asarray(n)[0])
         new_text = "".join(self.vocab[int(i)] for i in ids[:n])
+        # emission frames are buffer-relative; rebase onto the running
+        # count of consumed central frames (timestamps count decoded,
+        # i.e. non-silence-gated, frames — same convention as the CTC
+        # streaming decoders)
+        emit = np.asarray(dec_out["emit_frames"])[0, :n]
+        self._times.extend(
+            (self._frames_done + int(t) - int(lo[0])) for t in emit)
+        self._frames_done += self.n_timesteps_frame
         self.text += new_text
         return new_text
+
+    def get_word_timestamps(self):
+        """[(word, start_frame, end_frame)] — RNN-T emissions are
+        frame-synchronous, so these come straight from the decoder."""
+        return group_word_timestamps(self.text, self._times)
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:

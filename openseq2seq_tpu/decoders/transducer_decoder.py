@@ -210,11 +210,12 @@ class TransducerDecoderModule(nn.Module):
                 t_lo = jnp.zeros_like(enc_len)
                 t_hi = enc_len
             out_ids = jnp.full((B, Lmax), -1, jnp.int32)
+            out_frames = jnp.full((B, Lmax), -1, jnp.int32)
             out_len = jnp.zeros((B,), jnp.int32)
             slot = jnp.arange(Lmax)[None, :]
 
             def frame(carry, xt):
-                states, pred_j, out_ids, out_len = carry
+                states, pred_j, out_ids, out_frames, out_len = carry
                 enc_jt, t = xt
                 active = (t >= t_lo) & (t < t_hi)               # (B,)
                 for _ in range(self.max_symbols_per_frame):
@@ -223,6 +224,7 @@ class TransducerDecoderModule(nn.Module):
                     emit = active & (k != blank) & (out_len < Lmax)
                     write = (slot == out_len[:, None]) & emit[:, None]
                     out_ids = jnp.where(write, k[:, None], out_ids)
+                    out_frames = jnp.where(write, t, out_frames)
                     out_len = out_len + emit.astype(jnp.int32)
                     new_states, h = pred_step(states, k)
                     states = jax.tree_util.tree_map(
@@ -231,12 +233,18 @@ class TransducerDecoderModule(nn.Module):
                     pred_j = jnp.where(emit[:, None],
                                        h @ joint_pred_w, pred_j)
                     active = emit
-                return (states, pred_j, out_ids, out_len), None
+                return (states, pred_j, out_ids, out_frames,
+                        out_len), None
 
             xs = (jnp.moveaxis(enc_j, 1, 0), jnp.arange(T))
-            (states, pred_j, out_ids, out_len), _ = jax.lax.scan(
-                frame, (states, pred_j, out_ids, out_len), xs)
+            (states, pred_j, out_ids, out_frames, out_len), _ = \
+                jax.lax.scan(
+                    frame,
+                    (states, pred_j, out_ids, out_frames, out_len), xs)
             out["outputs"] = [out_ids, out_len]
+            # per-emission encoder-frame indices (RNN-T emits frame-
+            # synchronously, so these ARE the label timestamps)
+            out["emit_frames"] = out_frames
             out["decode_carry"] = (states, pred_j)
         return out
 

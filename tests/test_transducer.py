@@ -204,6 +204,7 @@ def _np_greedy_oracle(params, enc, enc_len, blank, msf, Lmax, layers):
 
     B, T, _ = enc.shape
     ids = np.full((B, Lmax), -1, np.int32)
+    frames = np.full((B, Lmax), -1, np.int32)
     lens = np.zeros(B, np.int32)
     for b in range(B):
         states = [(np.zeros(H), np.zeros(H)) for _ in range(layers)]
@@ -217,10 +218,11 @@ def _np_greedy_oracle(params, enc, enc_len, blank, msf, Lmax, layers):
                 if k == blank or lens[b] >= Lmax:
                     break
                 ids[b, lens[b]] = k
+                frames[b, lens[b]] = t
                 lens[b] += 1
                 states, h = pred_step(states, k)
                 pred_j = h @ w_pred
-    return ids, lens
+    return ids, lens, frames
 
 
 def test_greedy_decode_matches_oracle():
@@ -240,10 +242,13 @@ def test_greedy_decode_matches_oracle():
         variables, input_dict)
     got_ids, got_lens = (np.asarray(out["outputs"][0]),
                          np.asarray(out["outputs"][1]))
-    want_ids, want_lens = _np_greedy_oracle(
+    want_ids, want_lens, want_frames = _np_greedy_oracle(
         variables["params"], enc, enc_len, V - 1, 3, T, layers=2)
     np.testing.assert_array_equal(got_lens, want_lens)
     np.testing.assert_array_equal(got_ids, want_ids)
+    # frame-synchronous emission timestamps match the oracle's
+    np.testing.assert_array_equal(np.asarray(out["emit_frames"]),
+                                  want_frames)
     assert got_lens[2] <= 3  # one active frame -> at most msf symbols
 
 
