@@ -271,6 +271,7 @@ bool NGramLM::LoadKenlmTrie(int order, int model_type,
                  search_version);
     return false;
   }
+  if (order < 2) return false;  // KenLM tries are order >= 2
   size_t off = ((size_t)(108 + 8 * order) + 7) & ~(size_t)7;
 
   // SortedVocabulary: uint64 hash count, sorted MurmurHash64A values
