@@ -237,3 +237,14 @@ class Text2SpeechDataLayer(DataLayer):
         return "".join(self.idx2char.get(int(i), "")
                        for i in np.asarray(ids).tolist()
                        if 0 <= int(i) < len(self.idx2char))
+
+    def create_interactive_batch(self, model_in):
+        """One-line text -> a single-example infer batch (the
+        reference's interactive T2S notebook flow,
+        `scripts/tacotron_save_spec.py` there; used by
+        `scripts/synthesize.py` and `run.py --mode=interactive_infer`)."""
+        text = str(model_in).strip().lower()
+        if not text:
+            raise ValueError("empty text")
+        return self._collate([{"idx": 0, "text": self.encode_text(text)}],
+                             valid=1)

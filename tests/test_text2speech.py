@@ -240,3 +240,24 @@ def test_golden_mel_regression(toy_lj):
     golden = np.load(golden_path)["mel"]
     assert spec.shape == golden.shape
     np.testing.assert_allclose(spec, golden, rtol=5e-3, atol=5e-3)
+
+
+def test_interactive_synthesis_path(toy_lj):
+    """Text -> mel -> Griffin-Lim wav through the interactive batch
+    contract (the reference's interactive T2S notebook flow,
+    `scripts/synthesize.py` here) on randomly-initialized params —
+    verifies the plumbing, not audio quality."""
+    import jax
+    model = Text2SpeechTacotron(params=_config(toy_lj),
+                                mode="interactive_infer")
+    # interactive models have no dataset rows; init from a synthetic
+    # batch built by the same interactive contract
+    dl = model.get_data_layer()
+    batch = dl.create_interactive_batch("ab ba")
+    state = model.init_state(batch)
+    out = jax.device_get(jax.jit(model.eval_step)(state, batch))
+    spec, lengths = out["outputs"]["decoder_output"]["outputs"]
+    n = int(np.asarray(lengths)[0])
+    assert n >= 1
+    wav = model.synthesize_wav(np.asarray(spec)[0, :n])
+    assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
