@@ -76,18 +76,24 @@ def main(argv=None):
 
 def _interactive_repl(model, checkpoint):
     """Tiny stdin REPL for interactive inference: each line is a wav
-    path, the transcription is printed (the reference drives this mode
-    from notebooks / frame_asr.py; streaming apps should use
-    openseq2seq_tpu/apps/frame_asr.py)."""
+    path (ASR) or a sentence (TTS — the wav is synthesized via
+    Griffin-Lim and its path printed; `scripts/synthesize.py` is the
+    batch version). The reference drives this mode from notebooks /
+    frame_asr.py; streaming apps should use
+    openseq2seq_tpu/apps/frame_asr.py."""
     state = trainer.restore_state(model, checkpoint)
     import jax as _jax
     eval_fn = _jax.jit(model.eval_step)
     dl = model.get_data_layer()
-    deco_print("Interactive inference. Enter a wav path per line "
-               "(Ctrl-D to quit).")
+    is_tts = hasattr(model, "synthesize_wav")
+    prompt = "text> " if is_tts else "wav> "
+    deco_print("Interactive inference. Enter a {} per line "
+               "(Ctrl-D to quit).".format("sentence" if is_tts
+                                          else "wav path"))
+    n_synth = 0
     while True:
         try:
-            line = input("wav> ").strip()
+            line = input(prompt).strip()
         except EOFError:
             break
         if not line:
@@ -95,8 +101,22 @@ def _interactive_repl(model, checkpoint):
         try:
             batch = dl.create_interactive_batch(line)
             out = _jax.device_get(eval_fn(state, batch))
-            for _, text in model.infer(batch, out):
-                print(text)
+            if is_tts:
+                import numpy as _np
+                from scipy.io import wavfile as _wavfile
+                spec, lengths = out["outputs"]["decoder_output"]["outputs"]
+                n = int(_np.asarray(lengths)[0])
+                wav = model.synthesize_wav(_np.asarray(spec)[0, :n])
+                sr = dl.params.get("sample_freq", 22050)
+                path = "interactive_synth_{}.wav".format(n_synth)
+                n_synth += 1
+                peak = float(_np.max(_np.abs(wav))) or 1.0
+                _wavfile.write(path, sr, (wav / peak * 0.9 *
+                                          32767).astype(_np.int16))
+                print(path)
+            else:
+                for _, text in model.infer(batch, out):
+                    print(text)
         except Exception as e:  # keep the REPL alive on bad input
             print("error: {}".format(e))
 
