@@ -16,10 +16,12 @@ TPU-first design notes:
   (B, T, C) channel-minor so XLA tiles the convs onto the MXU.
 * Self-attention uses Transformer-XL-style relative positions,
   BIDIRECTIONAL: distances d = i−j ∈ [−(K−1), K−1] index a projected
-  sinusoidal table of 2K−1 rows, aligned with one static
-  ``take_along_axis`` gather (same trick as
-  `transformer_xl_encoder.py` — no pad-reshape shift, shape-static,
-  fuses with the padding mask).
+  sinusoidal table of 2K−1 rows, aligned via the pad-reshape relative
+  shift over the reversed table (exact; replaced the original
+  ``take_along_axis`` gather that dominated the M-scale block — see
+  RelPosSelfAttention). ``flash_attention: True`` additionally fuses
+  the content-score/softmax/context chain into the Pallas flash kernel
+  with the shifted position term as its additive bias.
 * The conv module's normalization defaults to layer_norm: batch_norm
   over padded time would fold padding frames into the batch statistics
   unless separately masked; layer_norm is mask-safe and, at ASR batch
@@ -49,16 +51,61 @@ from .transformer_xl_encoder import rel_pos_embedding
 NEG_INF = -1e9
 
 
+def _rel_flash_attend(q, k, v, bd, pad_mask, scale):
+    """Flash attention with the rel-shifted position term as the
+    kernel's additive ``ab`` bias: per tile it computes
+    (q·kᵀ + ab) * sm_scale — identical scores to the XLA chain, but the
+    (B,H,T,T) content/sum/softmax tensors never touch HBM. q/k/v are
+    (B,T,H,Dh); bd is (B,H,T,T); returns the context (B,T,H,Dh)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+    B, T, H, Dh = q.shape
+    Tq, Tk = T + (-T % 64), T + (-T % 128)
+    pad_q = ((0, 0), (0, Tq - T), (0, 0), (0, 0))
+    pad_k = ((0, 0), (0, Tk - T), (0, 0), (0, 0))
+    qp = jnp.pad(q, pad_q).transpose(0, 2, 1, 3)       # (B,H,Tq,Dh)
+    kp = jnp.pad(k, pad_k).transpose(0, 2, 1, 3)
+    vp = jnp.pad(v, pad_k).transpose(0, 2, 1, 3)
+    ab = jnp.pad(bd, ((0, 0), (0, 0), (0, Tq - T), (0, Tk - T)))
+    # padding mask via segment ids (padded keys get a different id)
+    kv_valid = jnp.pad(pad_mask, ((0, 0), (0, Tk - T)))
+    seg = SegmentIds(q=jnp.ones((B, Tq), jnp.int32),
+                     kv=jnp.where(kv_valid, 1, 2).astype(jnp.int32))
+    bq, bk = min(128 if Tq % 128 == 0 else 64, Tq), min(128, Tk)
+    block_sizes = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk,
+        block_q_dq=bq)
+    out = flash_attention(qp, kp, vp, ab=ab, segment_ids=seg,
+                          causal=False, sm_scale=float(scale),
+                          block_sizes=block_sizes)
+    return out.transpose(0, 2, 1, 3)[:, :T].astype(q.dtype)
+
+
 class RelPosSelfAttention(nn.Module):
     """Bidirectional multi-head self-attention with relative positions.
 
     Scoring follows Transformer-XL (content term (q+u)·k, position term
     (q+w)·R[d]) but without causal masking or segment memory — ASR
     encoders attend both directions.
+
+    ``use_flash`` routes the content-score/softmax/context chain through
+    the fused Pallas TPU flash kernel with the (already rel-shifted)
+    position term passed as its additive ``ab`` bias — the kernel
+    computes (q'·k + ab)·sm_scale per tile, which is exactly the
+    ``(ac + bd) * scale`` below, so scores are identical. What changes:
+    the (B,H,T,T) content/sum/softmax tensors never round-trip HBM
+    (queue14 measured the XLA chain at 76% of the M-scale block), and
+    attention-WEIGHT dropout is skipped (the kernel has none; the block
+    retains its attention-output dropout, and queue13 measured the
+    weight-dropout term at ~4% of block throughput). Off-TPU the flag
+    falls back to the plain path bit-for-bit.
     """
     num_heads: int
     dropout: float
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, train: bool):
@@ -90,7 +137,8 @@ class RelPosSelfAttention(nn.Module):
             r.astype(self.dtype))                           # (2T-1, H, Dh)
 
         scale = 1.0 / np.sqrt(Dh)
-        ac = jnp.einsum("bthd,bkhd->bhtk", q + u, k)
+        flash = self.use_flash and jax.default_backend() == "tpu"
+        ac = None if flash else jnp.einsum("bthd,bkhd->bhtk", q + u, k)
         pos_score = jnp.einsum("bthd,rhd->bhtr", q + w, r)  # (B,H,T,2T-1)
         # relative shift: with the reversed table, bd[t, j] must read
         # pos_score[t, j + (T-1-t)]; pad one leading column, view the
@@ -100,6 +148,12 @@ class RelPosSelfAttention(nn.Module):
         ps = jnp.pad(pos_score, ((0, 0), (0, 0), (0, 0), (1, 0)))
         ps = ps.reshape(B, H, 2 * T, T)[:, :, 1:, :]
         bd = ps.reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
+        if flash:
+            ctx = _rel_flash_attend(q + u, k, v, bd, pad_mask, scale)
+            return nn.DenseGeneral(D, axis=(-2, -1), use_bias=False,
+                                   dtype=self.dtype,
+                                   param_dtype=jnp.float32,
+                                   name="out")(ctx)
         logits = (ac + bd).astype(jnp.float32) * scale
         logits = jnp.where(pad_mask[:, None, None, :], logits, NEG_INF)
         weights = jax.nn.softmax(logits, axis=-1)
@@ -218,6 +272,7 @@ class ConformerBlock(nn.Module):
     conv_norm: str
     dtype: Any
     fused_conv: bool = False
+    flash_attention: bool = False
 
     @nn.compact
     def __call__(self, x, lengths, pad_mask, train: bool):
@@ -227,7 +282,8 @@ class ConformerBlock(nn.Module):
                                name="attn_ln")(x)
         attn = RelPosSelfAttention(
             num_heads=self.num_heads, dropout=self.attention_dropout,
-            dtype=self.dtype, name="attn")(attn_in, pad_mask, train)
+            dtype=self.dtype, use_flash=self.flash_attention,
+            name="attn")(attn_in, pad_mask, train)
         x = x + Dropout(rate=self.dropout, deterministic=not train)(attn)
         x = x + _ConvModule(self.conv_kernel_size, self.dropout,
                             self.conv_norm, self.dtype,
@@ -251,6 +307,7 @@ class ConformerNet(nn.Module):
     conv_norm: str
     dtype_: Any
     fused_conv: bool = False
+    flash_attention: bool = False
 
     @nn.compact
     def __call__(self, feats, lengths, train: bool):
@@ -281,6 +338,7 @@ class ConformerNet(nn.Module):
                 conv_norm=self.conv_norm,
                 dtype=self.dtype_,
                 fused_conv=self.fused_conv,
+                flash_attention=self.flash_attention,
                 name=f"block{i}")(x, lengths, pad_mask, train)
             # model-level remat="blocks" saves only these activations
             x = checkpoint_name(x, "block_boundary")
@@ -312,6 +370,7 @@ class ConformerEncoder(Encoder):
             # resident LN->pw1->GLU->dwconv->LN->swish->pw2; TPU only,
             # layer_norm only — silently uses the XLA path elsewhere)
             "fused_conv_module": bool,
+            "flash_attention": bool,
         })
 
     def make_module(self):
@@ -331,6 +390,7 @@ class ConformerEncoder(Encoder):
             conv_norm=p.get("conv_norm", "layer_norm"),
             dtype_=self.compute_dtype,
             fused_conv=p.get("fused_conv_module", False),
+            flash_attention=p.get("flash_attention", False),
         )
 
         class ConformerEncoderModule(nn.Module):

@@ -83,6 +83,11 @@ def main():
             # quantify its (B,H,T,T) mask cost
             "attention_dropout_keep_prob":
                 float(os.environ.get("BENCH_ATTN_KEEP", "0.9")),
+            # BENCH_FLASH=1 fuses attention scores/softmax/context into
+            # the Pallas flash kernel (rel term as additive bias; no
+            # attention-weight dropout on that path)
+            "flash_attention":
+                os.environ.get("BENCH_FLASH", "0") == "1",
             # BENCH_FUSED=1 routes the conv module through the fused
             # Pallas kernel (ops/conformer_pallas.py)
             "fused_conv_module":

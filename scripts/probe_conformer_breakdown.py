@@ -95,6 +95,10 @@ def main():
     probe("rel_pos_attention",
           RelPosSelfAttention(num_heads=H, dropout=0.1, dtype=dt),
           pad_mask)
+    probe("rel_pos_attention_flash",
+          RelPosSelfAttention(num_heads=H, dropout=0.1, dtype=dt,
+                              use_flash=True),
+          pad_mask)
     probe("macaron_ffn_x1",
           _FFN(expansion=4, dropout=0.1, dtype=dt))
     probe("conv_module_xla",

@@ -153,3 +153,23 @@ def test_rel_shift_equals_gather():
     got = ps.reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6,
                                atol=1e-8)
+
+
+def test_flash_attention_flag_falls_back_off_tpu():
+    """``flash_attention`` must be a no-op off TPU: same params, same
+    outputs bit-for-bit (the kernel itself is measured on chip via
+    scripts/probe_conformer_breakdown.py's rel_pos_attention_flash
+    piece and BENCH_FLASH=1 on scripts/bench_conformer.py)."""
+    from openseq2seq_tpu.encoders.conformer_encoder import \
+        RelPosSelfAttention
+    assert jax.default_backend() != "tpu"
+    rng = np.random.RandomState(1)
+    B, T, D, H = 2, 9, 16, 4
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    pad_mask = jnp.asarray([[True] * 9, [True] * 6 + [False] * 3])
+    plain = RelPosSelfAttention(num_heads=H, dropout=0.0)
+    flash = RelPosSelfAttention(num_heads=H, dropout=0.0, use_flash=True)
+    v = plain.init(jax.random.PRNGKey(0), x, pad_mask, False)
+    o1 = plain.apply(v, x, pad_mask, False)
+    o2 = flash.apply(v, x, pad_mask, False)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
