@@ -67,9 +67,13 @@ def _rel_flash_attend(q, k, v, bd, pad_mask, scale):
     kp = jnp.pad(k, pad_k).transpose(0, 2, 1, 3)
     vp = jnp.pad(v, pad_k).transpose(0, 2, 1, 3)
     ab = jnp.pad(bd, ((0, 0), (0, 0), (0, Tq - T), (0, Tk - T)))
-    # padding mask via segment ids (padded keys get a different id)
+    # padding mask via segment ids: valid rows are segment 1, padded
+    # rows segment 2 on BOTH sides — padded queries then attend the
+    # padded keys instead of an empty set, so even a zero-length
+    # utterance yields finite (later masked) rows rather than 0/0 NaNs
     kv_valid = jnp.pad(pad_mask, ((0, 0), (0, Tk - T)))
-    seg = SegmentIds(q=jnp.ones((B, Tq), jnp.int32),
+    q_valid = jnp.pad(pad_mask, ((0, 0), (0, Tq - T)))
+    seg = SegmentIds(q=jnp.where(q_valid, 1, 2).astype(jnp.int32),
                      kv=jnp.where(kv_valid, 1, 2).astype(jnp.int32))
     bq, bk = min(128 if Tq % 128 == 0 else 64, Tq), min(128, Tk)
     block_sizes = BlockSizes(
