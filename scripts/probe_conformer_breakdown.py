@@ -59,7 +59,8 @@ def main():
 
     set_dropout_bits(8)
     B = int(os.environ.get("BENCH_BS", "128"))
-    T, D, H, KS = 250, 256, 4, 31
+    T = int(os.environ.get("BENCH_T", "250"))
+    D, H, KS = 256, 4, 31
     dt = jnp.bfloat16
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(B, T, D) * 0.1, dt)
