@@ -41,6 +41,10 @@ base_params = jasper_model_params(
         # docs/speech-commands.rst:28) and this recipe's augmentation is
         # masks-only, so caching is safe (data/speech2text/speech2text.py)
         "cache_features": True,
+        # ship features to the device in compute precision: the encoder
+        # runs bf16 under dtype="mixed", so sending fp32 over the wire
+        # doubles H2D traffic for bits the MXU never sees
+        "features_dtype": "bfloat16",
     },
     num_blocks=10, block_repeat=5,
     batch_size_per_gpu=32,

@@ -51,40 +51,39 @@ from .transformer_xl_encoder import rel_pos_embedding
 NEG_INF = -1e9
 
 
-def _rel_flash_attend(q, k, v, bd, pad_mask, scale):
-    """Flash attention with the rel-shifted position term as the
-    kernel's additive ``ab`` bias: per tile it computes
-    (q·kᵀ + ab) * sm_scale — identical scores to the XLA chain, but the
-    (B,H,T,T) content/sum/softmax tensors never touch HBM. q/k/v are
-    (B,T,H,Dh); bd is (B,H,T,T); returns the context (B,T,H,Dh)."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, SegmentIds, flash_attention)
-    B, T, H, Dh = q.shape
-    Tq, Tk = T + (-T % 64), T + (-T % 128)
-    pad_q = ((0, 0), (0, Tq - T), (0, 0), (0, 0))
-    pad_k = ((0, 0), (0, Tk - T), (0, 0), (0, 0))
-    qp = jnp.pad(q, pad_q).transpose(0, 2, 1, 3)       # (B,H,Tq,Dh)
-    kp = jnp.pad(k, pad_k).transpose(0, 2, 1, 3)
-    vp = jnp.pad(v, pad_k).transpose(0, 2, 1, 3)
-    ab = jnp.pad(bd, ((0, 0), (0, 0), (0, Tq - T), (0, Tk - T)))
-    # padding mask via segment ids: valid rows are segment 1, padded
-    # rows segment 2 on BOTH sides — padded queries then attend the
-    # padded keys instead of an empty set, so even a zero-length
-    # utterance yields finite (later masked) rows rather than 0/0 NaNs
-    kv_valid = jnp.pad(pad_mask, ((0, 0), (0, Tk - T)))
-    q_valid = jnp.pad(pad_mask, ((0, 0), (0, Tq - T)))
-    seg = SegmentIds(q=jnp.where(q_valid, 1, 2).astype(jnp.int32),
-                     kv=jnp.where(kv_valid, 1, 2).astype(jnp.int32))
-    bq, bk = min(128 if Tq % 128 == 0 else 64, Tq), min(128, Tk)
-    block_sizes = BlockSizes(
-        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
-        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk,
-        block_q_dq=bq)
-    out = flash_attention(qp, kp, vp, ab=ab, segment_ids=seg,
-                          causal=False, sm_scale=float(scale),
-                          block_sizes=block_sizes)
-    return out.transpose(0, 2, 1, 3)[:, :T].astype(q.dtype)
+def _rel_flash_attend(q_u, q_w, k, v, r_kernel, pad_mask, scale):
+    """Flash attention with the rel-pos term FOLDED into the q·k
+    product (ops/flash_relpos.py): the sinusoidal position score is
+    exactly separable into per-query and per-key augmentations, so the
+    custom kernel sees a plain inner product over head dim Dh + D and
+    nothing quadratic in T ever touches HBM — no (B,H,T,2T-1) table
+    score, no (B,H,T,T) bias (the round-4 ab-bias flash materialized
+    the latter and lost; PARITY.md queue17). q_u/q_w are (B,T,H,Dh)
+    biased queries (q+u, q+w); r_kernel is the (D,H,Dh) table
+    projection; returns the context (B,T,H,Dh).
+
+    The key-side mask derives from contiguous-prefix lengths (ASR
+    padding is always a suffix); padded queries attend the valid keys
+    and are masked downstream, matching the XLA path."""
+    from ..ops import flash_relpos as fr
+    from ..ops.flash_relpos import flash_attention, fold_relpos
+    B, T, H, Dh = q_u.shape
+    D = r_kernel.shape[0]
+    q_aug, k_pos = fold_relpos(q_u, q_w, r_kernel, T, D)
+    k_aug = jnp.concatenate(
+        [k.transpose(0, 2, 1, 3),
+         jnp.broadcast_to(k_pos[None, None], (B, H, T, D))], axis=-1)
+    # zero-pad the contraction dim to an MXU lane multiple (zeros do
+    # not change the product)
+    pad = -q_aug.shape[-1] % 128
+    if pad:
+        q_aug = jnp.pad(q_aug, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        k_aug = jnp.pad(k_aug, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    lengths = jnp.sum(pad_mask.astype(jnp.int32), axis=1)
+    out = flash_attention(q_aug, k_aug, v.transpose(0, 2, 1, 3),
+                          lengths, float(scale),
+                          interpret=fr.FORCE_INTERPRET)
+    return out.transpose(0, 2, 1, 3).astype(q_u.dtype)
 
 
 class RelPosSelfAttention(nn.Module):
@@ -94,17 +93,18 @@ class RelPosSelfAttention(nn.Module):
     (q+w)·R[d]) but without causal masking or segment memory — ASR
     encoders attend both directions.
 
-    ``use_flash`` routes the content-score/softmax/context chain through
-    the fused Pallas TPU flash kernel with the (already rel-shifted)
-    position term passed as its additive ``ab`` bias — the kernel
-    computes (q'·k + ab)·sm_scale per tile, which is exactly the
-    ``(ac + bd) * scale`` below, so scores are identical. What changes:
-    the (B,H,T,T) content/sum/softmax tensors never round-trip HBM
-    (queue14 measured the XLA chain at 76% of the M-scale block), and
-    attention-WEIGHT dropout is skipped (the kernel has none; the block
-    retains its attention-output dropout, and queue13 measured the
-    weight-dropout term at ~4% of block throughput). Off-TPU the flag
-    falls back to the plain path bit-for-bit.
+    ``use_flash`` folds the position term into the q·k product itself
+    (the sinusoidal rel-pos score is exactly separable — see
+    ops/flash_relpos.py) and runs the custom Pallas flash kernel over
+    the augmented heads: scores equal ``(ac + bd) * scale`` below
+    identically, but NOTHING quadratic in T is materialized — not the
+    (B,H,T,2T-1) table score, not the round-4 ab bias, and not the
+    content/softmax tensors (queue14 measured the XLA chain at 76% of
+    the M-scale block). Attention-WEIGHT dropout is skipped on this
+    path (the kernel has none; the block retains its attention-output
+    dropout, and queue13 measured the weight-dropout term at ~4% of
+    block throughput). Off-TPU the flag falls back to the plain path
+    bit-for-bit.
     """
     num_heads: int
     dropout: float
@@ -135,14 +135,27 @@ class RelPosSelfAttention(nn.Module):
         # a (B,H,T,T) take_along_axis gather — the gather dominated the
         # M-scale block at 73% (scripts/probe_conformer_breakdown.py);
         # both forms are exact, this one is reshapes + a slice.
-        r = rel_pos_embedding(2 * T - 1, D)[::-1]
-        r = nn.DenseGeneral((H, Dh), use_bias=False, dtype=self.dtype,
-                            param_dtype=jnp.float32, name="r")(
-            r.astype(self.dtype))                           # (2T-1, H, Dh)
+        r_mod = nn.DenseGeneral((H, Dh), use_bias=False, dtype=self.dtype,
+                                param_dtype=jnp.float32, name="r")
 
         scale = 1.0 / np.sqrt(Dh)
-        flash = self.use_flash and jax.default_backend() == "tpu"
-        ac = None if flash else jnp.einsum("bthd,bkhd->bhtk", q + u, k)
+        from ..ops import flash_relpos as _fr
+        flash = self.use_flash and (jax.default_backend() == "tpu"
+                                    or _fr.FORCE_INTERPRET)
+        if flash:
+            # recover the raw (D, H, Dh) projection kernel — applying
+            # the module to I_D keeps the param tree identical to the
+            # XLA path (checkpoints swap freely between the two)
+            K_r = r_mod(jnp.eye(D, dtype=self.dtype))
+            ctx = _rel_flash_attend(q + u, q + w, k, v, K_r, pad_mask,
+                                    scale)
+            return nn.DenseGeneral(D, axis=(-2, -1), use_bias=False,
+                                   dtype=self.dtype,
+                                   param_dtype=jnp.float32,
+                                   name="out")(ctx)
+        r = r_mod(rel_pos_embedding(2 * T - 1, D)[::-1]
+                  .astype(self.dtype))                      # (2T-1, H, Dh)
+        ac = jnp.einsum("bthd,bkhd->bhtk", q + u, k)
         pos_score = jnp.einsum("bthd,rhd->bhtr", q + w, r)  # (B,H,T,2T-1)
         # relative shift: with the reversed table, bd[t, j] must read
         # pos_score[t, j + (T-1-t)]; pad one leading column, view the
@@ -152,12 +165,6 @@ class RelPosSelfAttention(nn.Module):
         ps = jnp.pad(pos_score, ((0, 0), (0, 0), (0, 0), (1, 0)))
         ps = ps.reshape(B, H, 2 * T, T)[:, :, 1:, :]
         bd = ps.reshape(B, H, T, 2 * T - 1)[:, :, :, :T]
-        if flash:
-            ctx = _rel_flash_attend(q + u, k, v, bd, pad_mask, scale)
-            return nn.DenseGeneral(D, axis=(-2, -1), use_bias=False,
-                                   dtype=self.dtype,
-                                   param_dtype=jnp.float32,
-                                   name="out")(ctx)
         logits = (ac + bd).astype(jnp.float32) * scale
         logits = jnp.where(pad_mask[:, None, None, :], logits, NEG_INF)
         weights = jax.nn.softmax(logits, axis=-1)

@@ -1,0 +1,407 @@
+"""Flash self-attention with decoupled q·k vs v head dims — the kernel
+under the Conformer's relative-position attention.
+
+Why a custom kernel: the stock Pallas flash kernel takes the position
+term as a materialized additive ``ab`` bias of shape (B, H, T, T) — so
+while the content/softmax tensors stay in VMEM, the bias still makes
+full HBM round-trips (measured a net LOSS vs the XLA chain: PARITY.md
+queue17, M-scale 524.6 vs 729.4 utt/s). The fix here removes the bias
+tensor entirely:
+
+**The Transformer-XL position term is exactly rank-D separable.** The
+rel-pos table row used at (query i, key j) is the sinusoid of argument
+a = i - j + (T-1) (conformer_encoder.RelPosSelfAttention: reversed
+table + pad-reshape shift). With g_i = K_r(q_i + w) the projected
+position query (K_r the (D, H, Dh) table projection used by the XLA
+path), the angle-difference identities give, per frequency m:
+
+    sin(w_m a) = sin(w_m (i+T-1)) cos(w_m j) - cos(w_m (i+T-1)) sin(w_m j)
+    cos(w_m a) = cos(w_m (i+T-1)) cos(w_m j) + sin(w_m (i+T-1)) sin(w_m j)
+
+so the whole position score folds into an ordinary inner product
+
+    bd[i, j] = A_i · cos_j + B_i · sin_j
+    A_i[m] =  gs_m sin(w_m(i+T-1)) + gc_m cos(w_m(i+T-1))
+    B_i[m] = -gs_m cos(w_m(i+T-1)) + gc_m sin(w_m(i+T-1))
+
+with gs/gc the sin/cos halves of g_i (`rel_pos_embedding` lays the
+table out [sin | cos], transformer_xl_encoder.py:53-60). Augmenting
+q~ = [q+u ; A ; B] and k~ = [k ; cos_j ; sin_j] makes the attention
+scores IDENTICAL to the XLA path's (ac + bd) while the kernel sees a
+plain q~·k~ product: no (B,H,T,2T-1) table score, no (B,H,T,T) bias,
+no shift — nothing but the O(T·(Dh+D)) augmented projections ever
+touches HBM. ``fold_relpos`` builds the augmentation; this kernel just
+needs q/k head dim (Dh + D) to differ from v's (Dh), which the stock
+kernel cannot express — hence the custom fwd/bwd below (standard
+online-softmax flash forward; two-kernel recompute backward, one
+accumulating dk/dv per key block, one dq per query block).
+
+Reference contract: none (the reference has no flash attention or
+conformer; `open_seq2seq/parts/transformer/attention_layer.py` scores
+materialize (B,H,T,T) in HBM by construction).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+# tests flip this to run the kernels in interpreter mode on CPU
+FORCE_INTERPRET = False
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                acc, m_i, l_i, *, scale, block_k, n_k):
+    b = pl.program_id(0)
+    jk = pl.program_id(3)
+
+    @pl.when(jk == 0)
+    def _init():
+        m_i[...] = jnp.full_like(m_i, NEG_INF)
+        l_i[...] = jnp.zeros_like(l_i)
+        acc[...] = jnp.zeros_like(acc)
+
+    q = q_ref[0, 0]                                    # (bq, dqk)
+    k = k_ref[0, 0]                                    # (bk, dqk)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # (bq, bk)
+
+    length = lens_ref[b, 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_k
+    s = jnp.where(col < length, s, NEG_INF)
+
+    m_prev = m_i[...]                                  # (bq, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                             # (bq, bk) f32
+    l_i[...] = alpha * l_i[...] + jnp.sum(p, axis=1, keepdims=True)
+    m_i[...] = m_new
+    v = v_ref[0, 0]                                    # (bk, dv)
+    acc[...] = acc[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(jk == n_k - 1)
+    def _emit():
+        l = l_i[...]
+        # lengths are clamped >= 1 outside, so every row saw >= 1 valid
+        # key; l > 0 always. Guard anyway for the padded-T tail.
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0, 0] = (acc[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_i[...] + jnp.log(l_safe))[:, 0]
+
+
+def _fwd(q, k, v, lens, scale, block_q, block_k, interpret):
+    B, H, T, dqk = q.shape
+    dv = v.shape[-1]
+    n_q, n_k = _cdiv(T, block_q), _cdiv(T, block_k)
+    grid = (B, H, n_q, n_k)
+    kern = functools.partial(_fwd_kernel, scale=scale,
+                             block_k=block_k, n_k=n_k)
+    o, lse = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, dqk),
+                         lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, dqk),
+                         lambda b, h, i, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, dv),
+                         lambda b, h, i, j: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, dv),
+                         lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda b, h, i, j: (b, h, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, dv), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dv), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lens, q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# backward: dk/dv kernel (grid over key blocks, inner loop over query
+# blocks) and dq kernel (grid over query blocks, inner over key blocks)
+# ---------------------------------------------------------------------------
+def _dkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *,
+                scale, block_k, n_q):
+    b = pl.program_id(0)
+    jq = pl.program_id(3)
+    jk = pl.program_id(2)
+
+    @pl.when(jq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]                                    # (bq, dqk)
+    k = k_ref[0, 0]                                    # (bk, dqk)
+    v = v_ref[0, 0]                                    # (bk, dv)
+    do = do_ref[0, 0]                                  # (bq, dv)
+    lse = lse_ref[0, 0]                                # (bq,)
+    delta = d_ref[0, 0]                                # (bq,)
+
+    s = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # (bk, bq)
+    length = lens_ref[b, 0]
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + jk * block_k
+    p = jnp.where(row < length, jnp.exp(s - lse[None, :]), 0.0)
+
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bk, dv)
+    dp = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bk, bq)
+    ds = p * (dp - delta[None, :]) * scale             # (bk, bq) f32
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bk, dqk)
+
+    @pl.when(jq == n_q - 1)
+    def _emit():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+               dq_ref, dq_acc, *, scale, block_k, n_k):
+    b = pl.program_id(0)
+    jk = pl.program_id(3)
+
+    @pl.when(jk == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]
+    delta = d_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # (bq, bk)
+    length = lens_ref[b, 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_k
+    p = jnp.where(col < length, jnp.exp(s - lse[:, None]), 0.0)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bq, bk)
+    ds = p * (dp - delta[:, None]) * scale
+    dq_acc[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bq, dqk)
+
+    @pl.when(jk == n_k - 1)
+    def _emit():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _bwd_pallas(q, k, v, lens, o, lse, do, scale, block_q, block_k,
+                interpret):
+    B, H, T, dqk = q.shape
+    dv = v.shape[-1]
+    n_q, n_k = _cdiv(T, block_q), _cdiv(T, block_k)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)                            # (B, H, T)
+
+    V = pltpu.VMEM
+    common_in = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, block_q, dqk),
+                     lambda b, h, i, j: (b, h, i, 0), memory_space=V),
+        pl.BlockSpec((1, 1, block_k, dqk),
+                     lambda b, h, i, j: (b, h, j, 0), memory_space=V),
+        pl.BlockSpec((1, 1, block_k, dv),
+                     lambda b, h, i, j: (b, h, j, 0), memory_space=V),
+        pl.BlockSpec((1, 1, block_q, dv),
+                     lambda b, h, i, j: (b, h, i, 0), memory_space=V),
+        pl.BlockSpec((1, 1, block_q),
+                     lambda b, h, i, j: (b, h, i), memory_space=V),
+        pl.BlockSpec((1, 1, block_q),
+                     lambda b, h, i, j: (b, h, i), memory_space=V),
+    ]
+
+    # dk/dv: grid (B, H, n_k, n_q) — q blocks innermost; the q-side
+    # specs above take (i=q block, j=k block), so swap the lambda args
+    def swap(spec):
+        if spec.block_shape is None:
+            return spec
+        im = spec.index_map
+        return pl.BlockSpec(
+            spec.block_shape,
+            lambda b, h, jk, jq, _im=im: _im(b, h, jq, jk),
+            memory_space=pltpu.VMEM)
+
+    dk, dvv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_k=block_k,
+                          n_q=n_q),
+        grid=(B, H, n_k, n_q),
+        in_specs=[swap(s) for s in common_in],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, dqk),
+                         lambda b, h, jk, jq: (b, h, jk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, dv),
+                         lambda b, h, jk, jq: (b, h, jk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dqk), jnp.float32),
+            pltpu.VMEM((block_k, dv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lens, q, k, v, do, lse, delta)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k,
+                          n_k=n_k),
+        grid=(B, H, n_q, n_k),
+        in_specs=common_in,
+        out_specs=pl.BlockSpec((1, 1, block_q, dqk),
+                               lambda b, h, i, j: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dqk), jnp.float32)],
+        interpret=interpret,
+    )(lens, q, k, v, do, lse, delta)
+    return dq, dk, dvv
+
+
+# ---------------------------------------------------------------------------
+# public entry: custom_vjp with padding handled here
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def flash_attention(q, k, v, lengths, sm_scale, block_q=128,
+                    block_k=128, interpret=False):
+    """Non-causal flash self-attention with a key-side padding mask.
+
+    q, k: (B, H, T, dqk); v: (B, H, T, dv) — dqk and dv independent
+    (the rel-pos fold widens q/k only). lengths: (B,) valid key counts.
+    Returns (B, H, T, dv). Padded-T rows compute finite (later masked)
+    outputs over the valid keys, matching the XLA path's semantics of
+    masking only the key axis.
+    """
+    o, _ = _flash_fwd_res(q, k, v, lengths, sm_scale, block_q, block_k,
+                          interpret)
+    return o
+
+
+def _pad_t(x, mult):
+    T = x.shape[2]
+    Tp = _cdiv(T, mult) * mult
+    if Tp == T:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+
+
+def _flash_fwd_res(q, k, v, lengths, sm_scale, block_q, block_k,
+                   interpret):
+    T = q.shape[2]
+    mult = int(np.lcm(block_q, block_k))
+    qp, kp, vp = (_pad_t(x, mult) for x in (q, k, v))
+    lens = jnp.maximum(lengths.astype(jnp.int32), 1).reshape(-1, 1)
+    o, lse = _fwd(qp, kp, vp, lens, float(sm_scale), block_q, block_k,
+                  interpret)
+    return o[:, :, :T], (qp, kp, vp, lens, o, lse)
+
+
+def _flash_vjp_fwd(q, k, v, lengths, sm_scale, block_q, block_k,
+                   interpret):
+    o, res = _flash_fwd_res(q, k, v, lengths, sm_scale, block_q,
+                            block_k, interpret)
+    return o, (res, q.shape[2])
+
+
+def _flash_vjp_bwd(sm_scale, block_q, block_k, interpret, res_t, g):
+    (qp, kp, vp, lens, o, lse), T = res_t
+    mult = int(np.lcm(block_q, block_k))
+    gp = _pad_t(g, mult)
+    dq, dk, dv = _bwd_pallas(qp, kp, vp, lens, o, lse, gp,
+                             float(sm_scale), block_q, block_k,
+                             interpret)
+    return (dq[:, :, :T], dk[:, :, :T], dv[:, :, :T], None)
+
+
+flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# the rel-pos fold (builds the augmented q~/k~ for the kernel)
+# ---------------------------------------------------------------------------
+def fold_relpos(q_u, q_w, r_kernel, T: int, dim: int):
+    """Fold the Transformer-XL position term into augmented q/k parts.
+
+    q_u: (B, T, H, Dh) content queries (q + u bias) — passed through.
+    q_w: (B, T, H, Dh) position queries (q + w bias).
+    r_kernel: (D, H, Dh) the table projection ("r" DenseGeneral kernel).
+    Returns (q_aug, k_aug_pos): q_aug (B, H, T, Dh + D) and the shared
+    key augmentation (T, D) = [cos_j | sin_j] to concatenate onto k.
+
+    Exactness: scores q_aug · [k | k_aug_pos] equal the XLA path's
+    (q+u)·k + (q+w)·R_shift (see module docstring for the identity).
+    """
+    B, T_, H, Dh = q_w.shape
+    m = dim // 2
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, dim, 2) / dim))  # (m,)
+    # per-query angles use argument (i + T - 1); per-key angles use j
+    ang_i = (np.arange(T) + T - 1)[:, None] * inv_freq[None, :]
+    ang_j = np.arange(T)[:, None] * inv_freq[None, :]
+    si = jnp.asarray(np.sin(ang_i), jnp.float32)       # (T, m)
+    ci = jnp.asarray(np.cos(ang_i), jnp.float32)
+    k_aug = jnp.asarray(
+        np.concatenate([np.cos(ang_j), np.sin(ang_j)], axis=1),
+        q_w.dtype)                                     # (T, D)
+
+    # g = K_r (q + w): (B, H, T, D) position queries in the table basis
+    # (bf16 operands, f32 accumulation — same precision class as the
+    # XLA path's pos_score einsum)
+    g = jnp.einsum("bthd,phd->bhtp", q_w,
+                   r_kernel.astype(q_w.dtype),
+                   preferred_element_type=jnp.float32)
+    gs, gc = g[..., :m], g[..., m:]
+    A = gs * si[None, None] + gc * ci[None, None]      # (B, H, T, m)
+    Bq = gc * si[None, None] - gs * ci[None, None]
+    q_aug = jnp.concatenate(
+        [q_u.transpose(0, 2, 1, 3).astype(q_w.dtype),
+         A.astype(q_w.dtype), Bq.astype(q_w.dtype)], axis=-1)
+    return q_aug, k_aug

@@ -5,17 +5,28 @@ prefetch thread) feeding the jitted train step, via the exact flagship
 recipe path (`example_configs/speech2text/jasper10x5_LibriSpeech.py`
 loaded through the run.py config loader with --benchmark rewrite).
 
-Answers VERDICT r2 item 6: can the host actually feed the 164.8
-utt/s/chip synthetic ceiling (BENCH_r02)? Reports:
+Answers VERDICT r2 item 6 (can the host feed the synthetic ceiling?)
+and VERDICT r4 item 1 (the recorded number must be reproducible and,
+when it is below the ceiling, the artifact itself must say why).
+Reports a full reconciliation breakdown:
 
-  * host_featurize_utt_per_sec  — cold-cache featurization rate,
-    host only (the reference's classic bottleneck,
-    `docs/sources/source/speech-commands.rst:28`);
-  * host_cached_utt_per_sec     — warm npz-cache rate (the recipe ships
+  * host_featurize_utt_per_sec — cold-cache featurization rate (the
+    reference's classic bottleneck, docs/speech-commands.rst:28);
+  * host_cached_utt_per_sec    — warm npz-cache rate (the recipe ships
     cache_features=True; masks drawn per epoch on load);
-  * value                       — sustained end-to-end utt/s/chip over
-    warm-cache epochs, device step + host pipeline overlapped by the
-    prefetch thread, host->device transfer included.
+  * device_only_utt_per_sec    — jitted step over an already-staged
+    real batch: the device ceiling at the real shapes;
+  * h2d_sec_per_batch          — measured host->device transfer time
+    for one collated batch (bf16 features since r5: 16.6 MB at bs128,
+    half the fp32 wire size);
+  * producer_sec_per_batch_p50/p90 — featurize+collate inter-arrival
+    measured during the run (the prefetch thread's sustainable pace);
+  * value                      — sustained end-to-end utt/s/chip over
+    warm-cache epochs, device step + host pipeline + H2D overlapped.
+
+The e2e number is link-sensitive (H2D rides a relay on this setup);
+the breakdown fields let any reader compute which term bound the run:
+value ~= bs / max(step_sec, producer_sec, h2d_sec - overlap).
 
 Prints ONE JSON line like bench.py. Usage:
     python scripts/bench_e2e.py [--steps 30] [--data_dir DIR]
@@ -33,7 +44,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V100_BASELINE_UTT_PER_SEC = 32.0
-SYNTHETIC_CEILING = 168.3          # BENCH_r03.json, same model/bs/T
 RECIPE = "example_configs/speech2text/jasper10x5_LibriSpeech.py"
 
 
@@ -56,17 +66,32 @@ def _host_only_rate(base_config, n_batches: int) -> float:
     return n / (time.time() - t0)
 
 
+def _sync_scalar(tree):
+    """Force-complete outstanding work on a device pytree. On the axon
+    relay backend block_until_ready may not actually block — a
+    device_get of a value that depends on the buffers must."""
+    import jax
+    import jax.numpy as jnp
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "ndim")]
+    acc = 0.0
+    for l in leaves:
+        acc += float(jax.device_get(
+            jnp.sum(l.reshape(-1)[:1].astype(jnp.float32))))
+    return acc
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30,
-                    help="timed end-to-end steps (plus 3 warmup)")
+                    help="timed end-to-end steps (plus warmup)")
     ap.add_argument("--data_dir",
                     default=os.environ.get("BENCH_E2E_DATA",
                                            "/tmp/fake_librispeech"))
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--host_batches", type=int, default=4,
                     help="batches for the host-only phases")
-    ap.add_argument("--n_utts", type=int, default=1280)
+    ap.add_argument("--n_utts", type=int, default=640)
     args = ap.parse_args()
 
     from openseq2seq_tpu.test_utils import fake_librispeech
@@ -90,10 +115,11 @@ def main():
     print("host featurize (cold cache): {:.1f} utt/s".format(cold),
           file=sys.stderr, flush=True)
 
-    # phase 2: warm the whole cache, then measure cached rate
-    with open(os.path.join(data_dir, "librivox-train-clean-100.csv")) as f:
-        n_utts = sum(1 for _ in f) - 1
-    _host_only_rate(base_config, max(n_utts // args.batch_size - 1, 1))
+    # phase 2: warm the whole cache (the cold phase already touched one
+    # full epoch: the aliased train CSVs dedup to n_utts rows), then
+    # measure the cached rate
+    _host_only_rate(base_config,
+                    max(args.n_utts // args.batch_size - 1, 1))
     warm = _host_only_rate(base_config, args.host_batches)
     print("host featurize (warm cache): {:.1f} utt/s".format(warm),
           file=sys.stderr, flush=True)
@@ -108,11 +134,21 @@ def main():
     n_chips = mesh.devices.size
     model = base_model(params=base_config, mode="train", mesh=mesh)
     dl = model.get_data_layer()
-    # the trainer's exact two-stage pipeline: featurizer thread +
-    # device_put two steps ahead (H2D overlaps the running step)
-    batches = prefetch_to_device(dl.prefetch(dl.iterate_forever()), mesh)
+
+    # producer inter-arrival instrumentation: stamp each host batch as
+    # it leaves the featurizer thread (before the H2D stage)
+    host_stamps = []
+
+    def stamped(it):
+        for item in it:
+            host_stamps.append(time.monotonic())
+            yield item
+
+    batches = prefetch_to_device(stamped(dl.prefetch(dl.iterate_forever())),
+                                 mesh, size=3)
 
     batch, device_batch = next(batches)
+    feat_bytes = int(np.asarray(batch["source_tensors"][0]).nbytes)
     state = model.init_state(batch)
     state = jax.device_put(state, replicated_sharding(mesh))
     step_fn = jax.jit(model.train_step, donate_argnums=(0,))
@@ -120,12 +156,41 @@ def main():
     base_rng = make_base_rng(base_config)
 
     for i in range(3):   # compile + warmup
-        state, metrics = step_fn(state, shard_batch(batch, mesh),
+        state, metrics = step_fn(state, device_batch,
                                  jax.random.fold_in(base_rng, i))
     float(jax.device_get(metrics["loss"]))
-    print("compiled; timing {} steps".format(args.steps),
+    print("compiled; measuring device-only / h2d phases",
           file=sys.stderr, flush=True)
 
+    # phase 3a: device-only ceiling at the real shapes (staged batch,
+    # no host pipeline, no H2D on the timed path)
+    staged = shard_batch(batch, mesh)
+    state, metrics = step_fn(state, staged, base_rng)
+    float(jax.device_get(metrics["loss"]))
+    n_dev = 8
+    t0 = time.time()
+    for i in range(n_dev):
+        state, metrics = step_fn(state, staged,
+                                 jax.random.fold_in(base_rng, 50 + i))
+    float(jax.device_get(metrics["loss"]))
+    dev_wall = time.time() - t0
+    device_only = n_dev * args.batch_size / dev_wall
+
+    # phase 3b: H2D cost of one collated batch (timed to completion)
+    h2d_times = []
+    for _ in range(3):
+        t0 = time.time()
+        put = shard_batch(batch, mesh)
+        _sync_scalar(put)
+        h2d_times.append(time.time() - t0)
+        del put
+    h2d_sec = float(np.median(h2d_times))
+    print("device-only {:.1f} utt/s; h2d {:.2f} s/batch ({:.1f} MB)"
+          .format(device_only, h2d_sec, feat_bytes / 1e6),
+          file=sys.stderr, flush=True)
+
+    # phase 3c: sustained end-to-end
+    del host_stamps[:]
     t0 = time.time()
     for i in range(args.steps):
         _, device_batch = next(batches)
@@ -135,17 +200,28 @@ def main():
     wall = time.time() - t0
     assert np.isfinite(loss)
 
+    gaps = np.diff([t for t in host_stamps])
+    prod_p50 = float(np.percentile(gaps, 50)) if len(gaps) else None
+    prod_p90 = float(np.percentile(gaps, 90)) if len(gaps) else None
+
     e2e = args.steps * args.batch_size / wall
     print(json.dumps({
         "metric": "jasper10x5_e2e_train_utt_per_sec_per_chip",
         "value": round(e2e, 3),
         "unit": "utt/s/chip",
         "vs_baseline": round(e2e / V100_BASELINE_UTT_PER_SEC, 3),
-        "synthetic_ceiling": SYNTHETIC_CEILING,
+        "device_only_utt_per_sec": round(device_only, 1),
+        "h2d_sec_per_batch": round(h2d_sec, 3),
+        "feat_mb_per_batch": round(feat_bytes / 1e6, 1),
+        "producer_sec_per_batch_p50": (round(prod_p50, 3)
+                                       if prod_p50 is not None else None),
+        "producer_sec_per_batch_p90": (round(prod_p90, 3)
+                                       if prod_p90 is not None else None),
         "host_featurize_utt_per_sec": round(cold, 1),
         "host_cached_utt_per_sec": round(warm, 1),
         "n_chips": n_chips,
         "batch_per_chip": args.batch_size,
+        "steps": args.steps,
         "recipe": RECIPE,
     }))
 
