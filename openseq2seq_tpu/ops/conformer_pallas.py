@@ -251,9 +251,16 @@ def _pick_rows(B, Tp, D, k, backward):
     """Largest R whose estimated VMEM peak fits the budget, or None if
     even R=1 doesn't (callers fall back to the XLA path). The budget is
     calibrated against hardware: at D=512/Tp=256 the backward's real
-    Mosaic stack peaked at 28.3M against a 12.2M estimate (~2.3x), so
-    the estimate budget is ~16M/2.3."""
-    budget = 7 * 1024 * 1024
+    Mosaic stack peaked at 28.3M against a 12.2M estimate (~2.3x); at
+    D=256/Tp=504 the backward peaked at 28.56M against a 7.33M
+    estimate (~3.9x, queue18) — the overshoot grows roughly linearly
+    with the block length (long-Tp blocks inflate the transpose
+    scratch more than the row count does), so the backward budget
+    shrinks as Tp/256."""
+    if backward:
+        budget = int(16 * 1024 * 1024 / (2.3 * max(1.0, Tp / 256.0)))
+    else:
+        budget = 7 * 1024 * 1024
     for R in (8, 4, 2, 1):
         N = R * Tp
         io = N * D * 4 * (3 if backward else 2)        # x / dy / dx

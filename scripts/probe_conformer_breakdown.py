@@ -11,7 +11,8 @@ Context: full step is ~211 ms at bs128 (profile_conformer.py), 16
 blocks -> ~11 ms/block available; this says where inside the block it
 goes and whether the fused conv kernel wins in isolation.
 
-Usage: [BENCH_BS=128] python scripts/probe_conformer_breakdown.py
+Usage: [BENCH_BS=128] [BENCH_T=250] python scripts/probe_conformer_breakdown.py
+(T is configurable for long-sequence crossover probes)
 """
 from __future__ import annotations
 

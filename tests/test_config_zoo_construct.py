@@ -57,6 +57,13 @@ def zoo_data(tmp_path_factory):
     # --- text2text: token-parallel corpus + vocab
     data["nmt"] = toy_nmt.generate(str(base / "nmt"))
 
+    # --- text2text via T2T records: tiny synthetic WMT with the
+    # wordpiece vocab + tfrecord shards (transformer-big-t2t.py)
+    from openseq2seq_tpu.test_utils import fake_wmt
+    data["wmt_dir"] = fake_wmt.generate(
+        str(base / "wmt"), n_train=200, n_dev=16, n_test=16,
+        n_types=64, with_t2t=True)
+
     # --- lm: WikiText-style data_root
     lm_dir = base / "lm"
     lm_dir.mkdir()
@@ -141,6 +148,14 @@ def _data_overrides(layer_name, zoo, params):
               "target_file": nmt["train_tgt"],
               "src_vocab_file": nmt["vocab"],
               "tgt_vocab_file": nmt["vocab"],
+              "max_length": 16}
+    elif layer_name == "TransformerDataLayer":
+        t2t = os.path.join(zoo["wmt_dir"], "t2t")
+        vocab = os.path.join(t2t, "vocab.ende.sub")
+        with open(vocab, encoding="utf-8") as f:
+            vs = sum(1 for _ in f)
+        dl = {"data_dir": t2t, "file_pattern": "train-*.tfrecord",
+              "src_vocab_size": vs, "vocab_file": vocab,
               "max_length": 16}
     elif layer_name == "WKTDataLayer":
         dl = {"data_root": zoo["lm_root"],
