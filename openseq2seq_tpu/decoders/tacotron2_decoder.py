@@ -34,6 +34,7 @@ class Tacotron2DecoderModule(nn.Module):
     attention_type: str               # 'location' | 'bahdanau'
     decoder_cell_units: int
     decoder_layers: int
+    outputs_per_step: int             # reduction factor r (see __call__)
     enable_prenet: bool
     prenet_layers: int
     prenet_units: int
@@ -170,11 +171,20 @@ class Tacotron2DecoderModule(nn.Module):
                 "loc_proj", init, (self.location_conv_filters, A),
                 jnp.float32)
 
-        frame_w = self.param("frame_w", init, (H + E, F), jnp.float32)
-        frame_b = self.param("frame_b", nn.initializers.zeros, (F,),
+        # reduction factor r (original-Tacotron "outputs_per_step",
+        # beyond the reference's Tacotron-2 which fixes r=1): each scan
+        # step runs prenet/LSTM/attention ONCE and projects r frames +
+        # r stop logits, so the autoregressive scan shortens by r. The
+        # sequential per-step matmuls are tiny (the measured train MFU
+        # bound, PARITY "low-MFU tails"); r batches them. r=1 keeps
+        # param shapes and behavior identical to before.
+        r = max(int(self.outputs_per_step), 1)
+        frame_w = self.param("frame_w", init, (H + E, F * r),
                              jnp.float32)
-        stop_w = self.param("stop_w", init, (H + E, 1), jnp.float32)
-        stop_b = self.param("stop_b", nn.initializers.zeros, (1,),
+        frame_b = self.param("frame_b", nn.initializers.zeros, (F * r,),
+                             jnp.float32)
+        stop_w = self.param("stop_w", init, (H + E, r), jnp.float32)
+        stop_b = self.param("stop_b", nn.initializers.zeros, (r,),
                             jnp.float32)
 
         targets = input_dict.get("target_tensors")
@@ -183,11 +193,19 @@ class Tacotron2DecoderModule(nn.Module):
             spec = targets[0].astype(jnp.float32)           # (B,T,F)
             spec_len = targets[2]
             T = spec.shape[1]
-            # decoder inputs: previous ground-truth frame (go = zeros)
+            Tp = -(-T // r) * r
+            spec_p = jnp.pad(spec, ((0, 0), (0, Tp - T), (0, 0)))
+            G = Tp // r
+            # group input: the LAST ground-truth frame of the previous
+            # group (go group = zeros) — reduces to the previous-frame
+            # shift at r=1
+            last = spec_p[:, r - 1::r][:, :G - 1]           # (B,G-1,F)
             dec_in = jnp.concatenate(
-                [jnp.zeros((B, 1, F)), spec[:, :-1]], axis=1)
+                [jnp.zeros((B, 1, F)), last], axis=1)       # (B,G,F)
         else:
             T = self.infer_max_steps
+            Tp = -(-T // r) * r
+            G = Tp // r
             dec_in = None
 
         base_rng = self.make_rng("dropout") if \
@@ -215,28 +233,31 @@ class Tacotron2DecoderModule(nn.Module):
             context, align = self._attend(att, h_top, keys, memory,
                                           mem_mask, carry["cum_align"])
             proj_in = jnp.concatenate([h_top, context], axis=-1)
-            frame = proj_in @ frame_w + frame_b
-            stop = (proj_in @ stop_w + stop_b)[:, 0]
+            group = (proj_in @ frame_w + frame_b).reshape(B, r, F)
+            stop = proj_in @ stop_w + stop_b               # (B, r)
             new_carry = {
                 "states": tuple(states),
                 "context": context,
                 "cum_align": carry["cum_align"] + align,
-                "prev_frame": frame,
+                "prev_frame": group[:, -1],
                 "rng": rng2,
             }
-            return new_carry, (frame, stop, align)
+            return new_carry, (group, stop, align)
 
         if teacher:
-            xs = jnp.moveaxis(dec_in, 1, 0)                # (T,B,F)
+            xs = jnp.moveaxis(dec_in, 1, 0)                # (G,B,F)
             _, (frames, stops, aligns) = jax.lax.scan(
                 lambda c, x: step(c, x), init_carry, xs)
         else:
             _, (frames, stops, aligns) = jax.lax.scan(
-                lambda c, _: step(c, None), init_carry, None, length=T)
+                lambda c, _: step(c, None), init_carry, None, length=G)
 
-        frames = jnp.moveaxis(frames, 0, 1)                # (B,T,F)
-        stops = jnp.moveaxis(stops, 0, 1)                  # (B,T)
-        aligns = jnp.moveaxis(aligns, 0, 1)                # (B,T,S)
+        # (G,B,r,F) -> (B,Tp,F) -> clip the r-padding back to T
+        frames = jnp.moveaxis(frames, 0, 1).reshape(B, Tp, F)[:, :T]
+        stops = jnp.moveaxis(stops, 0, 1).reshape(B, Tp)[:, :T]
+        # alignments are per group; repeat to per-frame for plots
+        aligns = jnp.repeat(jnp.moveaxis(aligns, 0, 1), r,
+                            axis=1)[:, :T]                 # (B,T,S)
 
         if teacher:
             out_len = spec_len
@@ -325,6 +346,9 @@ class Tacotron2Decoder(Decoder):
             "parallel_iterations": int,
             "num_audio_features": int,
             "infer_max_steps": int,
+            # reduction factor: frames emitted per decoder step
+            # (beyond reference — its Tacotron-2 fixes this at 1)
+            "outputs_per_step": int,
         })
 
     def make_module(self):
@@ -349,6 +373,7 @@ class Tacotron2Decoder(Decoder):
             attention_type=p["attention_type"] or "bahdanau",
             decoder_cell_units=p["decoder_cell_units"],
             decoder_layers=p["decoder_layers"],
+            outputs_per_step=p.get("outputs_per_step", 1),
             enable_prenet=p.get("enable_prenet", True),
             prenet_layers=p.get("prenet_layers", 2),
             prenet_units=p.get("prenet_units", 256),

@@ -138,6 +138,58 @@ def _mask_scale_bwd(spec, bshape, rng, g):
 _mask_scale_remat.defvjp(_mask_scale_fwd, _mask_scale_bwd)
 
 
+# ---------------------------------------------------------------------------
+# relu+dropout fused at the ALGEBRA level (VERDICT r4 #6: attack the
+# dropout-apply traffic where the activation is already in flight).
+#
+# For out = mask . relu(x) / q the exact VJP is
+#     dx = 1[out > 0] . g / q
+# because out > 0  <=>  (mask = 1 AND x > 0), and on that set the
+# local derivative is exactly 1/q. So the op is SELF-RESIDUALIZING:
+# the backward needs only ``out`` — which the consumer matmul keeps as
+# its own residual anyway. Compared to composing relu with Dropout,
+# autodiff stores NO u8 mask tensor and NO relu sign tensor across the
+# fwd/bwd boundary (2+ bytes/element of HBM write+read at the
+# transformer FFN's (B,T,4D) fattest activation), the RNG never runs
+# twice, and XLA fuses the 1[out>0] select into the dgrad matmul's
+# epilogue. Gradients differ from the composite only on the measure-
+# zero set x == 0. Forward is bit-identical (same mask stream).
+# ---------------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _relu_mask_scale(rng, x, spec):
+    bits, thr, q = spec
+    h = jax.nn.relu(x)
+    if bits == 8:
+        b = jax.random.bits(rng, x.shape, jnp.uint8)
+        mask = b < jnp.uint8(thr)
+    else:
+        mask = jax.random.bernoulli(rng, p=thr, shape=x.shape)
+    return lax.select(mask, h / q, jnp.zeros_like(h))
+
+
+def _relu_ms_fwd(rng, x, spec):
+    out = _relu_mask_scale(rng, x, spec)
+    return out, out
+
+
+def _relu_ms_bwd(spec, out, g):
+    q = spec[2]
+    return None, lax.select(out > 0, g / q, jnp.zeros_like(g))
+
+
+_relu_mask_scale.defvjp(_relu_ms_fwd, _relu_ms_bwd)
+
+
+def relu_dropout(key, rate: float, x):
+    """relu followed by dropout with a mask-free backward (see block
+    comment above). Honors the bound ``dropout_bits``; same mask
+    stream as ``Dropout`` so the forward is bit-identical to
+    ``Dropout(rate)(relu(x))`` with the same key."""
+    if rate <= 0.0:
+        return jax.nn.relu(x)
+    return _relu_mask_scale(key, x, _spec_for(1.0 - rate))
+
+
 def _spec_for(keep_prob: float):
     """(bits, threshold, rescale) honoring the bound dropout_bits."""
     if _DROPOUT_BITS == 8:

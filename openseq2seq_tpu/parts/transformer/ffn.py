@@ -21,17 +21,23 @@ class FeedForwardNetwork(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.DenseGeneral(self.filter_size, dtype=self.dtype,
                             param_dtype=jnp.float32, name="filter")(x)
-        x = jax.nn.relu(x)
         from ...ops import dropout_pallas as dp
-        from ..dropout import get_fused_dropout
-        if (train and self.relu_dropout > 0.0 and get_fused_dropout()
-                and dp.supported(x.shape, interpret=dp.FORCE_INTERPRET)):
-            x = dp.fused_dropout(self.make_rng("dropout"), x,
-                                 self.relu_dropout,
-                                 interpret=dp.FORCE_INTERPRET)
+        from ..dropout import get_fused_dropout, relu_dropout
+        if train and self.relu_dropout > 0.0:
+            if (get_fused_dropout()
+                    and dp.supported(x.shape,
+                                     interpret=dp.FORCE_INTERPRET)):
+                x = dp.fused_dropout(self.make_rng("dropout"),
+                                     jax.nn.relu(x), self.relu_dropout,
+                                     interpret=dp.FORCE_INTERPRET)
+            else:
+                # self-residualizing relu+dropout: no mask/sign
+                # residual crosses the fwd/bwd boundary (parts/dropout
+                # .relu_dropout) — the default since round 5
+                x = relu_dropout(self.make_rng("dropout"),
+                                 self.relu_dropout, x)
         else:
-            x = Dropout(rate=self.relu_dropout,
-                        deterministic=not train)(x)
+            x = jax.nn.relu(x)
         return nn.DenseGeneral(self.hidden_size, dtype=self.dtype,
                                param_dtype=jnp.float32, name="output")(x)
 

@@ -103,6 +103,9 @@ def main():
             "dropout_prob": 0.1,
             "mask_decoder_sequence": True,
             "infer_max_steps": 1000,
+            # reduction factor sweep: BENCH_R=2/4 batches r frames per
+            # autoregressive step (the 0.036-MFU bound is scan length)
+            "outputs_per_step": int(os.environ.get("BENCH_R", "1")),
         },
         "loss": Text2SpeechLoss,
         "loss_params": {"use_mask": True},

@@ -159,3 +159,47 @@ def test_dropout_remat_bit_identical_fwd_and_grad():
                                           np.asarray(grads[True]))
     finally:
         set_dropout_remat(False)
+
+
+def test_relu_dropout_matches_composite():
+    """relu_dropout == Dropout(rate)(relu(x)) bit-for-bit in forward
+    (same mask stream) and gradient-equal away from x == 0, for both
+    mask widths; its backward carries no mask residual by construction
+    (parts/dropout.py block comment)."""
+    import jax
+    from openseq2seq_tpu.parts.dropout import relu_dropout
+
+    x = jnp.asarray(np.random.RandomState(1).randn(4, 8, 32),
+                    jnp.float32)
+    key = jax.random.key(7)
+    mod = Dropout(rate=0.3)
+
+    def composite(x_):
+        import jax.nn
+        return mod.apply({}, jax.nn.relu(x_), deterministic=False,
+                         rng=key)
+
+    def fused(x_):
+        return relu_dropout(key, 0.3, x_)
+
+    try:
+        for bits in (32, 8):
+            set_dropout_bits(bits)
+            np.testing.assert_array_equal(
+                np.asarray(jax.jit(composite)(x)),
+                np.asarray(jax.jit(fused)(x)))
+            g1 = jax.jit(jax.grad(lambda v: composite(v).sum()))(x)
+            g2 = jax.jit(jax.grad(lambda v: fused(v).sum()))(x)
+            np.testing.assert_array_equal(np.asarray(g1),
+                                          np.asarray(g2))
+    finally:
+        set_dropout_bits(32)
+
+
+def test_relu_dropout_rate_zero_is_relu():
+    import jax
+    from openseq2seq_tpu.parts.dropout import relu_dropout
+    x = jnp.asarray(np.random.RandomState(2).randn(3, 5), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(relu_dropout(jax.random.key(0), 0.0, x)),
+        np.asarray(jax.nn.relu(x)))

