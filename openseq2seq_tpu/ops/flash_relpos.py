@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LSE_LANES = 8       # lane width of the stored logsumexp/delta tensors
 
 # tests flip this to run the kernels in interpreter mode on CPU
 FORCE_INTERPRET = False
@@ -103,7 +104,10 @@ def _fwd_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         # key; l > 0 always. Guard anyway for the padded-T tail.
         l_safe = jnp.where(l > 0.0, l, 1.0)
         o_ref[0, 0] = (acc[...] / l_safe).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_i[...] + jnp.log(l_safe))[:, 0]
+        # lse stored (bq, LSE_LANES): last block dim must equal the
+        # array dim or be 128-divisible on TPU; 8 lanes keeps it tiny
+        lse_ref[0, 0] = jnp.broadcast_to(
+            m_i[...] + jnp.log(l_safe), (l.shape[0], LSE_LANES))
 
 
 def _fwd(q, k, v, lens, scale, block_q, block_k, interpret):
@@ -132,19 +136,22 @@ def _fwd(q, k, v, lens, scale, block_q, block_k, interpret):
             pl.BlockSpec((1, 1, block_q, dv),
                          lambda b, h, i, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q),
-                         lambda b, h, i, j: (b, h, i),
+            pl.BlockSpec((1, 1, block_q, LSE_LANES),
+                         lambda b, h, i, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, dv), q.dtype),
-            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, LSE_LANES), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, dv), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(lens, q, k, v)
     return o, lse
@@ -170,25 +177,28 @@ def _dkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
     k = k_ref[0, 0]                                    # (bk, dqk)
     v = v_ref[0, 0]                                    # (bk, dv)
     do = do_ref[0, 0]                                  # (bq, dv)
-    lse = lse_ref[0, 0]                                # (bq,)
-    delta = d_ref[0, 0]                                # (bq,)
+    lse = lse_ref[0, 0][:, :1]                         # (bq, 1)
+    delta = d_ref[0, 0][:, :1]                         # (bq, 1)
 
+    # q-major orientation throughout: transposed products are taken by
+    # contracting dim 0 in dot_general, never by materializing k-major
+    # tiles, and lse/delta broadcast as (bq, 1) columns
     s = jax.lax.dot_general(
-        k, q, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale    # (bk, bq)
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # (bq, bk)
     length = lens_ref[b, 0]
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + jk * block_k
-    p = jnp.where(row < length, jnp.exp(s - lse[None, :]), 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_k
+    p = jnp.where(col < length, jnp.exp(s - lse), 0.0)
 
     dv_acc[...] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # (bk, dv)
     dp = jax.lax.dot_general(
-        v, do, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (bk, bq)
-    ds = p * (dp - delta[None, :]) * scale             # (bk, bq) f32
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bq, bk)
+    ds = p * (dp - delta) * scale                      # (bq, bk) f32
     dk_acc[...] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # (bk, dqk)
 
     @pl.when(jq == n_q - 1)
@@ -210,19 +220,19 @@ def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
-    lse = lse_ref[0, 0]
-    delta = d_ref[0, 0]
+    lse = lse_ref[0, 0][:, :1]                         # (bq, 1)
+    delta = d_ref[0, 0][:, :1]                         # (bq, 1)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale    # (bq, bk)
     length = lens_ref[b, 0]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jk * block_k
-    p = jnp.where(col < length, jnp.exp(s - lse[:, None]), 0.0)
+    p = jnp.where(col < length, jnp.exp(s - lse), 0.0)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # (bq, bk)
-    ds = p * (dp - delta[:, None]) * scale
+    ds = p * (dp - delta) * scale
     dq_acc[...] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # (bq, dqk)
@@ -238,7 +248,8 @@ def _bwd_pallas(q, k, v, lens, o, lse, do, scale, block_q, block_k,
     dv = v.shape[-1]
     n_q, n_k = _cdiv(T, block_q), _cdiv(T, block_k)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1)                            # (B, H, T)
+                    axis=-1, keepdims=True)             # (B, H, T, 1)
+    delta = jnp.broadcast_to(delta, delta.shape[:-1] + (LSE_LANES,))
 
     V = pltpu.VMEM
     common_in = [
@@ -251,10 +262,10 @@ def _bwd_pallas(q, k, v, lens, o, lse, do, scale, block_q, block_k,
                      lambda b, h, i, j: (b, h, j, 0), memory_space=V),
         pl.BlockSpec((1, 1, block_q, dv),
                      lambda b, h, i, j: (b, h, i, 0), memory_space=V),
-        pl.BlockSpec((1, 1, block_q),
-                     lambda b, h, i, j: (b, h, i), memory_space=V),
-        pl.BlockSpec((1, 1, block_q),
-                     lambda b, h, i, j: (b, h, i), memory_space=V),
+        pl.BlockSpec((1, 1, block_q, LSE_LANES),
+                     lambda b, h, i, j: (b, h, i, 0), memory_space=V),
+        pl.BlockSpec((1, 1, block_q, LSE_LANES),
+                     lambda b, h, i, j: (b, h, i, 0), memory_space=V),
     ]
 
     # dk/dv: grid (B, H, n_k, n_q) — q blocks innermost; the q-side
@@ -289,6 +300,9 @@ def _bwd_pallas(q, k, v, lens, o, lse, do, scale, block_q, block_k,
             pltpu.VMEM((block_k, dqk), jnp.float32),
             pltpu.VMEM((block_k, dv), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(lens, q, k, v, do, lse, delta)
 
@@ -302,6 +316,9 @@ def _bwd_pallas(q, k, v, lens, o, lse, do, scale, block_q, block_k,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, dqk), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         interpret=interpret,
     )(lens, q, k, v, do, lse, delta)
     return dq, dk, dvv

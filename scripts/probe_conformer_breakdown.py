@@ -73,18 +73,23 @@ def main():
     results = {}
 
     def probe(name, mod, *args, needs_rngs=True):
-        variables = mod.init(
-            {"params": jax.random.PRNGKey(0), "dropout": dkey},
-            x, *args, True)
+        try:
+            variables = mod.init(
+                {"params": jax.random.PRNGKey(0), "dropout": dkey},
+                x, *args, True)
 
-        def loss(v, x):
-            kw = {"rngs": {"dropout": dkey}} if needs_rngs else {}
-            out = mod.apply(v, x, *args, True, **kw)
-            return jnp.sum(out.astype(jnp.float32) ** 2)
+            def loss(v, x):
+                kw = {"rngs": {"dropout": dkey}} if needs_rngs else {}
+                out = mod.apply(v, x, *args, True, **kw)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
 
-        grad_fn = jax.grad(loss, argnums=(0,))
-        ms = timeit_chained(lambda v, x: grad_fn(v, x)[0],
-                            variables, x)
+            grad_fn = jax.grad(loss, argnums=(0,))
+            ms = timeit_chained(lambda v, x: grad_fn(v, x)[0],
+                                variables, x)
+        except Exception as e:   # record and keep probing other pieces
+            print(f"  {name:28s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            return
         results[name] = round(ms, 3)
         print(f"  {name:28s} {ms:8.3f} ms fwd+bwd", flush=True)
 
