@@ -66,24 +66,14 @@ def _rel_flash_attend(q_u, q_w, k, v, r_kernel, pad_mask, scale):
     padding is always a suffix); padded queries attend the valid keys
     and are masked downstream, matching the XLA path."""
     from ..ops import flash_relpos as fr
-    from ..ops.flash_relpos import flash_attention, fold_relpos
-    B, T, H, Dh = q_u.shape
-    D = r_kernel.shape[0]
-    q_aug, k_pos = fold_relpos(q_u, q_w, r_kernel, T, D)
-    k_aug = jnp.concatenate(
-        [k.transpose(0, 2, 1, 3),
-         jnp.broadcast_to(k_pos[None, None], (B, H, T, D))], axis=-1)
-    # zero-pad the contraction dim to an MXU lane multiple (zeros do
-    # not change the product)
-    pad = -q_aug.shape[-1] % 128
-    if pad:
-        q_aug = jnp.pad(q_aug, ((0, 0), (0, 0), (0, 0), (0, pad)))
-        k_aug = jnp.pad(k_aug, ((0, 0), (0, 0), (0, 0), (0, pad)))
     lengths = jnp.sum(pad_mask.astype(jnp.int32), axis=1)
-    out = flash_attention(q_aug, k_aug, v.transpose(0, 2, 1, 3),
-                          lengths, float(scale),
-                          interpret=fr.FORCE_INTERPRET)
-    return out.transpose(0, 2, 1, 3).astype(q_u.dtype)
+    # memory-lean entry: saves only the (B,T,H,Dh) tensors as
+    # residuals and rebuilds the augmentation in the backward —
+    # saving the augmented q~/k~ per layer re-OOMed Conformer-L bs256
+    # (queue19 attempt: 48 GB requested)
+    return fr.rel_flash_attention(q_u, q_w, k, v, r_kernel, lengths,
+                                  float(scale),
+                                  interpret=fr.FORCE_INTERPRET)
 
 
 class RelPosSelfAttention(nn.Module):

@@ -422,3 +422,140 @@ def fold_relpos(q_u, q_w, r_kernel, T: int, dim: int):
         [q_u.transpose(0, 2, 1, 3).astype(q_w.dtype),
          A.astype(q_w.dtype), Bq.astype(q_w.dtype)], axis=-1)
     return q_aug, k_aug
+
+
+# ---------------------------------------------------------------------------
+# memory-lean rel-pos entry: the vjp boundary OUTSIDE the fold.
+#
+# flash_attention() saves its (padded) q/k operands as residuals; with
+# the rel-pos augmentation those are (B, H, T, Dh + D) per layer —
+# 0.67 GB/tensor at Conformer-L bs256, which is what re-OOMed the
+# queue19 bs256 probe (48 GB requested). The augmentation itself is
+# cheap (one BTD^2 einsum + elementwise trig), so this wrapper saves
+# only the ORIGINAL (B, T, H, Dh) tensors and rebuilds q~/k~ inside
+# the backward, then maps the kernel's augmented gradients back:
+#
+#   dq_u = dq~[..., :Dh]
+#   dA, dB = dq~[..., Dh:Dh+m], dq~[..., Dh+m:Dh+D]
+#   dgs = dA si - dB ci ;  dgc = dA ci + dB si      (A/B defs above)
+#   dq_w = K_r^T dg ;  dK_r = sum_bt dg (x) q_w
+#   dk  = dk~[..., :Dh]   (the cos/sin key augmentation is constant)
+# ---------------------------------------------------------------------------
+def _angles(T: int, dim: int):
+    m = dim // 2
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, dim, 2) / dim))
+    ang_i = (np.arange(T) + T - 1)[:, None] * inv_freq[None, :]
+    ang_j = np.arange(T)[:, None] * inv_freq[None, :]
+    si = jnp.asarray(np.sin(ang_i), jnp.float32)        # (T, m)
+    ci = jnp.asarray(np.cos(ang_i), jnp.float32)
+    k_pos = jnp.asarray(
+        np.concatenate([np.cos(ang_j), np.sin(ang_j)], axis=1),
+        jnp.float32)                                    # (T, dim)
+    return si, ci, k_pos
+
+
+def _build_aug(q_u, q_w, k, r_kernel, si, ci, k_pos, lane_pad):
+    """(B,T,H,Dh) inputs -> padded kernel-layout (B,H,T,dqk) q~/k~."""
+    B, T, H, Dh = q_w.shape
+    D = r_kernel.shape[0]
+    m = D // 2
+    g = jnp.einsum("bthd,phd->bhtp", q_w,
+                   r_kernel.astype(q_w.dtype),
+                   preferred_element_type=jnp.float32)
+    gs, gc = g[..., :m], g[..., m:]
+    A = gs * si[None, None] + gc * ci[None, None]
+    Bq = gc * si[None, None] - gs * ci[None, None]
+    q_aug = jnp.concatenate(
+        [q_u.transpose(0, 2, 1, 3).astype(q_w.dtype),
+         A.astype(q_w.dtype), Bq.astype(q_w.dtype)], axis=-1)
+    k_aug = jnp.concatenate(
+        [k.transpose(0, 2, 1, 3),
+         jnp.broadcast_to(k_pos[None, None].astype(k.dtype),
+                          (B, H, T, D))], axis=-1)
+    if lane_pad:
+        q_aug = jnp.pad(q_aug,
+                        ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
+        k_aug = jnp.pad(k_aug,
+                        ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
+    return q_aug, k_aug
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def rel_flash_attention(q_u, q_w, k, v, r_kernel, lengths, sm_scale,
+                        block_q=128, block_k=128, interpret=False):
+    """Rel-pos flash attention, module-facing layout (B, T, H, Dh) in
+    and out. Scores equal the XLA path's (q+u)·k + (q+w)·R_shift
+    exactly (module docstring); residual memory is O(B T D), not
+    O(B T (D + H D))."""
+    o, _ = _rel_fwd_res(q_u, q_w, k, v, r_kernel, lengths, sm_scale,
+                        block_q, block_k, interpret)
+    return o
+
+
+def _rel_fwd_res(q_u, q_w, k, v, r_kernel, lengths, sm_scale,
+                 block_q, block_k, interpret):
+    B, T, H, Dh = q_w.shape
+    D = r_kernel.shape[0]
+    lane_pad = -(Dh + D) % 128
+    si, ci, k_pos = _angles(T, D)
+    q_aug, k_aug = _build_aug(q_u, q_w, k, r_kernel, si, ci, k_pos,
+                              lane_pad)
+    mult = int(np.lcm(block_q, block_k))
+    qp = _pad_t(q_aug, mult)
+    kp = _pad_t(k_aug, mult)
+    vp = _pad_t(v.transpose(0, 2, 1, 3), mult)
+    lens = jnp.maximum(lengths.astype(jnp.int32), 1).reshape(-1, 1)
+    o, lse = _fwd(qp, kp, vp, lens, float(sm_scale), block_q, block_k,
+                  interpret)
+    ctx = o[:, :, :T].transpose(0, 2, 1, 3)
+    return ctx, (o, lse, lens)
+
+
+def _rel_vjp_fwd(q_u, q_w, k, v, r_kernel, lengths, sm_scale,
+                 block_q, block_k, interpret):
+    ctx, (o, lse, lens) = _rel_fwd_res(q_u, q_w, k, v, r_kernel,
+                                       lengths, sm_scale, block_q,
+                                       block_k, interpret)
+    return ctx, (q_u, q_w, k, v, r_kernel, lens, o, lse)
+
+
+def _rel_vjp_bwd(sm_scale, block_q, block_k, interpret, res, g):
+    q_u, q_w, k, v, r_kernel, lens, o, lse = res
+    B, T, H, Dh = q_w.shape
+    D = r_kernel.shape[0]
+    m = D // 2
+    lane_pad = -(Dh + D) % 128
+    si, ci, k_pos = _angles(T, D)
+    q_aug, k_aug = _build_aug(q_u, q_w, k, r_kernel, si, ci, k_pos,
+                              lane_pad)
+    mult = int(np.lcm(block_q, block_k))
+    qp = _pad_t(q_aug, mult)
+    kp = _pad_t(k_aug, mult)
+    vp = _pad_t(v.transpose(0, 2, 1, 3), mult)
+    gp = _pad_t(g.transpose(0, 2, 1, 3), mult)
+    dq_aug, dk_aug, dv = _bwd_pallas(qp, kp, vp, lens, o, lse, gp,
+                                     float(sm_scale), block_q,
+                                     block_k, interpret)
+    dq_aug = dq_aug[:, :, :T]
+    dk_aug = dk_aug[:, :, :T]
+    dv = dv[:, :, :T].transpose(0, 2, 1, 3).astype(v.dtype)
+
+    dq_u = dq_aug[..., :Dh].transpose(0, 2, 1, 3).astype(q_u.dtype)
+    dA = dq_aug[..., Dh:Dh + m].astype(jnp.float32)
+    dB = dq_aug[..., Dh + m:Dh + D].astype(jnp.float32)
+    dgs = dA * si[None, None] - dB * ci[None, None]
+    dgc = dA * ci[None, None] + dB * si[None, None]
+    dg = jnp.concatenate([dgs, dgc], axis=-1)           # (B,H,T,D)
+    dg = dg.astype(q_w.dtype)
+    dq_w = jnp.einsum("bhtp,phd->bthd", dg,
+                      r_kernel.astype(q_w.dtype),
+                      preferred_element_type=jnp.float32
+                      ).astype(q_w.dtype)
+    dK_r = jnp.einsum("bhtp,bthd->phd", dg, q_w,
+                      preferred_element_type=jnp.float32
+                      ).astype(r_kernel.dtype)
+    dk = dk_aug[..., :Dh].transpose(0, 2, 1, 3).astype(k.dtype)
+    return (dq_u, dq_w, dk, dv, dK_r, None)
+
+
+rel_flash_attention.defvjp(_rel_vjp_fwd, _rel_vjp_bwd)
