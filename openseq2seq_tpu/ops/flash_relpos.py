@@ -521,6 +521,15 @@ def _rel_vjp_fwd(q_u, q_w, k, v, r_kernel, lengths, sm_scale,
 
 def _rel_vjp_bwd(sm_scale, block_q, block_k, interpret, res, g):
     q_u, q_w, k, v, r_kernel, lens, o, lse = res
+    # the whole point of rebuilding q~/k~ here is to let the forward's
+    # padded augmented tensors DIE after the forward kernel — but
+    # XLA's CSE recognizes the rebuild as the same value and reuses
+    # the forward buffers, keeping every layer's (B,H,T,Dh+D) pads
+    # alive across the step (queue19b: 17 x 2 x 640 MB = the 48 GB
+    # Conformer-L bs256 OOM). The barrier makes the rebuilt values
+    # distinct so the recompute actually happens.
+    q_u, q_w, k, v, r_kernel = jax.lax.optimization_barrier(
+        (q_u, q_w, k, v, r_kernel))
     B, T, H, Dh = q_w.shape
     D = r_kernel.shape[0]
     m = D // 2
