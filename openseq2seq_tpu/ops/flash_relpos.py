@@ -163,7 +163,7 @@ def _fwd(q, k, v, lens, scale, block_q, block_k, interpret):
 # ---------------------------------------------------------------------------
 def _dkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc, *,
-                scale, block_k, n_q):
+                scale, block_k, n_q, dk_width):
     b = pl.program_id(0)
     jq = pl.program_id(3)
     jk = pl.program_id(2)
@@ -197,9 +197,14 @@ def _dkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # (bq, bk)
     ds = p * (dp - delta) * scale                      # (bq, bk) f32
+    # dk only over the first dk_width columns of q: the rel-pos
+    # augmentation of k is CONSTANT (cos/sin tables), so its gradient
+    # is discarded by the caller — skipping it cuts the widest matmul
+    # of this kernel from dqk to Dh (~20% of total kernel FLOPs at
+    # Conformer geometry)
     dk_acc[...] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (bk, dqk)
+        ds.astype(q.dtype), q[:, :dk_width], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (bk, dk_width)
 
     @pl.when(jq == n_q - 1)
     def _emit():
@@ -243,8 +248,9 @@ def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
 
 
 def _bwd_pallas(q, k, v, lens, o, lse, do, scale, block_q, block_k,
-                interpret):
+                interpret, dk_width=None):
     B, H, T, dqk = q.shape
+    dk_width = dqk if dk_width is None else dk_width
     dv = v.shape[-1]
     n_q, n_k = _cdiv(T, block_q), _cdiv(T, block_k)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
@@ -281,11 +287,11 @@ def _bwd_pallas(q, k, v, lens, o, lse, do, scale, block_q, block_k,
 
     dk, dvv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, block_k=block_k,
-                          n_q=n_q),
+                          n_q=n_q, dk_width=dk_width),
         grid=(B, H, n_k, n_q),
         in_specs=[swap(s) for s in common_in],
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, dqk),
+            pl.BlockSpec((1, 1, block_k, dk_width),
                          lambda b, h, jk, jq: (b, h, jk, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, dv),
@@ -293,11 +299,11 @@ def _bwd_pallas(q, k, v, lens, o, lse, do, scale, block_q, block_k,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(k.shape[:-1] + (dk_width,), k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, dqk), jnp.float32),
+            pltpu.VMEM((block_k, dk_width), jnp.float32),
             pltpu.VMEM((block_k, dv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -544,7 +550,7 @@ def _rel_vjp_bwd(sm_scale, block_q, block_k, interpret, res, g):
     gp = _pad_t(g.transpose(0, 2, 1, 3), mult)
     dq_aug, dk_aug, dv = _bwd_pallas(qp, kp, vp, lens, o, lse, gp,
                                      float(sm_scale), block_q,
-                                     block_k, interpret)
+                                     block_k, interpret, dk_width=Dh)
     dq_aug = dq_aug[:, :, :T]
     dk_aug = dk_aug[:, :, :T]
     dv = dv[:, :, :T].transpose(0, 2, 1, 3).astype(v.dtype)
@@ -563,7 +569,7 @@ def _rel_vjp_bwd(sm_scale, block_q, block_k, interpret, res, g):
     dK_r = jnp.einsum("bhtp,bthd->phd", dg, q_w,
                       preferred_element_type=jnp.float32
                       ).astype(r_kernel.dtype)
-    dk = dk_aug[..., :Dh].transpose(0, 2, 1, 3).astype(k.dtype)
+    dk = dk_aug.transpose(0, 2, 1, 3).astype(k.dtype)
     return (dq_u, dq_w, dk, dv, dK_r, None)
 
 
