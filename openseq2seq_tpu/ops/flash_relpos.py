@@ -465,15 +465,19 @@ def _build_aug(q_u, q_w, k, r_kernel, si, ci, k_pos, lane_pad):
     B, T, H, Dh = q_w.shape
     D = r_kernel.shape[0]
     m = D // 2
+    # the whole chain stays in the compute dtype (bf16 under "mixed"):
+    # a f32 g is a 1 GB-per-block transient at Conformer-L bs256
+    # (queue19c OOM dump) and the XLA path's pos_score einsum is bf16
+    # anyway — same precision class
     g = jnp.einsum("bthd,phd->bhtp", q_w,
-                   r_kernel.astype(q_w.dtype),
-                   preferred_element_type=jnp.float32)
+                   r_kernel.astype(q_w.dtype))
     gs, gc = g[..., :m], g[..., m:]
-    A = gs * si[None, None] + gc * ci[None, None]
-    Bq = gc * si[None, None] - gs * ci[None, None]
+    si_c = si[None, None].astype(g.dtype)
+    ci_c = ci[None, None].astype(g.dtype)
+    A = gs * si_c + gc * ci_c
+    Bq = gc * si_c - gs * ci_c
     q_aug = jnp.concatenate(
-        [q_u.transpose(0, 2, 1, 3).astype(q_w.dtype),
-         A.astype(q_w.dtype), Bq.astype(q_w.dtype)], axis=-1)
+        [q_u.transpose(0, 2, 1, 3).astype(q_w.dtype), A, Bq], axis=-1)
     k_aug = jnp.concatenate(
         [k.transpose(0, 2, 1, 3),
          jnp.broadcast_to(k_pos[None, None].astype(k.dtype),
@@ -556,12 +560,13 @@ def _rel_vjp_bwd(sm_scale, block_q, block_k, interpret, res, g):
     dv = dv[:, :, :T].transpose(0, 2, 1, 3).astype(v.dtype)
 
     dq_u = dq_aug[..., :Dh].transpose(0, 2, 1, 3).astype(q_u.dtype)
-    dA = dq_aug[..., Dh:Dh + m].astype(jnp.float32)
-    dB = dq_aug[..., Dh + m:Dh + D].astype(jnp.float32)
-    dgs = dA * si[None, None] - dB * ci[None, None]
-    dgc = dA * ci[None, None] + dB * si[None, None]
+    dA = dq_aug[..., Dh:Dh + m]
+    dB = dq_aug[..., Dh + m:Dh + D]
+    si_c = si[None, None].astype(dA.dtype)
+    ci_c = ci[None, None].astype(dA.dtype)
+    dgs = dA * si_c - dB * ci_c
+    dgc = dA * ci_c + dB * si_c
     dg = jnp.concatenate([dgs, dgc], axis=-1)           # (B,H,T,D)
-    dg = dg.astype(q_w.dtype)
     dq_w = jnp.einsum("bhtp,phd->bthd", dg,
                       r_kernel.astype(q_w.dtype),
                       preferred_element_type=jnp.float32
