@@ -18,6 +18,14 @@ run() {
   echo "== exit $? : $*" >> "$LOG"
 }
 
+# flash re-probes after the dk-cut + bf16-chain kernel improvements
+# (queue19's numbers predate both), plus the L flash retry at the
+# recipe's bs64 and at bs128 (queue19c bs128 OOM was the f32 chain)
+run 1800 BENCH_BS=64 BENCH_T=500 python scripts/probe_conformer_breakdown.py
+run 1800 BENCH_BS=32 BENCH_T=1000 python scripts/probe_conformer_breakdown.py
+run 2400 BENCH_SCALE=l BENCH_BS=64 BENCH_FLASH=1 python scripts/bench_conformer.py
+run 2400 BENCH_SCALE=l BENCH_BS=128 BENCH_FLASH=1 python scripts/bench_conformer.py
+
 run 2400 BENCH_NMT_SEQ=256 BENCH_NMT_BS=16 BENCH_NMT_PADFRAC=0.1 python bench_nmt.py
 run 2400 BENCH_NMT_SEQ=256 BENCH_NMT_BS=16 BENCH_NMT_PADFRAC=0.1 BENCH_NMT_NODROP=1 python bench_nmt.py
 run 2400 python scripts/probe_lm_breakdown.py
