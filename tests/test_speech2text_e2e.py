@@ -120,3 +120,16 @@ def test_eval_pipeline_wer_counts(toy_speech_data):
     metrics = model.finalize_evaluation(fake_results)
     assert metrics["Eval WER"] == pytest.approx(4 / 20)
     assert metrics["eval_loss"] == pytest.approx((1.0 * 2 + 2.0 * 2) / 4 / 2)
+
+
+@pytest.mark.slow
+def test_convergence_bf16_features(toy_speech_data):
+    """The flagship recipe ships features_dtype='bfloat16' (half the
+    H2D wire size); the full toy pipeline must converge identically
+    through bf16-collated features + 'mixed' compute."""
+    train_model = _build(
+        toy_speech_data, "train", dtype="mixed", num_epochs=150,
+        overrides={"data_layer_params": {"features_dtype": "bfloat16"}})
+    result = trainer.train(train_model)
+    final_loss = float(result["last_metrics"]["loss"])
+    assert final_loss < 1.0, final_loss
