@@ -51,7 +51,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-LSE_LANES = 8       # lane width of the stored logsumexp/delta tensors
+LSE_LANES = 1       # lane width of the stored logsumexp/delta tensors
+# (1 column: a block last-dim equal to the array dim is always legal,
+# and at Conformer-L bs128 the 8-lane layout alone was ~125 MB of the
+# 76 MB-over-budget OOM margin)
 
 # tests flip this to run the kernels in interpreter mode on CPU
 FORCE_INTERPRET = False
