@@ -55,6 +55,11 @@ def main():
     # diagnostic: BENCH_NMT_NODROP=1 zeroes all dropout rates to
     # isolate PRNG/mask-generation cost from the matmul path
     DROP = 0.0 if os.environ.get("BENCH_NMT_NODROP") == "1" else 1.0
+    # BENCH_NMT_NOATTNDROP=1 zeroes ONLY attention-weight dropout —
+    # isolates the (B,H,T,T) mask term from the (B,T,D)-shaped sites
+    ADROP = 0.0 if (DROP == 0.0 or
+                    os.environ.get("BENCH_NMT_NOATTNDROP") == "1") \
+        else 1.0
     # realistic WMT bucketed batches run to T=256; sweep with
     # BENCH_NMT_SEQ=256 BENCH_NMT_BS=16 (keep the token budget ~flat).
     # BENCH_NMT_PADFRAC>0 pads a fraction of each sequence (bucketed
@@ -105,7 +110,7 @@ def main():
             "encoder_layers": 6,
             "hidden_size": d_model,
             "num_heads": 16,
-            "attention_dropout": 0.1 * DROP,
+            "attention_dropout": 0.1 * ADROP,
             "filter_size": 4 * d_model,
             "relu_dropout": 0.3 * DROP,
             "layer_postprocess_dropout": 0.3 * DROP,
@@ -120,7 +125,7 @@ def main():
             "num_hidden_layers": 6,
             "hidden_size": d_model,
             "num_heads": 16,
-            "attention_dropout": 0.1 * DROP,
+            "attention_dropout": 0.1 * ADROP,
             "relu_dropout": 0.3 * DROP,
             "filter_size": 4 * d_model,
             "beam_size": 4,
