@@ -529,11 +529,33 @@ def _rel_vjp_fwd(q_u, q_w, k, v, r_kernel, lengths, sm_scale,
     ctx, (o, lse, lens) = _rel_fwd_res(q_u, q_w, k, v, r_kernel,
                                        lengths, sm_scale, block_q,
                                        block_k, interpret)
-    return ctx, (q_u, q_w, k, v, r_kernel, lens, o, lse)
+    # residuals in COMPACT layouts: TPU HBM tiling pads the minor two
+    # dims to (8, 128), so a (B,H,T,1) f32 lse physically occupies
+    # 128x its logical bytes (134 MB/layer at Conformer-L bs128 — the
+    # stubborn 76 MB OOM margin, queue21b) and (B,T,H,Dh) tensors pad
+    # Dh 64->128. Reshape to lane-full shapes before saving; the bwd
+    # re-expands transiently (one layer at a time).
+    B, T, H, Dh = q_w.shape
+    lse3 = lse[..., 0]                                  # (B,H,Tp)
+    ctx2 = ctx.reshape(B, T, H * Dh)
+    res = (q_u.reshape(B, T, H * Dh), q_w.reshape(B, T, H * Dh),
+           k.reshape(B, T, H * Dh), v.reshape(B, T, H * Dh),
+           r_kernel, lens, ctx2, lse3, o.shape[2])
+    return ctx, res
 
 
 def _rel_vjp_bwd(sm_scale, block_q, block_k, interpret, res, g):
-    q_u, q_w, k, v, r_kernel, lens, o, lse = res
+    (q_u2, q_w2, k2, v2, r_kernel, lens, ctx2, lse3, Tp) = res
+    B, T, D_model = q_w2.shape
+    H = lse3.shape[1]
+    Dh = D_model // H
+    unflat = lambda a: a.reshape(B, T, H, Dh)           # noqa: E731
+    q_u, q_w, k, v = (unflat(a) for a in (q_u2, q_w2, k2, v2))
+    # re-expand the kernel-layout o/lse (transient, one layer's bwd)
+    o = jnp.pad(
+        ctx2.reshape(B, T, H, Dh).transpose(0, 2, 1, 3),
+        ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    lse = lse3[..., None]
     # the whole point of rebuilding q~/k~ here is to let the forward's
     # padded augmented tensors DIE after the forward kernel — but
     # XLA's CSE recognizes the rebuild as the same value and reuses

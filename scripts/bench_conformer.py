@@ -109,6 +109,9 @@ def main():
     remat = os.environ.get("BENCH_REMAT", "")
     if remat:
         params["remat"] = True if remat == "true" else remat
+    if os.environ.get("BENCH_MOMENTS"):
+        params["optimizer_params"]["moments_dtype"] = \
+            os.environ["BENCH_MOMENTS"]
     model = Speech2Text(params=params, mode="train", mesh=mesh)
     dl = model.get_data_layer()
     batch = next(iter(dl.iterate_one_epoch()))
