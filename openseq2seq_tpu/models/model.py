@@ -162,6 +162,10 @@ class Model(abc.ABC):
                                           # hardware PRNG inside the
                                           # kernel and never touches
                                           # HBM (ops/dropout_pallas.py)
+            "fused_rnn": bool,            # fused Pallas LSTM scan for
+                                          # eligible forward LSTMs
+                                          # (W_h resident in VMEM;
+                                          # ops/lstm_pallas.py)
         }
 
     def __init__(self, params: Dict[str, Any], mode: str = "train",
@@ -479,10 +483,12 @@ class Model(abc.ABC):
         # bind THIS model's dropout settings at trace time — the
         # construction-time global alone would be clobbered by any
         # model constructed after this one but before this trace
+        from ..parts.rnns.rnn import fused_rnn_config
         with dropout_config(self._params.get("dropout_bits", 32),
                             self._params.get("dropout_remat", False),
                             self._params.get("fused_residual_dropout",
-                                             False)):
+                                             False)), \
+                fused_rnn_config(self._params.get("fused_rnn", False)):
             out = forward(variables, batch)
         if train:
             outputs, new_state = out

@@ -17,11 +17,38 @@ for the LM/Tacotron tracks.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# process-global, bound per trace by the model (same pattern and
+# rationale as parts/dropout.dropout_config): ``fused_rnn: True``
+# routes eligible forward LSTMs through the fused Pallas scan kernel
+# (ops/lstm_pallas.py) — opt-in, TPU-only via its supported() gate.
+_FUSED_RNN = False
+
+
+def set_fused_rnn(on: bool) -> None:
+    global _FUSED_RNN
+    _FUSED_RNN = bool(on)
+
+
+def get_fused_rnn() -> bool:
+    return _FUSED_RNN
+
+
+@contextmanager
+def fused_rnn_config(on: bool):
+    global _FUSED_RNN
+    prev = _FUSED_RNN
+    _FUSED_RNN = bool(on)
+    try:
+        yield
+    finally:
+        _FUSED_RNN = prev
 
 
 def _time_mask(lengths, T):
@@ -57,6 +84,21 @@ class LSTM(nn.Module):
             h0, c0 = initial_state
 
         W_h_c = W_h.astype(self.dtype)
+
+        from ...ops import lstm_pallas as lpk
+        if (get_fused_rnn() and not self.reverse
+                and lpk.supported(B, T, H,
+                                  interpret=lpk.FORCE_INTERPRET)):
+            # whole recurrence in one Pallas kernel: W_h resident in
+            # VMEM, gates/carries never leave it (the measured lever
+            # for the scan-latency-bound LSTM-LM — see ops/lstm_pallas)
+            out, last = lpk.lstm_scan(
+                x_proj, W_h, h0,
+                c0.astype(jnp.float32), lengths,
+                float(self.forget_bias), lpk.FORCE_INTERPRET)
+            out = out * _time_mask(lengths, T)[:, :, None].astype(
+                out.dtype)
+            return out, last
 
         def step(carry, inp):
             h, c = carry
