@@ -14,6 +14,9 @@ _DATA = os.environ.get("WIKITEXT2_DIR", "/data/wikitext-2")
 base_model = LSTMLM
 base_params = {
     "random_seed": 0,
+    # fused Pallas LSTM scan (ops/lstm_pallas.py; measured +25%
+    # tokens/s at wkt103 shapes — bench_results/chip_queue22.log)
+    "fused_rnn": True,
     "num_epochs": 100,
     "logdir": os.environ.get("OS2S_LOGDIR", "lm_wkt2_log"),
     "batch_size_per_gpu": 32,

@@ -53,10 +53,11 @@ def main():
     params = {
         "random_seed": 0,
         "max_steps": 1000000,
-        # BENCH_FUSED_RNN=1: fused Pallas LSTM scan (ops/lstm_pallas
-        # .py) — the queue21 breakdown's recorded lever (scan 30.9 ms
-        # vs 12.1 ms sequential-matmul floor)
-        "fused_rnn": os.environ.get("BENCH_FUSED_RNN", "0") == "1",
+        # fused Pallas LSTM scan (ops/lstm_pallas.py), DEFAULT since
+        # round 5: measured 264.5k -> 331.8k tokens/s (MFU 0.148 ->
+        # 0.226) at these shapes (chip_queue22). BENCH_FUSED_RNN=0
+        # measures the lax.scan control.
+        "fused_rnn": os.environ.get("BENCH_FUSED_RNN", "1") == "1",
         "batch_size_per_gpu": bs,
         "print_loss_steps": None,
         "optimizer": "Adam",
