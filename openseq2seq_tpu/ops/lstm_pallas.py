@@ -72,7 +72,7 @@ def supported(B: int, T: int, H: int, interpret: bool = False) -> bool:
 # ---------------------------------------------------------------------------
 def _fwd_kernel(lens_ref, xp_ref, wh_ref, h0_ref, c0_ref,
                 ys_ref, acts_ref, cs_ref, hl_ref, cl_ref,
-                h_s, c_s, *, T, forget_bias):
+                h_s, c_s, *, T, forget_bias, suffix_mask):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -93,7 +93,12 @@ def _fwd_kernel(lens_ref, xp_ref, wh_ref, h0_ref, c0_ref,
     c_new = sf * c + si * tg
     h_new = so * jnp.tanh(c_new)
 
-    m = (t < lens_ref[...]).astype(jnp.float32)          # (bblk, 1)
+    # prefix masking for forward-time LSTMs; suffix masking for the
+    # flipped inputs of reverse cells (valid frames sit at the end)
+    if suffix_mask:
+        m = (t >= T - lens_ref[...]).astype(jnp.float32)
+    else:
+        m = (t < lens_ref[...]).astype(jnp.float32)      # (bblk, 1)
     h_out = h_new * m + h.astype(jnp.float32) * (1.0 - m)
     c_out = c_new * m + c * (1.0 - m)
 
@@ -110,14 +115,16 @@ def _fwd_kernel(lens_ref, xp_ref, wh_ref, h0_ref, c0_ref,
         cl_ref[...] = c_out
 
 
-def _fwd(x_proj_t, wh, h0, c0, lens, bblk, forget_bias, interpret):
+def _fwd(x_proj_t, wh, h0, c0, lens, bblk, forget_bias, suffix_mask,
+         interpret):
     T, B, H4 = x_proj_t.shape
     H = H4 // 4
     dt = x_proj_t.dtype
     nb = B // bblk
     V = pltpu.VMEM
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, T=T, forget_bias=forget_bias),
+        functools.partial(_fwd_kernel, T=T, forget_bias=forget_bias,
+                          suffix_mask=suffix_mask),
         grid=(nb, T),
         in_specs=[
             pl.BlockSpec((bblk, 1), lambda b, t: (b, 0),
@@ -166,7 +173,7 @@ def _fwd(x_proj_t, wh, h0, c0, lens, bblk, forget_bias, interpret):
 def _bwd_kernel(lens_ref, wh_ref, acts_ref, cs_ref, cs_prev_ref,
                 c0_ref, dys_ref, dhl_ref, dcl_ref,
                 dg_ref, dh0_ref, dc0_ref, dh_s, dc_s, *,
-                T, forget_bias):
+                T, forget_bias, suffix_mask):
     tr = pl.program_id(1)
     t = T - 1 - tr
 
@@ -183,7 +190,10 @@ def _bwd_kernel(lens_ref, wh_ref, acts_ref, cs_ref, cs_prev_ref,
     # state BEFORE step t: cs[t-1] (the t=0 grid step's block aliases
     # cs[0] via the clamped index map; swap in c0 there)
     c_prev = jnp.where(t == 0, c0_ref[...], cs_prev_ref[0])
-    m = (t < lens_ref[...]).astype(jnp.float32)
+    if suffix_mask:
+        m = (t >= T - lens_ref[...]).astype(jnp.float32)
+    else:
+        m = (t < lens_ref[...]).astype(jnp.float32)
 
     dh = dh_s[...] + dys_ref[0].astype(jnp.float32)
     dc = dc_s[...]
@@ -212,7 +222,7 @@ def _bwd_kernel(lens_ref, wh_ref, acts_ref, cs_ref, cs_prev_ref,
 
 
 def _bwd(wh, acts, cs, c0, dys_t, dh_last, dc_last, lens, bblk,
-         forget_bias, interpret):
+         forget_bias, suffix_mask, interpret):
     T, B, H4 = acts.shape
     H = H4 // 4
     dt = acts.dtype
@@ -222,7 +232,8 @@ def _bwd(wh, acts, cs, c0, dys_t, dh_last, dc_last, lens, bblk,
     # cs_prev block: original index t-1, clamped at 0 (the t==0 case
     # is replaced by c0 inside the kernel)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, T=T, forget_bias=forget_bias),
+        functools.partial(_bwd_kernel, T=T, forget_bias=forget_bias,
+                          suffix_mask=suffix_mask),
         grid=(nb, T),
         in_specs=[
             pl.BlockSpec((bblk, 1), lambda b, tr: (b, 0),
@@ -268,20 +279,21 @@ def _bwd(wh, acts, cs, c0, dys_t, dh_last, dc_last, lens, bblk,
 # ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def lstm_scan(x_proj, wh, h0, c0, lengths, forget_bias=1.0,
-              interpret=False):
+              interpret=False, suffix_mask=False):
     """Run the LSTM recurrence over (B, T, 4H) pre-projected inputs.
 
     Returns (ys (B, T, H), (h_last, c_last)) — identical math to the
     `lax.scan` in parts/rnns/rnn.LSTM (incl. the length-mask
     carry-through of h/c past each row's end)."""
     out, _ = _lstm_fwd_res(x_proj, wh, h0, c0, lengths, forget_bias,
-                           interpret)
+                           interpret, suffix_mask)
     return out
 
 
-def _lstm_fwd_res(x_proj, wh, h0, c0, lengths, forget_bias, interpret):
+def _lstm_fwd_res(x_proj, wh, h0, c0, lengths, forget_bias, interpret,
+                  suffix_mask):
     B, T, H4 = x_proj.shape
     H = H4 // 4
     bblk = _pick_bblk(B, H)
@@ -291,18 +303,19 @@ def _lstm_fwd_res(x_proj, wh, h0, c0, lengths, forget_bias, interpret):
     ys, acts, cs, h_last, c_last = _fwd(
         xp, whc, h0.astype(x_proj.dtype),
         c0.astype(jnp.float32), lens, bblk, float(forget_bias),
-        interpret)
+        suffix_mask, interpret)
     out = (jnp.moveaxis(ys, 0, 1), (h_last, c_last.astype(c0.dtype)))
     res = (whc, acts, cs, ys, h0, c0, lens, bblk)
     return out, res
 
 
-def _lstm_vjp_fwd(x_proj, wh, h0, c0, lengths, forget_bias, interpret):
+def _lstm_vjp_fwd(x_proj, wh, h0, c0, lengths, forget_bias, interpret,
+                  suffix_mask):
     return _lstm_fwd_res(x_proj, wh, h0, c0, lengths, forget_bias,
-                         interpret)
+                         interpret, suffix_mask)
 
 
-def _lstm_vjp_bwd(forget_bias, interpret, res, g):
+def _lstm_vjp_bwd(forget_bias, interpret, suffix_mask, res, g):
     whc, acts, cs, ys, h0, c0, lens, bblk = res
     dys_bth, (dh_last, dc_last) = g
     T, B, H = ys.shape
@@ -311,7 +324,7 @@ def _lstm_vjp_bwd(forget_bias, interpret, res, g):
     dgates, dh0, dc0 = _bwd(
         whc, acts, cs, c0.astype(jnp.float32), dys,
         dh_last.astype(dt), dc_last.astype(jnp.float32), lens, bblk,
-        float(forget_bias), interpret)
+        float(forget_bias), suffix_mask, interpret)
     # large, high-MFU matmuls OUTSIDE the sequential kernel
     h_prev = jnp.concatenate([h0.astype(dt)[None], ys[:-1]], axis=0)
     dx_proj = jnp.moveaxis(dgates, 0, 1)                 # (B, T, 4H)

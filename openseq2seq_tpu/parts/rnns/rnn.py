@@ -86,16 +86,22 @@ class LSTM(nn.Module):
         W_h_c = W_h.astype(self.dtype)
 
         from ...ops import lstm_pallas as lpk
-        if (get_fused_rnn() and not self.reverse
+        if (get_fused_rnn()
                 and lpk.supported(B, T, H,
                                   interpret=lpk.FORCE_INTERPRET)):
             # whole recurrence in one Pallas kernel: W_h resident in
             # VMEM, gates/carries never leave it (the measured lever
-            # for the scan-latency-bound LSTM-LM — see ops/lstm_pallas)
+            # for the scan-latency-bound LSTM-LM — see ops/lstm_pallas).
+            # Reverse cells run over the already-flipped inputs with
+            # suffix masking (valid frames sit at the end after the
+            # flip).
             out, last = lpk.lstm_scan(
                 x_proj, W_h, h0,
                 c0.astype(jnp.float32), lengths,
-                float(self.forget_bias), lpk.FORCE_INTERPRET)
+                float(self.forget_bias), lpk.FORCE_INTERPRET,
+                self.reverse)
+            if self.reverse:
+                out = jnp.flip(out, axis=1)
             out = out * _time_mask(lengths, T)[:, :, None].astype(
                 out.dtype)
             return out, last

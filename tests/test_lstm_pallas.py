@@ -145,3 +145,32 @@ def test_lstm_module_fused_path_matches():
                     jax.tree_util.tree_leaves(gw)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_lstm_module_fused_reverse_matches():
+    """Reverse cells run the kernel over flipped inputs with suffix
+    masking — outputs and final states must match the scan path."""
+    from openseq2seq_tpu.parts.rnns.rnn import LSTM, fused_rnn_config
+    from openseq2seq_tpu.ops import lstm_pallas as lp_mod
+
+    rng = np.random.RandomState(6)
+    B, T, D, H = 8, 11, 32, 128
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    lengths = jnp.asarray([T, 5, 8] + [T] * (B - 3), jnp.int32)
+    mod = LSTM(hidden_size=H, reverse=True)
+    params = mod.init(jax.random.PRNGKey(1), x, lengths)
+    want_ys, (want_h, want_c) = mod.apply(params, x, lengths)
+    old = lp_mod.FORCE_INTERPRET
+    lp_mod.FORCE_INTERPRET = True
+    try:
+        with fused_rnn_config(True):
+            got_ys, (got_h, got_c) = mod.apply(params, x, lengths)
+    finally:
+        lp_mod.FORCE_INTERPRET = old
+    np.testing.assert_allclose(np.asarray(got_ys),
+                               np.asarray(want_ys),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-5, atol=1e-5)
