@@ -154,6 +154,22 @@ class GRU(nn.Module):
             jnp.zeros((B, H), self.dtype)
         W_h_c = W_h.astype(self.dtype)
 
+        from ...ops import gru_pallas as gpk
+        if (get_fused_rnn()
+                and gpk.supported(B, T, H,
+                                  interpret=gpk.FORCE_INTERPRET)):
+            # fused Pallas GRU scan (same design as the LSTM kernel;
+            # ops/gru_pallas.py) — reverse cells use suffix masking
+            # over the already-flipped inputs
+            out, h_last = gpk.gru_scan(
+                x_proj, W_h, b_h, h0, lengths,
+                gpk.FORCE_INTERPRET, self.reverse)
+            if self.reverse:
+                out = jnp.flip(out, axis=1)
+            out = out * _time_mask(lengths, T)[:, :, None].astype(
+                out.dtype)
+            return out, h_last
+
         def step(h, inp):
             xp, m = inp
             hp = (h @ W_h_c).astype(jnp.float32) + b_h
