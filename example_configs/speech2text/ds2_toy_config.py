@@ -27,6 +27,12 @@ _VOCAB = os.path.join(_DATA_DIR, "vocab.txt")
 base_model = Speech2Text
 base_params = {
     "random_seed": 0,
+    # fused Pallas RNN scans (ops/lstm_pallas.py, ops/gru_pallas.py):
+    # DS2-medium measured 174.1 -> 223.3 utt/s/chip (MFU 0.218 ->
+    # 0.300, bench_results/chip_queue23.log); exact same math as the
+    # lax.scan path (cells whose shapes the VMEM gate rejects fall
+    # back transparently)
+    "fused_rnn": True,
     "num_epochs": 200,
     "logdir": os.environ.get("OS2S_TOY_LOGDIR", "/tmp/os2s_ds2_toy_logs"),
     "batch_size_per_gpu": 10,

@@ -13,6 +13,12 @@ _DATA = os.environ.get("WMT16_DIR", "/data/wmt16_en_dt")
 base_model = Text2Text
 base_params = {
     "random_seed": 0,
+    # fused Pallas RNN scans (ops/lstm_pallas.py, ops/gru_pallas.py):
+    # DS2-medium measured 174.1 -> 223.3 utt/s/chip (MFU 0.218 ->
+    # 0.300, bench_results/chip_queue23.log); exact same math as the
+    # lax.scan path (cells whose shapes the VMEM gate rejects fall
+    # back transparently)
+    "fused_rnn": True,
     "prng_impl": "rbg",  # TPU-hardware dropout keys (docs/internals.md)
     "dropout_bits": 8,   # u8 threshold masks (parts/dropout.py)
     "num_epochs": 8,
