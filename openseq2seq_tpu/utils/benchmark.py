@@ -15,6 +15,7 @@ dict) so the step can be a loop body.
 from __future__ import annotations
 
 import functools
+import math
 import time
 from typing import Any, Tuple
 
@@ -60,8 +61,14 @@ def time_chained_steps(model, state, batch, rng,
     t0 = time.time()
     for _ in range(calls):
         state, loss = fn(state, batch, rng)
-    float(jax.device_get(loss))
+    final_loss = float(jax.device_get(loss))
     wall = time.time() - t0
+    # a bench number over a diverged/NaN step is not a number: fail
+    # loudly instead of printing a throughput for garbage math
+    if not math.isfinite(final_loss):
+        raise AssertionError(
+            "non-finite loss after {} benchmarked steps: {}".format(
+                chain * calls, final_loss))
     return wall, chain * calls, state
 
 

@@ -174,3 +174,39 @@ def test_lstm_module_fused_reverse_matches():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_compute_path_close():
+    """The LM runs the kernel under dtype='mixed' (bf16 x_proj/h);
+    fused vs scan must stay within bf16 tolerance, fwd and grads."""
+    from openseq2seq_tpu.parts.rnns.rnn import LSTM, fused_rnn_config
+    from openseq2seq_tpu.ops import lstm_pallas as lp_mod
+
+    rng = np.random.RandomState(8)
+    B, T, D, H = 8, 12, 64, 128
+    x = jnp.asarray(rng.randn(B, T, D), jnp.bfloat16)
+    lengths = jnp.asarray([T, 7] + [T] * (B - 2), jnp.int32)
+    mod = LSTM(hidden_size=H, dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x, lengths)
+
+    def loss(p, x_):
+        ys, _ = mod.apply(p, x_, lengths)
+        return jnp.sum(ys.astype(jnp.float32) ** 2)
+
+    want = mod.apply(params, x, lengths)[0].astype(jnp.float32)
+    gw = jax.grad(loss)(params, x)
+    old = lp_mod.FORCE_INTERPRET
+    lp_mod.FORCE_INTERPRET = True
+    try:
+        with fused_rnn_config(True):
+            got = mod.apply(params, x, lengths)[0].astype(jnp.float32)
+            gf = jax.grad(loss)(params, x)
+    finally:
+        lp_mod.FORCE_INTERPRET = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.05, atol=0.05)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gw)):
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float32),
+            np.asarray(b, dtype=np.float32), rtol=0.1, atol=0.5)
