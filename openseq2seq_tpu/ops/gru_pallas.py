@@ -139,7 +139,7 @@ def _fwd(x_proj_t, wh, bh, h0, lens, bblk, suffix_mask, interpret):
         ],
         scratch_shapes=[pltpu.VMEM((bblk, H), dt)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(lens, x_proj_t, wh, bh, h0)
 
@@ -227,7 +227,7 @@ def _bwd(wh, acts, hn, ys, h0, dys_t, dh_last, lens, bblk,
         ],
         scratch_shapes=[pltpu.VMEM((bblk, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(lens, wh, acts, hn, ys, h0, dys_t, dh_last)
 

@@ -162,7 +162,7 @@ def _fwd(x_proj_t, wh, h0, c0, lens, bblk, forget_bias, suffix_mask,
             pltpu.VMEM((bblk, H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(lens, x_proj_t, wh, h0, c0)
 
@@ -271,7 +271,7 @@ def _bwd(wh, acts, cs, c0, dys_t, dh_last, dc_last, lens, bblk,
             pltpu.VMEM((bblk, H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(lens, wh, acts, cs, cs, c0, dys_t, dh_last, dc_last)
 
