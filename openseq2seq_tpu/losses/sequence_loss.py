@@ -193,11 +193,18 @@ class BasicSampledSequenceLoss(BasicSequenceLoss):
         flat_in = inputs.reshape(-1, H)                    # (N, H)
         flat_lab = labels.reshape(-1)                      # (N,)
 
-        # log-uniform (Zipf) base distribution over class ids
+        # log-uniform (Zipf) base distribution over class ids.
+        # q(k) = log((k+2)/(k+1))/log(V+1) MUST be computed as
+        # log1p(1/(k+1)): the difference-of-logs form is a
+        # catastrophic cancellation at large k — ~1/k against an ulp
+        # of ~1e-6 — and the TPU's log approximation makes it
+        # literally zero for 2385 of the 268k wkt103 ids (measured
+        # on-chip: log(0) = -inf poisoned every big-vocab LM step
+        # through logsumexp; CPU's more accurate log masked the bug).
         def log_q(ids):
             k = ids.astype(jnp.float32)
-            return jnp.log((jnp.log(k + 2.0) - jnp.log(k + 1.0)) /
-                           jnp.log(float(V) + 1.0))
+            return jnp.log(jnp.log1p(1.0 / (k + 1.0)) /
+                           jnp.log1p(float(V)))
 
         key = dec.get("sample_rng")
         if key is None:

@@ -185,3 +185,20 @@ def test_sampled_softmax_estimator(toy_wikitext, tmp_path):
     out = jax.jit(eval_model.eval_step)(state, device_batch)
     dec = out["outputs"]["decoder_output"]
     assert "weights" not in dec and "logits" in dec
+
+
+def test_sampled_softmax_log_q_finite_full_vocab():
+    """log_q must be finite over the ENTIRE wkt103-scale id range in
+    f32. The difference-of-logs form collapsed to log(0) = -inf for
+    thousands of ids under the TPU's log approximation (measured
+    on-chip — poisoned every big-vocab LM training step); the log1p
+    form is exact at any k."""
+    import jax.numpy as jnp
+    import numpy as np
+    V = 267744
+    k = jnp.arange(V).astype(jnp.float32)
+    lq = jnp.log(jnp.log1p(1.0 / (k + 1.0)) / jnp.log1p(float(V)))
+    lq = np.asarray(lq)
+    assert np.isfinite(lq).all()
+    # and it is a proper log-distribution: sums to ~1 in probability
+    assert abs(float(np.exp(lq.astype(np.float64)).sum()) - 1.0) < 1e-3
