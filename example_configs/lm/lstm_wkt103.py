@@ -14,8 +14,8 @@ _DATA = os.environ.get("WIKITEXT103_DIR", "/data/wikitext-103")
 base_model = LSTMLM
 base_params = {
     "random_seed": 0,
-    # fused Pallas LSTM scan (ops/lstm_pallas.py): measured 264.5k ->
-    # 331.8k tokens/s/chip (MFU 0.148 -> 0.226) at these shapes
+    # fused Pallas LSTM scan (ops/lstm_pallas.py): measured 264.2k ->
+    # 331.1k tokens/s/chip (MFU 0.148 -> 0.226) at these shapes
     # (bench_results/chip_queue22.log); exact same math as the scan
     "fused_rnn": True,
     "num_epochs": 25,

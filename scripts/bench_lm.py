@@ -63,7 +63,7 @@ def main():
         "random_seed": 0,
         "max_steps": 1000000,
         # fused Pallas LSTM scan (ops/lstm_pallas.py), DEFAULT since
-        # round 5: measured 264.5k -> 331.8k tokens/s (MFU 0.148 ->
+        # round 5: measured 264.2k -> 331.1k tokens/s (MFU 0.148 ->
         # 0.226) at these shapes (chip_queue22). BENCH_FUSED_RNN=0
         # measures the lax.scan control.
         "fused_rnn": os.environ.get("BENCH_FUSED_RNN", "1") == "1",
